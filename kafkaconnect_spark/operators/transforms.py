@@ -1,0 +1,212 @@
+"""SMT library — the reference's single-message transforms as Column ops.
+
+Connect SMTs are per-record, stateless, chainable functions
+(SURVEY §2.4, T1–T5). Here each is a ``DataFrame -> DataFrame``
+closure over pure built-in Column expressions — narrow, codegen'd,
+zero shuffle, zero Python in the hot path.
+
+Canonical record shape (the engine's analogue of a ``SourceRecord``):
+    key: any (struct / scalar / null)
+    value: struct (null = tombstone)
+    topic: string
+plus passthrough metadata columns (partition, offset, timestamp) when
+present. SMTs only touch key/value/topic, like Connect.
+
+Reference parity:
+- T1 ValueToKey        jdbc_source_configs/mysql_jdbc_source_customers.json:19-20
+                       (composite: connector_configs/mysql_jdbc_om_source_mkey.json:14-16)
+- T2 ExtractField$Key  jdbc_source_configs/mysql_jdbc_source_customers.json:21-22
+- T3 ExtractNewRecordState (Debezium unwrap)
+                       실습수행/Debezium MySQL CDC Source Connector 실습 - 01.md:306-308
+- T4 RegexRouter       실습수행/Debezium MySQL CDC Source Connector 실습 - 01.md:630-634
+- T5 TimestampConverter$Value
+                       실습수행/Debezium MySQL CDC Source Connector 실습 - 02.md:364-368
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.plans.spec import SpecError, TransformSpec
+
+Transform = Callable[[DataFrame], DataFrame]
+
+# Connect timestamp format strings are java.text.SimpleDateFormat; Spark
+# uses java.time.DateTimeFormatter patterns — for the patterns the
+# reference exercises ("yyyy-MM-dd'T'HH:mm:ss'Z'") they coincide.
+
+
+def value_to_key(fields: list[str]) -> Transform:
+    """T1: copy value fields into a struct key.
+
+    A single-field key stays a one-field struct (Connect emits a
+    Struct either way; scalar unwrap is T2's job).
+    """
+    if not fields:
+        raise SpecError("ValueToKey requires fields")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn("key", F.struct(*[F.col(f"value.{f}").alias(f) for f in fields]))
+
+    return _apply
+
+
+def extract_field(field: str, target: str) -> Transform:
+    """T2 (and the $Value twin): unwrap one field of a struct column."""
+    if target not in ("key", "value"):
+        raise SpecError(f"ExtractField target must be key or value, got {target}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(target, F.col(f"{target}.{field}"))
+
+    return _apply
+
+
+def extract_new_record_state(drop_tombstones: bool = False) -> Transform:
+    """T3: Debezium envelope {before, after, source, op, ts_ms} → flat row.
+
+    - op in (c, u, r): value = after
+    - op = d: value = null (a delete signal the sink turns into DELETE)
+    - tombstone passthrough unless drop_tombstones
+      (drop.tombstones="false" everywhere in the reference,
+      실습수행/Debezium MySQL CDC Source Connector 실습 - 01.md:308)
+    """
+
+    def _apply(df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "value",
+            F.when(F.col("value").isNull(), F.lit(None).cast(df.schema["value"].dataType["after"].dataType))
+            .when(F.col("value.op") == "d", F.lit(None))
+            .otherwise(F.col("value.after")),
+        )
+        if drop_tombstones:
+            out = out.where(F.col("value").isNotNull())
+        return out
+
+    return _apply
+
+
+def regex_router(regex: str, replacement: str) -> Transform:
+    """T4: rewrite topic. Connect's RegexRouter full-matches the topic
+    against `regex` and applies `replacement` ($1 group refs); topics
+    that don't match pass through unchanged. We reproduce full-match
+    semantics by anchoring with a non-capturing group so user group
+    numbers ($1...) are preserved.
+    """
+    anchored = f"^(?:{regex})$"
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "topic",
+            F.when(
+                F.col("topic").rlike(anchored),
+                F.regexp_replace(F.col("topic"), anchored, replacement),
+            ).otherwise(F.col("topic")),
+        )
+
+    return _apply
+
+
+def timestamp_converter(
+    field: str,
+    target_type: str,
+    fmt: str | None = None,
+    target: str = "value",
+) -> Transform:
+    """T5: convert one value field between string/unix/Timestamp/Date.
+
+    Reference usage: string "2023-01-01T10:00:00Z" → Timestamp with
+    format yyyy-MM-dd'T'HH:mm:ss'Z' (실습 - 02.md:364-368).
+    """
+    valid = {"Timestamp", "Date", "string", "unix"}
+    if target_type not in valid:
+        raise SpecError(f"TimestampConverter target.type must be one of {sorted(valid)}")
+
+    def _convert(c: Column) -> Column:
+        if target_type == "Timestamp":
+            return F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c)
+        if target_type == "Date":
+            return F.to_date(c, fmt) if fmt else F.to_date(c)
+        if target_type == "string":
+            return F.date_format(c, fmt or "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        return F.unix_timestamp(c)  # unix
+
+    def _apply(df: DataFrame) -> DataFrame:
+        struct_fields = [f.name for f in df.schema[target].dataType.fields]
+        replaced = [
+            _convert(F.col(f"{target}.{name}")).alias(name) if name == field
+            else F.col(f"{target}.{name}").alias(name)
+            for name in struct_fields
+        ]
+        # preserve tombstones: null struct in, null struct out
+        return df.withColumn(
+            target,
+            F.when(F.col(target).isNull(), F.lit(None)).otherwise(F.struct(*replaced)),
+        )
+
+    return _apply
+
+
+# ---------------------------------------------------------------------------
+# registry: Connect SMT class name -> builder(params) -> Transform
+# ---------------------------------------------------------------------------
+
+def _build_value_to_key(p: dict[str, str]) -> Transform:
+    return value_to_key([f.strip() for f in p.get("fields", "").split(",") if f.strip()])
+
+
+def _build_extract_key(p: dict[str, str]) -> Transform:
+    return extract_field(p["field"], "key")
+
+
+def _build_extract_value(p: dict[str, str]) -> Transform:
+    return extract_field(p["field"], "value")
+
+
+def _build_unwrap(p: dict[str, str]) -> Transform:
+    return extract_new_record_state(
+        drop_tombstones=str(p.get("drop.tombstones", "true")).lower() == "true"
+    )
+
+
+def _build_router(p: dict[str, str]) -> Transform:
+    return regex_router(p["regex"], p["replacement"])
+
+
+def _build_ts_converter(p: dict[str, str]) -> Transform:
+    return timestamp_converter(
+        field=p["field"],
+        target_type=p["target.type"],
+        fmt=p.get("format"),
+    )
+
+
+TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
+    "ValueToKey": _build_value_to_key,
+    "ExtractField$Key": _build_extract_key,
+    "ExtractField$Value": _build_extract_value,
+    "ExtractNewRecordState": _build_unwrap,
+    "RegexRouter": _build_router,
+    "TimestampConverter$Value": _build_ts_converter,
+}
+
+
+def build_transform_chain(transforms: list[TransformSpec]) -> Transform:
+    """Compose the spec's SMT chain in declared order
+    (chain ordering semantics: 실습수행/JDBC Source Connector 실습.md:445)."""
+    built: list[Transform] = []
+    for t in transforms:
+        builder = TRANSFORM_REGISTRY.get(t.short_type)
+        if builder is None:
+            raise SpecError(f"unknown transform type {t.type!r}")
+        built.append(builder(t.params))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        for fn in built:
+            df = fn(df)
+        return df
+
+    return _apply
