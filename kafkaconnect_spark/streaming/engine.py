@@ -1,0 +1,509 @@
+"""Engine — the Connect-worker analogue: registry + lifecycle + compile.
+
+Maps the reference's REST surface (SURVEY §2.6 O4) onto Spark:
+
+- register  (scripts/register_connector:1)   → compile spec, start
+- show      (scripts/show_connectors:1)      → list names / status
+- delete    (scripts/delete_connector:1)     → stop + forget
+- pause / resume (실습수행/JDBC Sink Connector 실습.md:338-343)
+  → stop keeping checkpoint / restart from checkpoint
+- restart   (…실습 - 03.md:268)              → stop + start
+- reset-offsets (실습수행/특정 Connector의 connect-offsets 리셋하기.md)
+  → delete source offsets / checkpoint (O2)
+
+Pipelines compile to:
+- jdbc-source      → driver-paced poll loop (IncrementalPoller) → SMT
+                     chain → JSON serde → topic append. One logical
+                     source fans out to one pipeline per whitelisted
+                     table (S5), all sharing the offset store.
+- spooldir-source  → file-streaming query → records → topic append.
+- jdbc-sink        → topic stream → deserialize → SMT chain →
+                     foreachBatch JdbcSinkWriter (upsert/delete).
+- cdc-source       → Debezium-format topic ingest: envelope parse +
+                     optional unwrap; the engine treats Debezium
+                     topics as the CDC interface (SURVEY §2.1 S7/S8 —
+                     Spark cannot tail a binlog; snapshot.mode maps to
+                     startingOffsets earliest/latest).
+
+``run_once()`` executes one synchronous cycle for every registered
+pipeline (tests, cron-style schedulers); ``start()`` runs continuous
+micro-batches (ProcessingTime = poll.interval.ms).
+
+Single-writer-per-source-table rule (…실습 - 01.md:638-640): the
+registry refuses two active source pipelines claiming the same
+(connection, table).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafkaconnect_spark.dialects import dialect_for_url
+from kafkaconnect_spark.functions.serde import json_deserialize, json_serialize
+from kafkaconnect_spark.operators.transforms import build_transform_chain
+from kafkaconnect_spark.operators.upsert import JdbcSinkWriter
+from kafkaconnect_spark.plans.spec import PipelineSpec, SpecError, _as_bool
+from kafkaconnect_spark.sources.jdbc_poller import IncrementalPoller, OffsetStore
+from kafkaconnect_spark.sources.spooldir import (
+    generate_schema,
+    read_spooldir_stream,
+    split_errors,
+)
+from kafkaconnect_spark.sources.topics import TopicTransport
+
+TableResolver = Callable[[str], DataFrame]
+"""Given a table name, return its DataFrame (parquet dir, JDBC read,
+catalog table — deployment-specific)."""
+
+
+@dataclass
+class Pipeline:
+    spec: PipelineSpec
+    state: str = "RUNNING"  # RUNNING | PAUSED | FAILED
+    run_one: Callable[[], int] | None = None  # one micro-cycle; returns rows moved
+    streaming_query: Any = None
+    error: str | None = None
+    extras: dict[str, Any] = field(default_factory=dict)
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        servers: str,
+        checkpoint_root: str | Path,
+        table_resolver: TableResolver | None = None,
+        connection_factories: dict[str, Callable[[], Any]] | None = None,
+    ):
+        self.spark = spark
+        self.transport = TopicTransport(spark, servers)
+        self.checkpoint_root = Path(checkpoint_root)
+        self.table_resolver = table_resolver
+        self.connection_factories = connection_factories or {}
+        self.pipelines: dict[str, Pipeline] = {}
+        self._claimed_tables: dict[tuple[str, str], str] = {}
+        self._threads: dict[str, threading.Thread] = {}
+        self._stop_flags: dict[str, threading.Event] = {}
+
+    # ------------------------------------------------------------------
+    # lifecycle verbs (O4)
+    # ------------------------------------------------------------------
+    def register(self, spec: PipelineSpec | dict | str | Path) -> Pipeline:
+        if not isinstance(spec, PipelineSpec):
+            spec = PipelineSpec.from_json(spec)
+        if spec.name in self.pipelines:
+            raise SpecError(f"pipeline {spec.name!r} already registered")
+        if spec.kind == "jdbc-source":
+            conn_url = str(spec.config.get("connection.url", ""))
+            for table in spec.tables:
+                claim = (conn_url, table)
+                owner = self._claimed_tables.get(claim)
+                if owner:
+                    raise SpecError(
+                        f"table {table!r} already sourced by pipeline {owner!r} "
+                        "(single-writer-per-table rule)"
+                    )
+            for table in spec.tables:
+                self._claimed_tables[(conn_url, table)] = spec.name
+        pipeline = self._compile(spec)
+        self.pipelines[spec.name] = pipeline
+        return pipeline
+
+    def show(self) -> dict[str, str]:
+        return {name: p.state for name, p in self.pipelines.items()}
+
+    def status(self, name: str) -> dict[str, Any]:
+        p = self.pipelines[name]
+        return {"name": name, "state": p.state, "kind": p.spec.kind, "error": p.error}
+
+    def pause(self, name: str) -> None:
+        """Stop processing, keep checkpoint/offsets — resume continues
+        where it left off (JDBC Sink Connector 실습.md:338-343)."""
+        p = self.pipelines[name]
+        self._stop_continuous(name)
+        if p.streaming_query is not None:
+            p.streaming_query.stop()
+            p.streaming_query = None
+        p.state = "PAUSED"
+
+    def resume(self, name: str) -> None:
+        p = self.pipelines[name]
+        if p.state != "PAUSED":
+            return
+        self.pipelines[name] = self._compile(p.spec)
+        self.pipelines[name].state = "RUNNING"
+
+    def restart(self, name: str) -> None:
+        self.pause(name)
+        self.resume(name)
+
+    def delete(self, name: str) -> None:
+        p = self.pipelines.pop(name)
+        self._stop_continuous(name)
+        if p.streaming_query is not None:
+            p.streaming_query.stop()
+        if p.spec.kind == "jdbc-source":
+            conn_url = str(p.spec.config.get("connection.url", ""))
+            for table in p.spec.tables:
+                self._claimed_tables.pop((conn_url, table), None)
+
+    def reset_offsets(self, name: str, table: str | None = None) -> None:
+        """O2: offset reset — next run re-reads from the beginning
+        (특정 Connector의 connect-offsets 리셋하기.md:23-27). Source
+        pipelines drop their poller offsets; stream pipelines drop the
+        checkpoint."""
+        p = self.pipelines[name]
+        if p.state == "RUNNING" and (p.streaming_query or name in self._threads):
+            raise RuntimeError("pause the pipeline before resetting offsets")
+        store = p.extras.get("offset_store")
+        if store is not None:
+            store.reset(table)
+        ckpt = self.checkpoint_root / name
+        if p.streaming_query is None and ckpt.exists():
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # execution
+    # ------------------------------------------------------------------
+    def run_once(self, name: str | None = None) -> dict[str, int]:
+        """One synchronous micro-cycle per (running) pipeline; returns
+        rows moved per pipeline. Sources run before sinks so a cycle
+        moves data end-to-end."""
+        moved: dict[str, int] = {}
+        items = (
+            [(name, self.pipelines[name])]
+            if name
+            else sorted(
+                self.pipelines.items(),
+                key=lambda kv: 0 if kv[1].spec.kind.endswith("source") else 1,
+            )
+        )
+        for pname, p in items:
+            if p.state != "RUNNING" or p.run_one is None:
+                continue
+            try:
+                moved[pname] = p.run_one()
+            except Exception as e:  # surface like a failed Connect task
+                p.state = "FAILED"
+                p.error = f"{type(e).__name__}: {e}"
+                raise
+        return moved
+
+    def start(self, name: str) -> None:
+        """Continuous mode: poll.interval.ms-paced loop in a daemon
+        thread (sources) — stream pipelines are continuous already via
+        their StreamingQuery."""
+        p = self.pipelines[name]
+        if p.run_one is None or name in self._threads:
+            return
+        stop = threading.Event()
+        interval = p.spec.poll_interval_ms / 1000.0
+
+        def loop() -> None:
+            while not stop.is_set():
+                try:
+                    p.run_one()
+                except Exception as e:
+                    p.state = "FAILED"
+                    p.error = f"{type(e).__name__}: {e}"
+                    return
+                stop.wait(interval)
+
+        t = threading.Thread(target=loop, daemon=True, name=f"pipeline-{name}")
+        self._stop_flags[name] = stop
+        self._threads[name] = t
+        t.start()
+
+    def _stop_continuous(self, name: str) -> None:
+        if name in self._threads:
+            self._stop_flags[name].set()
+            self._threads[name].join(timeout=30)
+            del self._threads[name]
+            del self._stop_flags[name]
+
+    # ------------------------------------------------------------------
+    # compilation: spec -> pipeline
+    # ------------------------------------------------------------------
+    def _compile(self, spec: PipelineSpec) -> Pipeline:
+        if spec.kind == "jdbc-source":
+            return self._compile_jdbc_source(spec)
+        if spec.kind == "spooldir-source":
+            return self._compile_spooldir(spec)
+        if spec.kind == "jdbc-sink":
+            return self._compile_jdbc_sink(spec)
+        if spec.kind == "cdc-source":
+            return self._compile_cdc_ingest(spec)
+        raise SpecError(f"cannot compile kind {spec.kind!r}")
+
+    def _compile_jdbc_source(self, spec: PipelineSpec) -> Pipeline:
+        if self.table_resolver is None:
+            raise SpecError("engine needs a table_resolver for jdbc-source pipelines")
+        cfg = spec.config
+        mode = str(cfg["mode"])
+        poller = IncrementalPoller(
+            self.spark,
+            mode,
+            inc_col=cfg.get("incrementing.column.name"),
+            ts_col=cfg.get("timestamp.column.name"),
+        )
+        store = OffsetStore(self.checkpoint_root, spec.name)
+        chain = build_transform_chain(spec.transforms)
+        # default true, like Connect's JsonConverter
+        schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
+        tables = spec.tables or []
+        if not tables:
+            raise SpecError("jdbc-source needs table.whitelist (catalog scan not wired)")
+
+        def run_one() -> int:
+            total = 0
+            for table in tables:
+                tdf = self.table_resolver(table)
+                offset = store.get(table)
+                batch, new_offset = poller.poll(tdf, offset)
+                value_schema = batch.schema
+                records = batch.select(
+                    F.struct(*[F.col(c).alias(c) for c in batch.columns]).alias("value")
+                ).withColumn("topic", F.lit(spec.topic_for_table(table)))
+                records = chain(records)
+                wire = records.withColumn(
+                    "value",
+                    json_serialize("value", value_schema, schemas_enable=schemas_enable),
+                )
+                if "key" in wire.columns:
+                    key_type = wire.schema["key"].dataType
+                    if isinstance(key_type, T.StructType):
+                        wire = wire.withColumn(
+                            "key",
+                            json_serialize("key", key_type, schemas_enable=schemas_enable),
+                        )
+                    else:
+                        wire = wire.withColumn("key", F.col("key").cast("string"))
+                else:
+                    wire = wire.withColumn("key", F.lit(None).cast("string"))
+                wire = wire.select("key", "value", "topic")
+                cnt = wire.count()
+                if cnt:
+                    self.transport.append(wire)
+                # commit offset only after the append succeeded
+                # (at-least-once, like connect-offsets commit post-produce)
+                store.put(table, new_offset)
+                total += cnt
+            return total
+
+        return Pipeline(spec=spec, run_one=run_one, extras={"offset_store": store})
+
+    def _compile_spooldir(self, spec: PipelineSpec) -> Pipeline:
+        cfg = spec.config
+        topic = str(cfg["topic"])
+        input_path = str(cfg["input.path"])
+        # Connect's file pattern is a regex (^.*\.csv$); Spark's
+        # pathGlobFilter is a glob — registration translates the common
+        # suffix form, otherwise keeps *.csv.
+        pattern = "*.csv"
+        schema = generate_schema(self.spark, input_path, pattern)
+        chain = build_transform_chain(spec.transforms)
+        halt = str(cfg.get("halt.on.error", "false")).lower() == "true"
+        error_path = cfg.get("error.path")
+        schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
+
+        stream = read_spooldir_stream(
+            self.spark,
+            input_path,
+            schema,
+            finished_path=str(cfg["finished.path"]) if cfg.get("finished.path") else None,
+            pattern=pattern,
+            halt_on_error=halt,
+        )
+
+        transport = self.transport
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            good, bad = split_errors(batch_df)
+            if error_path is not None:
+                bad.write.mode("append").text(str(error_path).rstrip("/") + "/corrupt")
+            records = good.select(
+                F.struct(*[F.col(c).alias(c) for c in good.columns]).alias("value")
+            ).withColumn("topic", F.lit(topic))
+            records = chain(records)
+            wire = records.withColumn(
+                "value", json_serialize("value", schema, schemas_enable=schemas_enable)
+            )
+            if "key" not in wire.columns:
+                wire = wire.withColumn("key", F.lit(None).cast("string"))
+            transport.append(wire.select("key", "value", "topic"))
+
+        ckpt = str(self.checkpoint_root / spec.name)
+
+        def run_one() -> int:
+            q = (
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return -1  # file source doesn't expose a row count cheaply
+
+        return Pipeline(spec=spec, run_one=run_one, extras={"schema": schema})
+
+    def _compile_jdbc_sink(self, spec: PipelineSpec) -> Pipeline:
+        cfg = spec.config
+        topics = [t.strip() for t in str(cfg["topics"]).split(",") if t.strip()]
+        url = str(cfg.get("connection.url", ""))
+        dialect = dialect_for_url(url)
+        factory = self.connection_factories.get(url)
+        if factory is None:
+            raise SpecError(
+                f"no connection factory registered for {url!r} "
+                "(pass connection_factories={url: callable} to Engine)"
+            )
+        table = str(cfg.get("table.name.format", "${topic}")).replace(
+            "${topic}", topics[0]
+        )
+        schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
+        chain = build_transform_chain(spec.transforms)
+
+        # Schema resolution at registration (SURVEY §1.3): explicit DDL
+        # wins; else sample the topic's current records.
+        ddl = cfg.get("value.schema.ddl")
+        if ddl:
+            value_schema = T._parse_datatype_string(str(ddl))
+        else:
+            sample = self.transport.read_batch(topics).where(F.col("value").isNotNull())
+            rows = sample.select("value").limit(1).collect()
+            if not rows:
+                raise SpecError(
+                    f"cannot resolve value schema for topics {topics}: topic empty "
+                    "and no value.schema.ddl given"
+                )
+            import json as _json
+
+            payload = _json.loads(rows[0][0])
+            payload = payload.get("payload", payload) if schemas_enable else payload
+            value_schema = self.spark.range(1).select(
+                F.schema_of_json(F.lit(_json.dumps(payload)))
+            ).collect()[0][0]
+            value_schema = T._parse_datatype_string(value_schema)
+
+        pk = spec.pk_fields
+        writer = JdbcSinkWriter(
+            table=table,
+            pk=pk,
+            dialect=dialect,
+            connection_factory=factory,
+            delete_enabled=_as_bool(cfg.get("delete.enabled", False)),
+            auto_create=_as_bool(cfg.get("auto.create", True)),
+            auto_evolve=_as_bool(cfg.get("auto.evolve", False)),
+            insert_mode=str(cfg.get("insert.mode", "upsert")),
+            num_writers=int(cfg.get("tasks.max", 1)) if dialect.name == "sqlite" else None,
+        )
+
+        key_schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in pk]
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            recs = batch_df
+            recs = recs.withColumn(
+                "value", json_deserialize("value", value_schema, schemas_enable=schemas_enable)
+            )
+            recs = chain(recs)
+            # key: json struct of pk fields, or scalar pk — normalize to
+            # struct keyed by pk names, casting to the value's pk types.
+            if pk:
+                parsed = json_deserialize("key", key_schema, schemas_enable=schemas_enable)
+                if len(pk) == 1:
+                    # scalar key (post-ExtractField$Key) or struct JSON key
+                    key_col = F.when(
+                        F.col("key").startswith("{"), parsed[pk[0]]
+                    ).otherwise(F.col("key"))
+                    recs = recs.withColumn(
+                        "key",
+                        F.struct(
+                            key_col.cast(value_schema[pk[0]].dataType).alias(pk[0])
+                        ),
+                    )
+                else:
+                    recs = recs.withColumn(
+                        "key",
+                        F.struct(
+                            *[
+                                parsed[c].cast(value_schema[c].dataType).alias(c)
+                                for c in pk
+                            ]
+                        ),
+                    )
+            writer.process_batch(recs, batch_id)
+
+        ckpt = str(self.checkpoint_root / spec.name)
+        stream = self.transport.read_stream(topics)
+
+        def run_one() -> int:
+            q = (
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return -1
+
+        return Pipeline(spec=spec, run_one=run_one, extras={"writer": writer})
+
+    def _compile_cdc_ingest(self, spec: PipelineSpec) -> Pipeline:
+        """Debezium-format topic ingest (S7/S8): parse envelope, apply
+        SMT chain (typically ExtractNewRecordState + RegexRouter), and
+        re-publish flat records — the 'source-side unwrap' shape of
+        …실습 - 01.md:287-311."""
+        cfg = spec.config
+        in_topics = [t.strip() for t in str(cfg["cdc.topic.pattern"]).split(",")]
+        chain = build_transform_chain(spec.transforms)
+        ddl = cfg.get("value.schema.ddl")
+        if not ddl:
+            raise SpecError("cdc-source ingest needs value.schema.ddl (row schema)")
+        row_schema = T._parse_datatype_string(str(ddl))
+        from kafkaconnect_spark.functions.envelope import envelope_schema
+
+        env_schema = envelope_schema(row_schema)
+        ckpt = str(self.checkpoint_root / spec.name)
+        transport = self.transport
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            recs = batch_df.withColumn(
+                "value", json_deserialize("value", env_schema, schemas_enable=False)
+            )
+            recs = chain(recs)
+            value_type = recs.schema["value"].dataType
+            wire = recs.withColumn(
+                "value", json_serialize("value", value_type, schemas_enable=False)
+            ).select("key", "value", "topic")
+            transport.append(wire)
+
+        stream = self.transport.read_stream(
+            in_topics,
+            starting_offsets="latest"
+            if str(cfg.get("snapshot.mode", "initial")) == "schema_only"
+            else "earliest",
+        )
+
+        def run_one() -> int:
+            q = (
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return -1
+
+        return Pipeline(spec=spec, run_one=run_one)
