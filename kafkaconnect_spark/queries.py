@@ -1,0 +1,842 @@
+"""Query catalog — every operator from SURVEY §2 + Phase E, as
+(spark, sf_dir) -> DataFrame callables with DuckDB oracle SQL.
+
+This is the correctness gate's surface (driver contract in
+__spark_entry__.py): each entry exercises a real engine code path
+(SMT functions, poller predicates, envelope wrap/unwrap, serde
+round-trips, dedup/similarity/text operators) expressed over the
+driver's parquet tables, and each oracle replays the exact semantics
+in ANSI-ish DuckDB SQL.
+
+Determinism rules shared by both sides:
+- hashes are md5-derived (functions/text.hash64) — identical hex in
+  Spark and DuckDB;
+- double aggregations go through per-row rounding → DECIMAL sums
+  (order-independent, exact) → final cast to double;
+- per-row float math (cosine) is computed in double and rounded to 6.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafkaconnect_spark.functions import text as TX
+from kafkaconnect_spark.functions.envelope import unwrap_envelope, wrap_as_envelope
+from kafkaconnect_spark.functions.serde import json_deserialize, json_serialize
+from kafkaconnect_spark.operators import dedup, similarity
+from kafkaconnect_spark.operators.transforms import (
+    extract_field,
+    regex_router,
+    timestamp_converter,
+    value_to_key,
+)
+from kafkaconnect_spark.sources.jdbc_poller import Offset, incremental_predicate
+
+
+class QueryDef(NamedTuple):
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's events.parquet carries timestamp[ns], which the
+    Spark parquet reader rejects; read nanos as long (runtime conf, so
+    it works under the driver's own SparkSession too) and truncate to
+    a microsecond TimestampType — same truncation DuckDB applies."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+# the op mapping used to view the events table as a CDC change stream:
+# signup→c(reate), click/view/purchase→u(pdate), error→d(elete)
+_OP_EXPR = (
+    "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END"
+)
+
+
+# ===========================================================================
+# §2.1 sources — incremental scan modes (S1–S5)
+# ===========================================================================
+
+def s1_jdbc_incrementing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: resume scan WHERE inc_col > stored offset (real poller
+    predicate; connector_configs/mysql_jdbc_om_source.json:14-15)."""
+    ev = _t(spark, sf_dir, "events")
+    pred = incremental_predicate("incrementing", "event_id", None, Offset(inc=500))
+    return ev.where(pred).select("event_id", "user_id", "event_type")
+
+
+S1_ORACLE = """
+SELECT event_id, user_id, event_type FROM events WHERE event_id > 500
+"""
+
+
+def s2_jdbc_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: resume scan WHERE ts_col > stored timestamp offset."""
+    ev = _t(spark, sf_dir, "events")
+    pred = incremental_predicate("timestamp", None, "ts", Offset(ts="2024-01-10 00:00:00"))
+    return ev.where(pred).select("event_id", "ts", "user_id")
+
+
+S2_ORACLE = """
+SELECT event_id, ts, user_id FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+"""
+
+
+def s3_jdbc_ts_incrementing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: lexicographic (ts, inc) resume — robust to equal
+    timestamps (실습수행/JDBC Source Connector 실습.md:156-199)."""
+    ev = _t(spark, sf_dir, "events")
+    pred = incremental_predicate(
+        "timestamp+incrementing", "event_id", "ts", Offset(inc=300, ts="2024-01-05 00:00:00")
+    )
+    return ev.where(pred).select("event_id", "ts")
+
+
+S3_ORACLE = """
+SELECT event_id, ts FROM events
+WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
+   OR (ts = TIMESTAMP '2024-01-05 00:00:00' AND event_id > 300)
+"""
+
+
+def s4_jdbc_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: bulk mode — full-table snapshot per poll."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+
+
+S4_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+"""
+
+
+def s5_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: multi-table whitelist fanout — topic.prefix + table
+    (connector_configs/mysql_jdbc_om_source.json:9,12)."""
+    parts = []
+    for table in ("customer", "orders", "lineitem"):
+        df = _t(spark, sf_dir, table)
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_records")).withColumn(
+                "topic", F.lit("mysql_om_" + table)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("topic", "n_records")
+
+
+S5_ORACLE = """
+SELECT 'mysql_om_customer' AS topic, count(*) AS n_records FROM customer
+UNION ALL SELECT 'mysql_om_orders', count(*) FROM orders
+UNION ALL SELECT 'mysql_om_lineitem', count(*) FROM lineitem
+"""
+
+
+# ===========================================================================
+# §2.4 transforms (T1–T5)
+# ===========================================================================
+
+def t1_t2_smt_key_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2: ValueToKey(event_id) → ExtractField$Key(event_id) —
+    the reference's standard key chain
+    (jdbc_source_configs/mysql_jdbc_source_customers.json:18-22)."""
+    ev = _t(spark, sf_dir, "events")
+    rec = ev.select(F.struct("event_id", "user_id", "event_type").alias("value"))
+    rec = value_to_key(["event_id"])(rec)
+    rec = extract_field("event_id", "key")(rec)
+    return rec.select(
+        F.col("key").alias("key"), F.col("value.event_type").alias("event_type")
+    )
+
+
+T1_ORACLE = """
+SELECT event_id AS key, event_type FROM events
+"""
+
+
+def t3_unwrap_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: Debezium envelope → flat after-row; deletes become null
+    values (dropped here, as a sink would route them to DELETE)."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    env = wrap_as_envelope(
+        ev, ["event_id", "user_id", "event_type", "value"], op_col="op", ts_col="ts",
+        db="om", table="events",
+    )
+    flat = unwrap_envelope(env.select("value"))
+    return flat.where(F.col("value").isNotNull()).select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("op"),
+    )
+
+
+T3_ORACLE = f"""
+SELECT event_id, user_id, {_OP_EXPR} AS op
+FROM events WHERE event_type != 'error'
+"""
+
+
+def t4_regex_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: RegexRouter '(.*)\\.(.*)\\.(.*)' → '$1-$2-$3'
+    (…실습 - 01.md:630-634) applied to server.db.table topics."""
+    ev = _t(spark, sf_dir, "events")
+    rec = ev.select(
+        F.concat(F.lit("dbzsrc.om."), F.col("event_type")).alias("topic")
+    )
+    routed = regex_router(r"(.*)\.(.*)\.(.*)", "$1-$2-$3")(rec)
+    return routed.groupBy("topic").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+T4_ORACLE = r"""
+SELECT regexp_replace('dbzsrc.om.' || event_type, '^(?:(.*)\.(.*)\.(.*))$', '\1-\2-\3') AS topic,
+       count(*) AS n_records
+FROM events GROUP BY 1
+"""
+
+
+def t5_timestamp_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: TimestampConverter$Value — timestamp → ISO string → back
+    (format yyyy-MM-dd'T'HH:mm:ss'Z', …실습 - 02.md:364-368)."""
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    rec = ev.select(F.struct("event_id", "ts").alias("value"))
+    to_str = timestamp_converter("ts", "string", fmt)(rec)
+    flat = to_str.select(
+        F.col("value.event_id").alias("event_id"), F.col("value.ts").alias("ts_str")
+    )
+    rec2 = flat.select(
+        F.struct("event_id", "ts_str", F.col("ts_str").alias("ts_parsed")).alias("value")
+    )
+    parsed = timestamp_converter("ts_parsed", "Timestamp", fmt)(rec2)
+    return parsed.select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("value.ts_str").alias("ts_str"),
+        F.col("value.ts_parsed").alias("ts_parsed"),
+    )
+
+
+T5_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_str,
+       strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ') AS ts_parsed
+FROM events WHERE event_id < 200
+"""
+
+
+# ===========================================================================
+# §2.5 converters (C1/C2) — serde round-trips
+# ===========================================================================
+
+_EVENT_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def c1_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: JsonConverter schemas.enable=true round-trip — serialize
+    {"schema":…,"payload":…}, parse back, values must survive
+    (wrapper shape: 실습수행/JDBC Sink Connector 실습.md:349)."""
+    ev = _t(spark, sf_dir, "events")
+    rec = ev.select(F.struct("event_id", "event_type", "value", "props").alias("value"))
+    wire = rec.select(
+        json_serialize("value", _EVENT_VALUE_SCHEMA, schemas_enable=True).alias("raw")
+    )
+    back = wire.select(
+        json_deserialize("raw", _EVENT_VALUE_SCHEMA, schemas_enable=True).alias("value")
+    )
+    return back.select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.value").alias("value"),
+        F.get_json_object("value.props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+C1_ORACLE = """
+SELECT event_id, event_type, value, json_extract(props, '$.k')::INT AS prop_k FROM events
+"""
+
+
+def c2_json_bare_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: schemas.enable=false — bare JSON round-trip
+    (connector_configs/mysql_jdbc_om_source_noschema.json:22-25)."""
+    ev = _t(spark, sf_dir, "events")
+    rec = ev.select(F.struct("event_id", "event_type", "value", "props").alias("value"))
+    wire = rec.select(
+        json_serialize("value", _EVENT_VALUE_SCHEMA, schemas_enable=False).alias("raw")
+    )
+    back = wire.select(
+        json_deserialize("raw", _EVENT_VALUE_SCHEMA, schemas_enable=False).alias("value")
+    )
+    return back.select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.value").alias("value"),
+    )
+
+
+C2_ORACLE = """
+SELECT event_id, event_type, value FROM events
+"""
+
+
+# ===========================================================================
+# §2.2 sinks — upsert / tombstone-delete semantics (K1/K2)
+# ===========================================================================
+
+def k1_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: last-write-wins per key — the within-batch dedupe the
+    upsert sink applies before MERGE
+    (connector_configs/mysql_jdbc_sink_customers.json:10-12)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+K1_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+WHERE rn = 1
+"""
+
+
+def k2_tombstone_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: delete.enabled=true — keys whose terminal record is a
+    tombstone (here: op='d') vanish from the final state
+    (실습수행/JDBC Sink Connector 실습.md:331-363)."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", F.expr(_OP_EXPR))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("user_id", F.col("event_id").alias("last_event_id"))
+    )
+
+
+K2_ORACLE = f"""
+SELECT user_id, event_id AS last_event_id
+FROM (SELECT *, {_OP_EXPR} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events)
+WHERE rn = 1 AND op != 'd'
+"""
+
+
+# ===========================================================================
+# analytics / streaming-shape queries (engine flagship + bench)
+# ===========================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem: the classic scan→partial-agg→
+    final-agg plan; all sums go through per-row rounding → DECIMAL so
+    they are order-independent and exact at any parallelism."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
+    )
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).cast("double").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice"), 2).cast(T.DecimalType(18, 2))).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast(T.DecimalType(22, 4))).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(T.DecimalType(22, 4))).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(round(l_extendedprice, 2)::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(22,4))::DOUBLE AS sum_disc_price,
+       sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)::DECIMAL(22,4))::DOUBLE AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue agg,
+    top-10. customer is broadcast (small dim); the orders⋈lineitem
+    join shuffles on o_orderkey — the natural co-partitioning key."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue.cast(T.DecimalType(22, 4))).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(22,4))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate over the event stream — the
+    batch shape of a Structured Streaming windowed agg (watermark +
+    window in streaming mode; date_trunc here so the oracle matches)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast(T.DecimalType(18, 2))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       sum(round(value, 2)::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap — lag + running
+    sum of session starts (the batch shape of
+    applyInPandasWithState-style sessionization)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_start = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return with_start.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events)
+SELECT user_id, sum(is_new)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# Phase E — dedup
+# ===========================================================================
+
+_SHINGLE_CTE = r"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+  WHERE len(toks) >= 3)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+DEDUP_JACCARD_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full minhash→band→bucket-join→verify pipeline (16 hashes, 4
+    bands of 4 — LSH S-curve threshold ≈ 0.55)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
+
+
+_MINHASH_AGGS = ",\n".join(
+    f"min(('0x'||substr(md5('{i}:'||shingle),1,8))::BIGINT) h{i}" for i in range(16)
+)
+_SIG_LIST = "[" + ", ".join(f"h{i}" for i in range(16)) + "]"
+
+DEDUP_MINHASH_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) inter
+  FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) b{b}" for b in range(32)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN b{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(32)
+)
+
+DEDUP_SIMHASH_ORACLE = rf"""
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok FROM documents),
+h AS (SELECT doc_id, ('0x'||substr(md5('simhash:'||tok),1,8))::BIGINT hv FROM t),
+bs AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, ({_SIMHASH_VALUE}) AS simhash FROM bs
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucket-pruned (threshold tuned to
+    the synthetic corpus where max cosine ≈ 0.46)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.3, num_planes=4, dim=64)
+
+
+def _hyperplane_sql(vec: str, planes: int, dim: int) -> str:
+    bits = []
+    for p in range(planes):
+        w = (
+            f"[(('0x'||substr(md5('{p}:'||d),1,8))::BIGINT / 2147483648.0 - 1.0) "
+            f"FOR d IN range(0, {dim})]"
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {w}) >= 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+DEDUP_EMB_ORACLE = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] v,
+                  {_hyperplane_sql('embedding', 4, 64)} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+
+# ===========================================================================
+# Phase E — similarity search
+# ===========================================================================
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 10 query vectors — the exact
+    baseline every ANN variant is measured against."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, q, k=10)
+
+
+SIM_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id neighbor_id,
+         round(list_dot_product(qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5: hyperplane signature equi-join + exact
+    re-rank — the sub-linear scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(emb, q, k=5, num_planes=4, dim=64)
+
+
+SIM_ANN_ORACLE = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] v,
+                  {_hyperplane_sql('embedding', 4, 64)} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id query_id, v qv, bucket FROM c WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, c.vec_id neighbor_id,
+         round(list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 6) cosine
+  FROM c JOIN q USING (bucket) WHERE c.vec_id != q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ===========================================================================
+# Phase E — text analysis
+# ===========================================================================
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+TEXT_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+TEXT_QUALITY_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\s+')) END AS swraw
+  FROM documents)
+SELECT doc_id, round(praw, 6) AS punct_ratio, round(swraw, 6) AS stopword_ratio,
+       round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swraw * 5.0, 1.0)
+             + 0.3 * (1.0 - least(praw * 4.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+_LANGID_HITS = ", ".join(
+    "len(list_filter(toks, t -> list_contains({words}, t))) AS hits_{code}".format(
+        words="[" + ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[code]) + "]",
+        code=code,
+    )
+    for code in sorted(TX.LANG_STOPWORDS)
+)
+
+TEXT_LANGID_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS toks
+  FROM documents),
+hits AS (SELECT doc_id, {_LANGID_HITS} FROM toks)
+SELECT doc_id,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 THEN 'und'
+            WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+            WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + rolling minhash fingerprints per document."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=4)
+    fp = docs.select("doc_id", TX.fingerprint_md5("text").alias("fingerprint"))
+    return fp.join(sigs, "doc_id").select(
+        "doc_id", "fingerprint", F.col("sig")[0].alias("minhash0")
+    )
+
+
+TEXT_FP_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+mh AS (SELECT doc_id, min(('0x'||substr(md5('0:'||shingle),1,8))::BIGINT) AS minhash0
+       FROM sh GROUP BY doc_id)
+SELECT d.doc_id, md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fingerprint, mh.minhash0
+FROM documents d JOIN mh ON d.doc_id = mh.doc_id
+"""
+
+
+# ===========================================================================
+# Phase E — multimodal
+# ===========================================================================
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + typed metadata (JVM-side: length/sha256);
+    blobs here are deterministic fakes derived from text."""
+    from kafkaconnect_spark.operators.multimodal import attach_media_meta, make_fake_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = make_fake_media(docs)
+    return attach_media_meta(media).select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+MM_META_ORACLE = """
+SELECT doc_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS sha256 FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary blobs (decode step is
+    a documented stub; Arrow plumbing is real). Mean intensity = mean
+    byte value of the UTF-8 bytes — oracle-checkable via octet math is
+    painful in SQL, so this entry takes the rows-only check."""
+    from kafkaconnect_spark.operators.multimodal import extract_image_features, make_fake_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = make_fake_media(docs)
+    feats = extract_image_features(media)
+    return feats.select("doc_id", F.round(F.col("mean_intensity"), 6).alias("mean_intensity"))
+
+
+# ===========================================================================
+# catalog
+# ===========================================================================
+
+QUERY_CATALOG: dict[str, QueryDef] = {
+    # §2.1 sources
+    "s1_jdbc_incrementing": QueryDef(s1_jdbc_incrementing, S1_ORACLE),
+    "s2_jdbc_timestamp": QueryDef(s2_jdbc_timestamp, S2_ORACLE),
+    "s3_jdbc_ts_incrementing": QueryDef(s3_jdbc_ts_incrementing, S3_ORACLE),
+    "s4_jdbc_bulk": QueryDef(s4_jdbc_bulk, S4_ORACLE),
+    "s5_topic_routing": QueryDef(s5_topic_routing, S5_ORACLE),
+    # §2.4 transforms
+    "t1_t2_smt_key_chain": QueryDef(t1_t2_smt_key_chain, T1_ORACLE),
+    "t3_unwrap_envelope": QueryDef(t3_unwrap_envelope, T3_ORACLE),
+    "t4_regex_router": QueryDef(t4_regex_router, T4_ORACLE),
+    "t5_timestamp_converter": QueryDef(t5_timestamp_converter, T5_ORACLE),
+    # §2.5 converters
+    "c1_json_schema_roundtrip": QueryDef(c1_json_schema_roundtrip, C1_ORACLE),
+    "c2_json_bare_roundtrip": QueryDef(c2_json_bare_roundtrip, C2_ORACLE),
+    # §2.2 sinks
+    "k1_upsert_final_state": QueryDef(k1_upsert_final_state, K1_ORACLE),
+    "k2_tombstone_delete_state": QueryDef(k2_tombstone_delete_state, K2_ORACLE),
+    # analytics
+    "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_ORACLE),
+    "q3_top_revenue_orders": QueryDef(q3_top_revenue_orders, Q3_ORACLE),
+    "events_tumbling_window": QueryDef(events_tumbling_window, TUMBLING_ORACLE),
+    "events_sessionization": QueryDef(events_sessionization, SESSION_ORACLE),
+    # Phase E dedup
+    "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
+    "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
+    "dedup_simhash": QueryDef(dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, DEDUP_EMB_ORACLE),
+    # Phase E similarity
+    "similarity_topk": QueryDef(similarity_topk, SIM_TOPK_ORACLE),
+    "similarity_ann_lsh": QueryDef(similarity_ann_lsh, SIM_ANN_ORACLE),
+    # Phase E text
+    "text_token_stats": QueryDef(text_token_stats, TEXT_TOKENS_ORACLE),
+    "text_quality": QueryDef(text_quality, TEXT_QUALITY_ORACLE),
+    "text_langid": QueryDef(text_langid, TEXT_LANGID_ORACLE),
+    "text_fingerprint": QueryDef(text_fingerprint, TEXT_FP_ORACLE),
+    # Phase E multimodal
+    "multimodal_meta": QueryDef(multimodal_meta, MM_META_ORACLE),
+    "multimodal_features": QueryDef(multimodal_features, None),
+}

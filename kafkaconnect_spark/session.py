@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet scans: pushdown + pruning are defaults, make it explicit.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet carries timestamp[ns]; read as long
+        # (converted to TimestampType by the loaders in queries.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -59,7 +59,6 @@ def read_spooldir_stream(
         spark.readStream.format("csv")
         .schema(read_schema)
         .option("header", "true")
-        .option("pathGlobFilter", pattern)
         .option("mode", "FAILFAST" if halt_on_error else "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
@@ -69,7 +68,12 @@ def read_spooldir_stream(
         )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.load(input_path)
+    # Load via an explicit glob (dir/*.csv) rather than dir +
+    # pathGlobFilter: the reference nests finished.path inside
+    # input.path (실습수행/Spool Dir Source Connector 실습.md:29-45), and
+    # Spark only allows a nested sourceArchiveDir when it cannot match
+    # the source glob.
+    return reader.load(str(Path(input_path) / pattern))
 
 
 def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,142 @@
+"""SMT library (T1-T5) + JSON serde (C1/C2) + Debezium envelope (T3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafkaconnect_spark.functions.envelope import unwrap_envelope, wrap_as_envelope
+from kafkaconnect_spark.functions.serde import (
+    connect_schema_for,
+    json_deserialize,
+    json_serialize,
+)
+from kafkaconnect_spark.operators.transforms import (
+    build_transform_chain,
+    extract_field,
+    extract_new_record_state,
+    regex_router,
+    timestamp_converter,
+    value_to_key,
+)
+from kafkaconnect_spark.plans.spec import TransformSpec
+
+
+def records(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return df.select(F.struct(*df.columns).alias("value"))
+
+
+def test_value_to_key_single_and_composite(spark):
+    df = records(spark, [(1, 10, "a"), (2, 20, "b")], "order_id int, line_item_id int, x string")
+    out = value_to_key(["order_id"])(df)
+    assert out.schema["key"].dataType == T.StructType(
+        [T.StructField("order_id", T.IntegerType(), True)]
+    )
+    comp = value_to_key(["order_id", "line_item_id"])(df)
+    row = comp.select("key").orderBy("key.order_id").first()
+    assert row.key.asDict() == {"order_id": 1, "line_item_id": 10}
+
+
+def test_extract_field_key(spark):
+    df = records(spark, [(7, "z")], "customer_id int, name string")
+    out = extract_field("customer_id", "key")(value_to_key(["customer_id"])(df))
+    assert out.select("key").first()[0] == 7
+    assert out.schema["key"].dataType == T.IntegerType()
+
+
+def test_regex_router_reference_patterns(spark):
+    df = spark.createDataFrame(
+        [("mysqlavro.oc.customers",), ("mysql_om_smt_key_customers",)], "topic string"
+    )
+    r1 = regex_router(r"(.*)\.(.*)\.(.*)", "$1-$2-$3")(df)
+    assert r1.orderBy("topic").collect()[0].topic == "mysql_om_smt_key_customers"
+    assert "mysqlavro-oc-customers" in {r.topic for r in r1.collect()}
+    r2 = regex_router(r"mysql_om_smt_key_(.*)", "mysql_$1")(df)
+    assert "mysql_customers" in {r.topic for r in r2.collect()}
+
+
+def test_timestamp_converter_roundtrip(spark):
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    df = records(spark, [("2023-03-01 04:05:06",)], "ts string")
+    df = df.select(F.struct(F.to_timestamp("value.ts").alias("ts")).alias("value"))
+    as_str = timestamp_converter("ts", "string", fmt)(df)
+    assert as_str.select("value.ts").first()[0] == "2023-03-01T04:05:06Z"
+    back = timestamp_converter("ts", "Timestamp", fmt)(as_str)
+    assert str(back.select("value.ts").first()[0]) == "2023-03-01 04:05:06"
+
+
+def test_unwrap_envelope_and_tombstones(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "c"), (2, "b", "u"), (3, "c", "d")], "id int, v string, op string"
+    )
+    env = wrap_as_envelope(df, ["id", "v"], op_col="op", db="om", table="t")
+    assert set(env.schema["value"].dataType.fieldNames()) >= {
+        "before", "after", "source", "op", "ts_ms",
+    }
+    flat = unwrap_envelope(env.select("value"))
+    vals = {r.op: r.value for r in flat.collect()}
+    assert vals["d"] is None  # delete → null value (tombstone signal)
+    assert vals["c"].asDict()["v"] == "a"
+
+
+def test_extract_new_record_state_drop_tombstones(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "c"), (3, "c", "d")], "id int, v string, op string"
+    )
+    env = wrap_as_envelope(df, ["id", "v"], op_col="op", db="om", table="t")
+    keep = extract_new_record_state(drop_tombstones=False)(env)
+    drop = extract_new_record_state(drop_tombstones=True)(env)
+    assert keep.count() == 2 and drop.count() == 1
+
+
+def test_json_serde_roundtrip_with_schema_wrapper(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("price", T.DecimalType(10, 2), True),
+        ]
+    )
+    from decimal import Decimal
+
+    df = spark.createDataFrame([(1, "x", Decimal("9.99")), (2, None, None)], schema)
+    rec = df.select(F.struct(*df.columns).alias("value"))
+    wire = rec.select(json_serialize("value", schema, schemas_enable=True).alias("raw"))
+    raw = wire.first()[0]
+    assert '"schema"' in raw and '"payload"' in raw  # C1 wrapper shape
+    back = wire.select(json_deserialize("raw", schema, schemas_enable=True).alias("value"))
+    assert sorted((r.value.id, r.value.name) for r in back.collect()) == [
+        (1, "x"), (2, None),
+    ]
+
+
+def test_connect_schema_structure():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    cs = connect_schema_for(schema, name="customers")
+    assert cs["type"] == "struct"
+    by_field = {f["field"]: f for f in cs["fields"]}
+    assert by_field["id"]["optional"] is False
+
+
+def test_build_transform_chain_order(spark):
+    chain = build_transform_chain(
+        [
+            TransformSpec("create_key", "org.apache.kafka.connect.transforms.ValueToKey", {"fields": "id"}),
+            TransformSpec("extract_key", "org.apache.kafka.connect.transforms.ExtractField$Key", {"field": "id"}),
+            TransformSpec(
+                "rename_topic",
+                "org.apache.kafka.connect.transforms.RegexRouter",
+                {"regex": "pre_(.*)", "replacement": "post_$1"},
+            ),
+        ]
+    )
+    df = records(spark, [(5, "v")], "id int, x string").withColumn("topic", F.lit("pre_t"))
+    out = chain(df)
+    row = out.first()
+    assert row.key == 5 and row.topic == "post_t"

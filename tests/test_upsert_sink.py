@@ -1,0 +1,158 @@
+"""JdbcSinkWriter: upsert, tombstone delete, auto-create/evolve (K1-K5)."""
+
+from __future__ import annotations
+
+import functools
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafkaconnect_spark.dialects import dialect_for_url
+from kafkaconnect_spark.operators.upsert import JdbcSinkWriter
+
+
+@pytest.fixture()
+def db(tmp_path):
+    return str(tmp_path / "sink.db")
+
+
+def factory(db):
+    return functools.partial(sqlite3.connect, db)
+
+
+def writer(db, **over):
+    kw = dict(
+        table="customers_sink",
+        pk=["id"],
+        dialect=dialect_for_url("jdbc:sqlite:" + db),
+        connection_factory=factory(db),
+        delete_enabled=True,
+        auto_create=True,
+        auto_evolve=False,
+        num_writers=1,
+    )
+    kw.update(over)
+    return JdbcSinkWriter(**kw)
+
+
+VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+
+def batch(spark, rows):
+    """rows: (id, name-or-None-for-tombstone, offset)."""
+    data = [
+        (
+            {"id": i},
+            {"id": i, "name": name} if name is not None else None,
+            off,
+        )
+        for i, name, off in rows
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StructType([T.StructField("id", T.IntegerType())])),
+            T.StructField("value", VALUE_SCHEMA, True),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def table_rows(db):
+    with sqlite3.connect(db) as c:
+        return sorted(c.execute("SELECT id, name FROM customers_sink").fetchall())
+
+
+def test_upsert_insert_then_update(spark, db):
+    w = writer(db)
+    w.process_batch(batch(spark, [(1, "a", 0), (2, "b", 1)]))
+    assert table_rows(db) == [(1, "a"), (2, "b")]
+    w.process_batch(batch(spark, [(1, "a2", 2), (3, "c", 3)]))
+    assert table_rows(db) == [(1, "a2"), (2, "b"), (3, "c")]
+
+
+def test_last_write_wins_within_batch(spark, db):
+    w = writer(db)
+    # same key three times in one batch; highest offset must win
+    w.process_batch(batch(spark, [(1, "first", 0), (1, "second", 1), (1, "third", 2)]))
+    assert table_rows(db) == [(1, "third")]
+
+
+def test_tombstone_delete(spark, db):
+    w = writer(db)
+    w.process_batch(batch(spark, [(1, "a", 0), (2, "b", 1)]))
+    w.process_batch(batch(spark, [(1, None, 2)]))  # tombstone
+    assert table_rows(db) == [(2, "b")]
+
+
+def test_tombstone_then_reinsert_ordering(spark, db):
+    w = writer(db)
+    # delete then re-insert in the same batch: terminal action (offset 3) wins
+    w.process_batch(batch(spark, [(1, "a", 0)]))
+    w.process_batch(batch(spark, [(1, None, 2), (1, "back", 3)]))
+    assert table_rows(db) == [(1, "back")]
+
+
+def test_idempotent_replay(spark, db):
+    """At-least-once: re-processing the same batch yields the same state."""
+    w = writer(db)
+    b = batch(spark, [(1, "a", 0), (2, "b", 1), (2, None, 2)])
+    w.process_batch(b)
+    state1 = table_rows(db)
+    w.process_batch(b)
+    assert table_rows(db) == state1 == [(1, "a")]
+
+
+def test_auto_create_false_fails(spark, db):
+    w = writer(db, auto_create=False)
+    with pytest.raises(RuntimeError, match="auto.create=false"):
+        w.process_batch(batch(spark, [(1, "a", 0)]))
+
+
+def test_auto_evolve_adds_column(spark, db):
+    w = writer(db)
+    w.process_batch(batch(spark, [(1, "a", 0)]))
+    wide_schema = VALUE_SCHEMA.add(T.StructField("age", T.IntegerType(), True))
+    wide = spark.createDataFrame(
+        [({"id": 5}, {"id": 5, "name": "e", "age": 40}, 9)],
+        T.StructType(
+            [
+                T.StructField("key", T.StructType([T.StructField("id", T.IntegerType())])),
+                T.StructField("value", wide_schema, True),
+                T.StructField("offset", T.LongType()),
+            ]
+        ),
+    )
+    # evolve off → drift surfaces (reference parity: sink task fails)
+    with pytest.raises(RuntimeError, match="auto.evolve=false"):
+        w.process_batch(wide)
+    w2 = writer(db, auto_evolve=True)
+    w2.process_batch(wide)
+    with sqlite3.connect(db) as c:
+        rows = sorted(c.execute("SELECT id, name, age FROM customers_sink").fetchall())
+    assert (5, "e", 40) in rows and (1, "a", None) in rows
+
+
+def test_insert_mode_append(spark, db):
+    w = writer(db, insert_mode="insert", delete_enabled=False, pk=[])
+    w.process_batch(batch(spark, [(1, "a", 0)]))
+    w.process_batch(batch(spark, [(1, "a", 1)]))
+    with sqlite3.connect(db) as c:
+        n = c.execute("SELECT count(*) FROM customers_sink").fetchone()[0]
+    assert n == 2  # plain insert appends, no key semantics
+
+
+def test_dialect_sql_shapes():
+    my = dialect_for_url("jdbc:mysql://h/db")
+    pg = dialect_for_url("jdbc:postgresql://h/db")
+    up_my = my.upsert_sql("t", ["id", "name"], ["id"])
+    up_pg = pg.upsert_sql("t", ["id", "name"], ["id"])
+    assert "ON DUPLICATE KEY UPDATE" in up_my
+    assert "ON CONFLICT" in up_pg and "EXCLUDED" in up_pg.upper()
