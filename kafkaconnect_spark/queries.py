@@ -304,6 +304,44 @@ SELECT event_id, event_type, value FROM events
 """
 
 
+def c3_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: AvroConverter + Schema Registry — encode every event value
+    to Confluent wire format (magic byte + schema id + Avro binary),
+    decode back; values must survive bit-for-bit (Schema Registry 기반의
+    Connector 구성 실습.md:90-93,146)."""
+    from kafkaconnect_spark.functions.avro_wire import (
+        SchemaRegistry,
+        avro_deserialize_udf,
+        avro_schema_for,
+        avro_serialize_udf,
+    )
+
+    sub = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    avro = avro_schema_for(sub, "events")
+    reg = SchemaRegistry()
+    sid = reg.register("events-value", avro)
+    ev = _t(spark, sf_dir, "events")
+    rec = ev.select(F.struct("event_id", "event_type", "value").alias("v"))
+    wire = rec.select(avro_serialize_udf(sub, avro, sid)(F.col("v")).alias("raw"))
+    back = wire.select(avro_deserialize_udf(sub, avro)(F.col("raw")).alias("v"))
+    return back.select(
+        F.col("v.event_id").alias("event_id"),
+        F.col("v.event_type").alias("event_type"),
+        F.col("v.value").alias("value"),
+    )
+
+
+C3_ORACLE = """
+SELECT event_id, event_type, value FROM events
+"""
+
+
 # ===========================================================================
 # §2.2 sinks — upsert / tombstone-delete semantics (K1/K2)
 # ===========================================================================
@@ -814,6 +852,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     # §2.5 converters
     "c1_json_schema_roundtrip": QueryDef(c1_json_schema_roundtrip, C1_ORACLE),
     "c2_json_bare_roundtrip": QueryDef(c2_json_bare_roundtrip, C2_ORACLE),
+    "c3_avro_roundtrip": QueryDef(c3_avro_roundtrip, C3_ORACLE),
     # §2.2 sinks
     "k1_upsert_final_state": QueryDef(k1_upsert_final_state, K1_ORACLE),
     "k2_tombstone_delete_state": QueryDef(k2_tombstone_delete_state, K2_ORACLE),

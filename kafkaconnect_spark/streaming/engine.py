@@ -232,6 +232,89 @@ class Engine:
             del self._stop_flags[name]
 
     # ------------------------------------------------------------------
+    # converters (C1/C2 JSON, C3 Avro+registry)
+    # ------------------------------------------------------------------
+    def _value_serde(self, cfg: dict, value_schema: T.StructType, topic: str):
+        """Returns (serialize_col_fn, deserialize_col_fn) per the
+        spec's value.converter. Avro values are framed Confluent wire
+        bytes (functions/avro_wire.py); on the file transport they are
+        base64-wrapped because its topic log stores strings (a real
+        Kafka write carries the bytes natively)."""
+        conv = str(cfg.get("value.converter", "JsonConverter")).rsplit(".", 1)[-1]
+        if conv == "AvroConverter":
+            from kafkaconnect_spark.functions.avro_wire import (
+                SchemaRegistry,
+                avro_deserialize_udf,
+                avro_schema_for,
+                avro_serialize_udf,
+            )
+
+            url = str(cfg.get("value.converter.schema.registry.url", ""))
+            reg_path = url[len("file://"):] if url.startswith("file://") else None
+            registry = SchemaRegistry(reg_path)
+            avro = avro_schema_for(value_schema, "ConnectDefault")
+            sid = registry.register(f"{topic}-value", avro)
+            ser_udf = avro_serialize_udf(value_schema, avro, sid)
+            de_udf = avro_deserialize_udf(value_schema, avro)
+
+            # tombstones: null wire bytes must stay a null STRUCT (the
+            # writer splits on value IS NULL — K2), but a pandas UDF
+            # can only return a row of nulls; guard outside the UDF.
+            def _null_preserving_de(raw_col):
+                return F.when(
+                    raw_col.isNull(), F.lit(None).cast(value_schema)
+                ).otherwise(de_udf(raw_col))
+
+            if self.transport.is_file:
+                return (
+                    lambda col: F.base64(ser_udf(F.col(col))),
+                    lambda col: _null_preserving_de(F.unbase64(F.col(col))),
+                )
+            return (
+                lambda col: ser_udf(F.col(col)),
+                lambda col: _null_preserving_de(F.col(col)),
+            )
+        schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
+        return (
+            lambda col: json_serialize(col, value_schema, schemas_enable=schemas_enable),
+            lambda col: json_deserialize(col, value_schema, schemas_enable=schemas_enable),
+        )
+
+    def _resolve_sink_schema(self, cfg: dict, topics: list[str]) -> T.StructType:
+        """Sink value-schema resolution order: explicit DDL > Schema
+        Registry (Avro) > sample the topic's current JSON records."""
+        ddl = cfg.get("value.schema.ddl")
+        if ddl:
+            return T._parse_datatype_string(str(ddl))
+        conv = str(cfg.get("value.converter", "")).rsplit(".", 1)[-1]
+        if conv == "AvroConverter":
+            from kafkaconnect_spark.functions.avro_wire import (
+                SchemaRegistry,
+                spark_schema_for,
+            )
+
+            url = str(cfg.get("value.converter.schema.registry.url", ""))
+            reg_path = url[len("file://"):] if url.startswith("file://") else None
+            _, avro = SchemaRegistry(reg_path).latest(f"{topics[0]}-value")
+            return spark_schema_for(avro)
+        sample = self.transport.read_batch(topics).where(F.col("value").isNotNull())
+        rows = sample.select("value").limit(1).collect()
+        if not rows:
+            raise SpecError(
+                f"cannot resolve value schema for topics {topics}: topic empty "
+                "and no value.schema.ddl given"
+            )
+        import json as _json
+
+        schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
+        payload = _json.loads(rows[0][0])
+        payload = payload.get("payload", payload) if schemas_enable else payload
+        ddl_str = self.spark.range(1).select(
+            F.schema_of_json(F.lit(_json.dumps(payload)))
+        ).collect()[0][0]
+        return T._parse_datatype_string(ddl_str)
+
+    # ------------------------------------------------------------------
     # compilation: spec -> pipeline
     # ------------------------------------------------------------------
     def _compile(self, spec: PipelineSpec) -> Pipeline:
@@ -271,14 +354,14 @@ class Engine:
                 offset = store.get(table)
                 batch, new_offset = poller.poll(tdf, offset)
                 value_schema = batch.schema
+                serialize, _ = self._value_serde(
+                    cfg, value_schema, spec.topic_for_table(table)
+                )
                 records = batch.select(
                     F.struct(*[F.col(c).alias(c) for c in batch.columns]).alias("value")
                 ).withColumn("topic", F.lit(spec.topic_for_table(table)))
                 records = chain(records)
-                wire = records.withColumn(
-                    "value",
-                    json_serialize("value", value_schema, schemas_enable=schemas_enable),
-                )
+                wire = records.withColumn("value", serialize("value"))
                 if "key" in wire.columns:
                     key_type = wire.schema["key"].dataType
                     if isinstance(key_type, T.StructType):
@@ -374,26 +457,9 @@ class Engine:
         chain = build_transform_chain(spec.transforms)
 
         # Schema resolution at registration (SURVEY §1.3): explicit DDL
-        # wins; else sample the topic's current records.
-        ddl = cfg.get("value.schema.ddl")
-        if ddl:
-            value_schema = T._parse_datatype_string(str(ddl))
-        else:
-            sample = self.transport.read_batch(topics).where(F.col("value").isNotNull())
-            rows = sample.select("value").limit(1).collect()
-            if not rows:
-                raise SpecError(
-                    f"cannot resolve value schema for topics {topics}: topic empty "
-                    "and no value.schema.ddl given"
-                )
-            import json as _json
-
-            payload = _json.loads(rows[0][0])
-            payload = payload.get("payload", payload) if schemas_enable else payload
-            value_schema = self.spark.range(1).select(
-                F.schema_of_json(F.lit(_json.dumps(payload)))
-            ).collect()[0][0]
-            value_schema = T._parse_datatype_string(value_schema)
+        # wins; else Schema Registry (Avro); else sample the topic.
+        value_schema = self._resolve_sink_schema(cfg, topics)
+        _, deserialize = self._value_serde(cfg, value_schema, topics[0])
 
         pk = spec.pk_fields
         writer = JdbcSinkWriter(
@@ -414,9 +480,7 @@ class Engine:
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             recs = batch_df
-            recs = recs.withColumn(
-                "value", json_deserialize("value", value_schema, schemas_enable=schemas_enable)
-            )
+            recs = recs.withColumn("value", deserialize("value"))
             recs = chain(recs)
             # key: json struct of pk fields, or scalar pk — normalize to
             # struct keyed by pk names, casting to the value's pk types.
