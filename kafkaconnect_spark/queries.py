@@ -515,6 +515,77 @@ FROM g GROUP BY user_id
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (streaming state-store path; batch twin
+    here) — 30-min gap, window end = last event + gap."""
+    from kafkaconnect_spark.streaming.windows import session_window_stats
+
+    return session_window_stats(_events(spark, sf_dir), gap="30 minutes")
+
+
+SESSION_WINDOW_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+"""
+
+
+def k7_db_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: db.timezone — timestamps rendered in the sink DB's zone at
+    bind time (reference pins Asia/Seoul; …실습 - 02.md:408). Internal
+    instants stay UTC; conversion happens only at the write edge."""
+    ev = _events(spark, sf_dir).where(F.col("event_id") < 500)
+    seoul = F.from_utc_timestamp(F.col("ts"), "Asia/Seoul")
+    return ev.select(
+        "event_id",
+        F.date_format(seoul, "yyyy-MM-dd HH:mm:ss").alias("ts_seoul"),
+    )
+
+
+K7_ORACLE = """
+SELECT event_id, strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_seoul
+FROM events WHERE event_id < 500
+"""
+
+
+def k1_composite_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 with a composite PK (order_id, line_item_id analogue →
+    (user_id, event_type)): last-write-wins per composite key
+    (connector_configs/mysql_jdbc_sink_order_items.json:12)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+K1C_ORACLE = """
+SELECT user_id, event_type, event_id AS last_event_id, round(value, 2) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) rn FROM events)
+WHERE rn = 1
+"""
+
+
 # ===========================================================================
 # Phase E — dedup
 # ===========================================================================
@@ -861,6 +932,9 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "q3_top_revenue_orders": QueryDef(q3_top_revenue_orders, Q3_ORACLE),
     "events_tumbling_window": QueryDef(events_tumbling_window, TUMBLING_ORACLE),
     "events_sessionization": QueryDef(events_sessionization, SESSION_ORACLE),
+    "events_session_window": QueryDef(events_session_window, SESSION_WINDOW_ORACLE),
+    "k7_db_timezone": QueryDef(k7_db_timezone, K7_ORACLE),
+    "k1_composite_key_upsert": QueryDef(k1_composite_key_upsert, K1C_ORACLE),
     # Phase E dedup
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),

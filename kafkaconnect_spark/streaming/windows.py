@@ -1,0 +1,129 @@
+"""Streaming analytics operators — watermarked windows + custom state.
+
+The reference has no windowed/stateful query surface (SURVEY §2.7);
+these are the Spark-native streaming shapes the north star adds. Each
+has a batch twin in queries.py whose DuckDB oracle pins the semantics;
+tests assert stream (availableNow) == batch on the same data.
+
+Scale notes:
+- Tumbling windows: partial aggregation happens map-side per
+  micro-batch; state store holds one row per (window, key) — bounded
+  by watermark eviction, so 100 TB/day with a 2 h watermark keeps
+  state at O(keys × windows-in-watermark), not O(events).
+- Session windows: built-in ``session_window`` (Spark ≥3.2) merges
+  per-key intervals in the state store — no per-event state.
+- ``running_user_stats`` shows the applyInPandasWithState escape
+  hatch for semantics the built-ins can't express (per-key running
+  aggregates with inactivity timeout): Arrow-batched, state is one
+  small dict per key.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hourly tumbling counts + value sums per event_type with late-data
+    tolerance = watermark. Works on a stream or batch DataFrame."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value"), 2).cast(T.DecimalType(18, 2))
+            ).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap — the built-in
+    state-store path (merging intervals, no per-event state)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_USER_STATS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_USER_STATS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _user_stats_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    total, emitted every micro-batch (applyInPandasWithState). This is
+    the pattern for operators Spark's built-ins can't express."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_USER_STATS_OUT,
+            stateStructType=_USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,124 @@
+"""Streaming == batch equivalence for the windowed/stateful operators,
+driven as real Structured Streaming queries (file stream source,
+availableNow trigger, memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.queries import _events
+from kafkaconnect_spark.streaming.windows import (
+    running_user_stats,
+    session_window_stats,
+    tumbling_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Events re-materialized as micro-batch-sized parquet files with a
+    plain microsecond timestamp (stream sources can't use the runtime
+    nanos conf trick mid-plan)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = _events(spark, "/root/testdata/sf0.001")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream(spark, d):
+    batch = spark.read.parquet(d)
+    return spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(d)
+
+
+def run_to_memory(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# replayed files are not time-ordered, so equivalence needs a
+# watermark wider than the dataset span (watermark = allowed lateness)
+FULL_SPAN = "1000 hours"
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    expected = as_set(tumbling_event_counts(batch))
+    got = run_to_memory(
+        spark,
+        tumbling_event_counts(_stream(spark, events_stream_dir), watermark=FULL_SPAN),
+        "tumbling_out",
+        "complete",
+    )
+    assert as_set(got) == expected and len(expected) > 0
+
+
+def test_session_window_stream_equals_batch(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    expected = as_set(session_window_stats(batch))
+    got = run_to_memory(
+        spark,
+        session_window_stats(_stream(spark, events_stream_dir), watermark=FULL_SPAN),
+        "session_out",
+        "complete",
+    )
+    assert as_set(got) == expected and len(expected) > 0
+
+
+def test_session_watermark_drops_late_events(spark, events_stream_dir):
+    """With a tight watermark and unordered replay, late events ARE
+    dropped — the documented late-data semantics, observed."""
+    batch = spark.read.parquet(events_stream_dir)
+    full = session_window_stats(batch).count()
+    got = run_to_memory(
+        spark,
+        session_window_stats(_stream(spark, events_stream_dir), watermark="2 hours"),
+        "session_late_out",
+        "complete",
+    )
+    assert got.count() < full
+
+
+def test_running_user_stats_stateful(spark, events_stream_dir):
+    """applyInPandasWithState: final emitted state per user must equal
+    the batch aggregate (update mode emits one row per key per batch —
+    take the last)."""
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r.user_id, r.n)
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = run_to_memory(
+        spark,
+        running_user_stats(_stream(spark, events_stream_dir)),
+        "user_stats_out",
+        "update",
+    )
+    import pandas as pd
+
+    pdf = out.toPandas()
+    last = pdf.groupby("user_id").last().reset_index()
+    got = {(int(r.user_id), int(r.n_events)) for r in last.itertuples()}
+    assert got == expected
+    # running totals match the batch sum too (rounded)
+    sums = {
+        r.user_id: float(r.s)
+        for r in batch.groupBy("user_id")
+        .agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("s"))
+        .collect()
+    }
+    for r in last.itertuples():
+        assert abs(float(r.total_value) - sums[int(r.user_id)]) < 0.05
