@@ -63,9 +63,22 @@ def word_shingles(text_col: str, n: int = 3):
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) inverted index — the join key for Jaccard."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    """(id, shingle) inverted index — the join key for Jaccard.
+
+    The token array is bound once in a prior projection so the split
+    runs once per row (the single-expression form re-splits 3×)."""
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE).alias("toks")
+    )
+    return toks.where(F.size("toks") >= n).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n} + 1), i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            )
+        ).alias("shingle"),
     )
 
 
@@ -85,7 +98,9 @@ def ngram_jaccard_pairs(
     extreme cases should pre-filter top-frequency shingles (document
     frequency cap), which is also a quality win.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    from pyspark import StorageLevel
+
+    sh = shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -116,13 +131,38 @@ def minhash_signatures(
     shuffle on id); the k hashes are computed columnar-side per
     shingle, not k passes."""
     sh = shingle_table(df, text_col, id_col, n)
-    aggs = [
-        F.min(hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
+    return _signatures_from_shingles(sh, num_hashes, id_col)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
+    """k min-hashes with k/4 md5 calls per shingle: each md5 yields four
+    independent 32-bit words (8 hex chars each), and because the words
+    are fixed-width lowercase hex, lexicographic MIN == numeric MIN —
+    so the aggregation mins the hex substrings (cheap) and the hex→int
+    conversion happens once per doc, after the shuffle.
+
+    h_i = int(md5(f"{i//4}:" + shingle)[ (i%4)*8 : (i%4)*8+8 ], 16) —
+    h_0 matches functions.text.hash64(seed=0) exactly."""
+    groups = (num_hashes + 3) // 4
+    proj = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"m{g}")
+            for g in range(groups)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        g, w = divmod(i, 4)
+        aggs.append(
+            F.min(F.substring(F.col(f"m{g}"), w * 8 + 1, 8)).alias(f"x{i}")
+        )
+    sigs = proj.groupBy(id_col).agg(*aggs)
     return sigs.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        F.col(id_col),
+        F.array(
+            *[F.conv(F.col(f"x{i}"), 16, 10).cast("bigint") for i in range(num_hashes)]
+        ).alias("sig"),
     )
 
 
@@ -165,10 +205,14 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the full
     minhash→band→bucket-join→verify pipeline."""
-    cands = minhash_lsh_candidates(
-        minhash_signatures(df, num_hashes, n, text_col, id_col), bands, id_col
-    )
-    sh = shingle_table(df, text_col, id_col, n)
+    # The shingle index feeds the signatures AND both sides of the
+    # verify join — materialize it once (at 100 TB this is the persisted
+    # intermediate; MEMORY_AND_DISK spills instead of OOMing).
+    from pyspark import StorageLevel
+
+    sh = shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(sh, num_hashes, id_col)
+    cands = minhash_lsh_candidates(sigs, bands, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")

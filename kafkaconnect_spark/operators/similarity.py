@@ -86,16 +86,22 @@ def hyperplane_signature(vec_col: str, num_planes: int, dim: int) -> Column:
         w[p][d] = (int(md5('p:d')[:8], 16) / 2^31) - 1
     bucket bit p = (Σ_d w[p][d] · v[d]) >= 0.
     """
+    import hashlib
+
     bits = []
     for p in range(num_planes):
-        terms = F.expr(
-            f"""
-            aggregate(
-                zip_with({vec_col}, sequence(0, {dim - 1}), (v, d) ->
-                    cast(v as double) * (cast(conv(substring(md5(concat('{p}:', d)), 1, 8), 16, 10) as double) / 2147483648.0 - 1.0)
-                ),
-                cast(0.0 as double), (acc, x) -> acc + x)
-            """
+        # the weights are pure constants — fold them driver-side
+        # (identical md5 math to the in-engine/oracle derivation) so the
+        # executor does only the dot product, zero runtime hashing
+        weights = [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
+            for d in range(dim)
+        ]
+        warr = F.array(*[F.lit(w) for w in weights])
+        terms = F.aggregate(
+            F.zip_with(F.col(vec_col), warr, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         bits.append(F.when(terms >= 0, F.lit(2 ** p)).otherwise(F.lit(0)))
     out = bits[0]

@@ -635,8 +635,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
 
 
+# h_i = word (i%4) of md5 seeded by group (i//4) — matches
+# dedup._signatures_from_shingles (4 hashes per md5 call)
 _MINHASH_AGGS = ",\n".join(
-    f"min(('0x'||substr(md5('{i}:'||shingle),1,8))::BIGINT) h{i}" for i in range(16)
+    f"min(('0x'||substr(md5('{i // 4}:'||shingle),{(i % 4) * 8 + 1},8))::BIGINT) h{i}"
+    for i in range(16)
 )
 _SIG_LIST = "[" + ", ".join(f"h{i}" for i in range(16)) + "]"
 
