@@ -463,6 +463,85 @@ LIMIT 10
 """
 
 
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join chain. region/nation/supplier are
+    broadcast dims; customer⋈orders⋈lineitem carries the bulk — at
+    scale AQE picks shuffle-hash on the fact keys, the dims never
+    shuffle. Revenue summed per nation via DECIMAL for exactness."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue.cast(T.DecimalType(22, 4))).cast("double").alias("revenue"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(22,4))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user — rank-in-group, the window-
+    function shape (per-partition sort, no global sort)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "rnk", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+TOPK_ORACLE = """
+SELECT user_id, rnk, event_id, round(value, 2) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rnk
+      FROM events)
+WHERE rnk <= 3
+"""
+
+
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (two-phase partial/final distinct
+    agg; approx_count_distinct is the 100 TB variant — same plan shape,
+    sketch merge instead of exact set)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window aggregate over the event stream — the
     batch shape of a Structured Streaming windowed agg (watermark +
@@ -933,6 +1012,9 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     # analytics
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_ORACLE),
     "q3_top_revenue_orders": QueryDef(q3_top_revenue_orders, Q3_ORACLE),
+    "q5_supplier_volume": QueryDef(q5_supplier_volume, Q5_ORACLE),
+    "events_topk_per_user": QueryDef(events_topk_per_user, TOPK_ORACLE),
+    "events_distinct_users": QueryDef(events_distinct_users, DISTINCT_ORACLE),
     "events_tumbling_window": QueryDef(events_tumbling_window, TUMBLING_ORACLE),
     "events_sessionization": QueryDef(events_sessionization, SESSION_ORACLE),
     "events_session_window": QueryDef(events_session_window, SESSION_WINDOW_ORACLE),
