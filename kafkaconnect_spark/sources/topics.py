@@ -81,6 +81,18 @@ class TopicTransport:
             tdir = _topic_dir(self.servers, topic)
             tdir.mkdir(parents=True, exist_ok=True)
             base = self._next_offset(tdir)
+            n_parts = self._partitions(tdir)
+            # keyed partition assignment like Kafka's default partitioner
+            # (hash(key) % partitions; null keys → partition 0). NB: the
+            # shim keeps ONE offset sequence per topic (Kafka has one per
+            # partition) — ordering consumers need (partition, offset).
+            part_expr = (
+                F.when(F.col("key").isNull(), F.lit(0))
+                .otherwise(F.pmod(F.xxhash64(F.col("key")), F.lit(n_parts)))
+                .cast("int")
+                if n_parts > 1
+                else F.lit(0)
+            )
             part = df.where(F.col("topic") == topic)
             w = (
                 part.withColumn(
@@ -88,7 +100,7 @@ class TopicTransport:
                     F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
                     + F.lit(base - 1),
                 )
-                .withColumn("partition", F.lit(0))
+                .withColumn("partition", part_expr)
                 .withColumn(
                     "timestamp",
                     F.col("timestamp") if "timestamp" in part.columns else F.current_timestamp(),
@@ -172,14 +184,40 @@ class TopicTransport:
             out = out.unionByName(d)
         return out
 
+    # ---- topic admin (O5) ------------------------------------------------
+    def create_topic(self, topic: str, partitions: int = 1, replication: int = 1) -> None:
+        """topic.creation.default.partitions/replication.factor
+        (connector_configs/mysql_jdbc_om_source.json:10-11). On Kafka
+        this is an AdminClient create_topics call; the file shim
+        records partition count in the topic meta (replication is
+        meaningless on a filesystem and recorded for parity only)."""
+        if not self.is_file:
+            # kafka-python/AdminClient not shipped in this container;
+            # on a real deployment: KafkaAdminClient.create_topics.
+            return
+        tdir = _topic_dir(self.servers, topic)
+        tdir.mkdir(parents=True, exist_ok=True)
+        meta = self._meta(tdir)
+        meta.setdefault("next_offset", 0)
+        meta["partitions"] = int(partitions)
+        meta["replication.factor"] = int(replication)
+        (tdir / "meta.json").write_text(json.dumps(meta))
+
     # ---- file-transport offset counter ----------------------------------
     @staticmethod
-    def _next_offset(tdir: Path) -> int:
+    def _meta(tdir: Path) -> dict:
         meta = tdir / "meta.json"
         if meta.exists():
-            return int(json.loads(meta.read_text())["next_offset"])
-        return 0
+            return json.loads(meta.read_text())
+        return {}
 
-    @staticmethod
-    def _set_next_offset(tdir: Path, n: int) -> None:
-        (tdir / "meta.json").write_text(json.dumps({"next_offset": int(n)}))
+    def _next_offset(self, tdir: Path) -> int:
+        return int(self._meta(tdir).get("next_offset", 0))
+
+    def _partitions(self, tdir: Path) -> int:
+        return int(self._meta(tdir).get("partitions", 1))
+
+    def _set_next_offset(self, tdir: Path, n: int) -> None:
+        meta = self._meta(tdir)
+        meta["next_offset"] = int(n)
+        (tdir / "meta.json").write_text(json.dumps(meta))

@@ -346,6 +346,12 @@ class Engine:
         tables = spec.tables or []
         if not tables:
             raise SpecError("jdbc-source needs table.whitelist (catalog scan not wired)")
+        # O5: topic auto-creation with configured partitions/replication
+        # (connector_configs/mysql_jdbc_om_source.json:10-11)
+        n_parts = int(cfg.get("topic.creation.default.partitions", 1))
+        repl = int(cfg.get("topic.creation.default.replication.factor", 1))
+        for table in tables:
+            self.transport.create_topic(spec.topic_for_table(table), n_parts, repl)
 
         def run_one() -> int:
             total = 0

@@ -1,0 +1,235 @@
+"""CONNECT_DML_TEST analogue (SURVEY §5.2) — the reference's flagship
+correctness methodology: run a randomized insert/update/delete mix
+through source → topic → sink across multiple poll cycles, then assert
+the sink table equals the source table's final state
+(…실습 - 01.md:513-558 procedure; …실습 - 02.md:699-711 parity check).
+
+Also the §5.4 failure probe: a JDBC sink pointed at a raw Debezium
+envelope topic fails (the reference shows this exact error mode,
+…실습 - 01.md:195-197,281)."""
+
+from __future__ import annotations
+
+import functools
+import random
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.functions.envelope import wrap_as_envelope
+from kafkaconnect_spark.functions.serde import json_serialize
+from kafkaconnect_spark.streaming.engine import Engine
+
+
+class SourceTable:
+    """Driver-side mutable table emitting CDC envelopes per change —
+    stands in for MySQL+binlog in CONNECT_DML_TEST."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.rows: dict[int, tuple[int, str, float]] = {}
+        self.pending: list[tuple[dict | None, dict | None, str]] = []  # before, after, op
+        self.next_id = 0
+
+    def step(self, n_ops: int) -> None:
+        for _ in range(n_ops):
+            op = self.rng.choices(["c", "u", "d"], weights=[6, 3, 1])[0]
+            if op == "c" or not self.rows:
+                rid = self.next_id
+                self.next_id += 1
+                row = (rid, f"name{rid}", round(self.rng.uniform(0, 100), 2))
+                self.rows[rid] = row
+                self.pending.append((None, self._d(row), "c"))
+            elif op == "u":
+                rid = self.rng.choice(list(self.rows))
+                before = self.rows[rid]
+                row = (rid, f"name{rid}-v{self.rng.randint(2, 9)}", round(self.rng.uniform(0, 100), 2))
+                self.rows[rid] = row
+                self.pending.append((self._d(before), self._d(row), "u"))
+            else:
+                rid = self.rng.choice(list(self.rows))
+                before = self.rows.pop(rid)
+                self.pending.append((self._d(before), None, "d"))
+
+    @staticmethod
+    def _d(row):
+        return {"id": row[0], "name": row[1], "score": row[2]}
+
+    def drain_to_topic(self, spark, eng: Engine, topic: str) -> int:
+        if not self.pending:
+            return 0
+        changes = [
+            (
+                (b or a)["id"],
+                b["id"] if b else None, b["name"] if b else None, b["score"] if b else None,
+                a["id"] if a else None, a["name"] if a else None, a["score"] if a else None,
+                op,
+            )
+            for b, a, op in self.pending
+        ]
+        self.pending = []
+        df = spark.createDataFrame(
+            changes,
+            "pk int, b_id int, b_name string, b_score double, "
+            "id int, name string, score double, op string",
+        )
+        # build the Debezium envelope manually: before/after structs + op
+        env = df.select(
+            F.col("pk"),
+            F.struct(
+                F.when(F.col("op") != "c", F.struct(
+                    F.col("b_id").alias("id"), F.col("b_name").alias("name"), F.col("b_score").alias("score")
+                )).alias("before"),
+                F.when(F.col("op") != "d", F.struct(
+                    F.col("id"), F.col("name"), F.col("score")
+                )).alias("after"),
+                F.struct(F.lit("dml").alias("db"), F.lit("t").alias("table")).alias("source"),
+                F.col("op"),
+                F.lit(0).cast("long").alias("ts_ms"),
+            ).alias("value"),
+        )
+        value_type = env.schema["value"].dataType
+        wire = env.select(
+            F.col("pk").cast("string").alias("key"),
+            json_serialize("value", value_type, schemas_enable=False).alias("value"),
+            F.lit(topic).alias("topic"),
+        )
+        eng.transport.append(wire)
+        return len(changes)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_dml_mix_end_state_parity(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    db = str(tmp_path / "dml.db")
+    url = "jdbc:sqlite:" + db
+    eng = Engine(
+        spark,
+        servers=f"file://{tmp_path}/topics",
+        checkpoint_root=tmp_path / "ckpt",
+        connection_factories={url: functools.partial(sqlite3.connect, db)},
+    )
+    src = SourceTable(rng)
+
+    # cdc ingest (unwrap at source, like …실습 - 01.md:287-311) + sink
+    eng.register(
+        {
+            "name": "dml_ingest",
+            "config": {
+                "connector.class": "io.debezium.connector.mysql.MySqlConnector",
+                "cdc.topic.pattern": "dml.t.raw",
+                "value.schema.ddl": "id int, name string, score double",
+                "transforms": "unwrap, route",
+                "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+                "transforms.unwrap.drop.tombstones": "false",
+                "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+                "transforms.route.regex": "(.*)\\.(.*)\\.raw",
+                "transforms.route.replacement": "$1-$2-flat",
+            },
+        }
+    )
+    eng.register(
+        {
+            "name": "dml_sink",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
+                "topics": "dml-t-flat",
+                "connection.url": url,
+                "insert.mode": "upsert",
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                "delete.enabled": "true",
+                "table.name.format": "t_sink",
+                "value.schema.ddl": "id int, name string, score double",
+                "value.converter.schemas.enable": "false",
+            },
+        }
+    )
+
+    # 5 cycles of mixed DML, engine drains after each (poll cadence)
+    for _ in range(5):
+        src.step(n_ops=40)
+        src.drain_to_topic(spark, eng, "dml.t.raw")
+        eng.run_once()
+
+    with sqlite3.connect(db) as c:
+        got = {
+            r[0]: (r[0], r[1], r[2])
+            for r in c.execute("SELECT id, name, score FROM t_sink").fetchall()
+        }
+    assert got == src.rows  # exact end-state parity, like the UNION ALL check
+
+    # replay the whole topic from scratch into a fresh sink →
+    # idempotent same state (at-least-once + keyed upsert)
+    db2 = str(tmp_path / "dml2.db")
+    url2 = "jdbc:sqlite:" + db2
+    eng.connection_factories[url2] = functools.partial(sqlite3.connect, db2)
+    eng.register(
+        {
+            "name": "dml_sink_replay",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
+                "topics": "dml-t-flat",
+                "connection.url": url2,
+                "insert.mode": "upsert",
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                "delete.enabled": "true",
+                "table.name.format": "t_sink",
+                "value.schema.ddl": "id int, name string, score double",
+                "value.converter.schemas.enable": "false",
+            },
+        }
+    )
+    eng.run_once("dml_sink_replay")
+    with sqlite3.connect(db2) as c:
+        got2 = {
+            r[0]: (r[0], r[1], r[2])
+            for r in c.execute("SELECT id, name, score FROM t_sink").fetchall()
+        }
+    assert got2 == src.rows
+
+
+def test_sink_fails_on_raw_envelope(spark, tmp_path):
+    """§5.4 F-probe: JDBC sink on the RAW envelope topic (no unwrap)
+    fails and surfaces FAILED state — reference behavior at
+    …실습 - 01.md:195-197,281 (sink task error on envelope shape)."""
+    db = str(tmp_path / "raw.db")
+    url = "jdbc:sqlite:" + db
+    eng = Engine(
+        spark,
+        servers=f"file://{tmp_path}/topics",
+        checkpoint_root=tmp_path / "ckpt",
+        connection_factories={url: functools.partial(sqlite3.connect, db)},
+    )
+    rows = spark.createDataFrame([(1, "a", "c")], "id int, name string, op string")
+    env = wrap_as_envelope(rows, ["id", "name"], op_col="op", db="om", table="t")
+    value_type = env.schema["value"].dataType
+    eng.transport.append(
+        env.select(
+            F.col("value.after.id").cast("string").alias("key"),
+            json_serialize("value", value_type, schemas_enable=False).alias("value"),
+            F.lit("om.t.raw").alias("topic"),
+        )
+    )
+    eng.register(
+        {
+            "name": "raw_sink",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
+                "topics": "om.t.raw",
+                "connection.url": url,
+                "insert.mode": "upsert",
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                # declared flat schema vs envelope payload on the wire:
+                "value.schema.ddl": "id int, name string",
+                "value.converter.schemas.enable": "false",
+            },
+        }
+    )
+    with pytest.raises(Exception):
+        eng.run_once("raw_sink")
+    assert eng.status("raw_sink")["state"] == "FAILED"
+    assert eng.status("raw_sink")["error"]
