@@ -139,6 +139,41 @@ def frame_sample(
     return df.select(id_col, binary_col).mapInPandas(sample, out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize plumbing: binary→binary mapInPandas with output dims in
+    the metadata. STUB 'resampling' truncates/right-pads the byte
+    stream to width×height (deterministic); a real deployment swaps in
+    PIL.Image.resize — schema and batch shape are identical."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[binary_col] or b"")
+                resized = data[:target].ljust(target, b"\x00")
+                rows.append(
+                    {"doc_id": row[id_col], "media": resized, "width": width, "height": height}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "width", "height"])
+
+    return df.select(id_col, binary_col).mapInPandas(resize, out_schema)
+
+
 def make_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test fixture: deterministic binary blobs derived from text
     (sha-seeded) — lets the multimodal plumbing run on the driver's

@@ -986,6 +986,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", F.round(F.col("mean_intensity"), 6).alias("mean_intensity"))
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per 64-byte chunk via
+    mapInPandas; count per doc is oracle-checkable (ceil(bytes/64))."""
+    from kafkaconnect_spark.operators.multimodal import frame_sample, make_fake_media
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = frame_sample(make_fake_media(docs), every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+MM_FRAMES_ORACLE = """
+SELECT doc_id, CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+FROM documents WHERE strlen(text) > 0
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (binary→binary mapInPandas): output blob is
+    exactly width×height bytes; sha of the result pins determinism."""
+    from kafkaconnect_spark.operators.multimodal import make_fake_media, resize_image
+
+    docs = _t(spark, sf_dir, "documents")
+    resized = resize_image(make_fake_media(docs), width=32, height=32)
+    return resized.select(
+        "doc_id",
+        F.length("media").alias("n_bytes"),
+        F.lower(F.sha2("media", 256)).alias("sha256"),
+        "width",
+        "height",
+    )
+
+
+MM_RESIZE_ORACLE = """
+SELECT doc_id, 1024::INT AS n_bytes,
+       sha256(rpad(substr(text, 1, 1024), 1024, chr(0))) AS sha256,
+       32 AS width, 32 AS height
+FROM documents
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -1037,4 +1077,6 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     # Phase E multimodal
     "multimodal_meta": QueryDef(multimodal_meta, MM_META_ORACLE),
     "multimodal_features": QueryDef(multimodal_features, None),
+    "multimodal_frame_sample": QueryDef(multimodal_frame_sample, MM_FRAMES_ORACLE),
+    "multimodal_resize": QueryDef(multimodal_resize, MM_RESIZE_ORACLE),
 }
