@@ -21,16 +21,23 @@ from kafkaconnect_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q5_supplier_volume",
     "events_tumbling_window",
     "events_sessionization",
+    "events_session_window",
+    "events_rollup",
+    "events_topk_per_user",
+    "events_distinct_users",
     "k1_upsert_final_state",
     "c1_json_schema_roundtrip",
+    "c3_avro_roundtrip",
     "t3_unwrap_envelope",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ivf",
     "text_quality",
     "text_langid",
 ]

@@ -149,6 +149,68 @@ def lsh_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into cells around
+    centroids, search only the query's ``n_probe`` nearest cells.
+
+    Centroids are chosen deterministically (the ``n_cells`` lowest-id
+    vectors) instead of k-means so any engine — including the DuckDB
+    oracle — reproduces the exact same index; swap in k-means|| for
+    real recall tuning, the plan shape is identical. Cell assignment
+    and probing are broadcast nested-loop over n_cells rows (tiny),
+    then one equi-join corpus⋈queries on cell id — never quadratic.
+    """
+    cents = embeddings.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def nearest_cells(df: DataFrame, in_id: str, in_vec: str, keep: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            F.col(in_id),
+            F.col(in_vec),
+            F.col("cent_id"),
+            F.round(cosine(F.col(in_vec), F.col("cent_vec")), 6).alias("__csim"),
+        )
+        w = Window.partitionBy(in_id).orderBy(F.col("__csim").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") <= keep)
+            .select(F.col(in_id), F.col(in_vec), F.col("cent_id").alias(out))
+        )
+
+    corpus = nearest_cells(
+        embeddings.select(id_col, vec_col), id_col, vec_col, 1, "cell"
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    probes = nearest_cells(q, query_id_col, "__qvec", n_probe, "cell")
+    scored = corpus.join(probes, "cell").where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+    ).groupBy(query_id_col, "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

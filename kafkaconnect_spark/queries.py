@@ -850,6 +850,70 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic centroids (lowest-id vectors),
+    1-cell corpus assignment, 2-probe query search — the inverted-file
+    scale path next to the hyperplane-LSH one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_ann_topk(emb, q, k=5, n_cells=8, n_probe=2)
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+SIM_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v ORDER BY vec_id LIMIT 8),
+corpus_cells AS (
+  SELECT vec_id, vec, cent_id AS cell FROM (
+    SELECT v.vec_id, v.vec, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.vec', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT q.query_id, q.qv, c.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='q.qv', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, {_COS.format(a='qv', b='vec')} AS cosine
+  FROM corpus_cells JOIN probes USING (cell)
+  WHERE vec_id != query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type → day → grand total) — the
+    hypertable-rollup shape: one pass, partial aggs reused up the
+    hierarchy by the ROLLUP operator."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.rollup("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast(T.DecimalType(18, 2))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+       count(*) AS n_events,
+       sum(round(value, 2)::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM events GROUP BY ROLLUP (event_type, day)
+"""
+
+
 # ===========================================================================
 # Phase E — text analysis
 # ===========================================================================
@@ -1069,6 +1133,8 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     # Phase E similarity
     "similarity_topk": QueryDef(similarity_topk, SIM_TOPK_ORACLE),
     "similarity_ann_lsh": QueryDef(similarity_ann_lsh, SIM_ANN_ORACLE),
+    "similarity_ivf": QueryDef(similarity_ivf, SIM_IVF_ORACLE),
+    "events_rollup": QueryDef(events_rollup, ROLLUP_ORACLE),
     # Phase E text
     "text_token_stats": QueryDef(text_token_stats, TEXT_TOKENS_ORACLE),
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_ORACLE),
