@@ -665,6 +665,75 @@ WHERE rn = 1
 """
 
 
+def asof_join_purchases_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the user's most
+    recent click at-or-before it (trades⋈quotes pattern; one keyed
+    shuffle via union+window — operators/joins.py)."""
+    from kafkaconnect_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["click_id"], tiebreak="click_id",
+    )
+    return out.select("user_id", "purchase_id", F.col("click_id_right").alias("click_id"))
+
+
+ASOF_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS tb,
+         event_id AS click_id, NULL::BIGINT AS purchase_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, 0 AS tb,
+         NULL::BIGINT AS click_id, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT user_id, purchase_id, side,
+         last_value(click_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, tb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+  FROM u)
+SELECT user_id, purchase_id, click_id FROM m WHERE side = 1
+"""
+
+
+def range_join_signup_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events by the same user within 1 hour after each
+    signup (bucketed interval join — candidates bounded by 2 time
+    cells, never the whole user history)."""
+    from kafkaconnect_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    follow = ev.select("user_id", "ts", F.col("event_id").alias("follow_id"))
+    pairs = range_join(
+        signups, follow, by="user_id", left_ts="ts", right_ts="ts", window_seconds=3600
+    )
+    return pairs.groupBy(
+        F.col("user_id_l").alias("user_id"), F.col("signup_id_l").alias("signup_id")
+    ).agg(F.count(F.lit(1)).alias("n_followups"))
+
+
+RANGE_ORACLE = """
+SELECT s.user_id, s.event_id AS signup_id, count(*) AS n_followups
+FROM events s
+JOIN events e ON e.user_id = s.user_id
+             AND e.ts >  s.ts
+             AND e.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # Phase E — dedup
 # ===========================================================================
@@ -1135,6 +1204,8 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "similarity_ann_lsh": QueryDef(similarity_ann_lsh, SIM_ANN_ORACLE),
     "similarity_ivf": QueryDef(similarity_ivf, SIM_IVF_ORACLE),
     "events_rollup": QueryDef(events_rollup, ROLLUP_ORACLE),
+    "asof_join_purchases_clicks": QueryDef(asof_join_purchases_clicks, ASOF_ORACLE),
+    "range_join_signup_followups": QueryDef(range_join_signup_followups, RANGE_ORACLE),
     # Phase E text
     "text_token_stats": QueryDef(text_token_stats, TEXT_TOKENS_ORACLE),
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_ORACLE),
