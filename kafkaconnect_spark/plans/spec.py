@@ -167,6 +167,13 @@ class PipelineSpec:
             return [t.strip().split(".")[-1] for t in wl.split(",") if t.strip()]
         return []
 
+    @property
+    def blacklist(self) -> list[str]:
+        """table.blacklist leaf names (connector_configs/
+        mysql_jdbc_om_source_mt.json:12-13)."""
+        bl = str(self.config.get("table.blacklist", "")).strip()
+        return [t.strip().split(".")[-1] for t in bl.split(",") if t.strip()] if bl else []
+
     def topic_for_table(self, table: str) -> str:
         """topic.prefix + table (connector_configs/mysql_jdbc_om_source.json:9,12)."""
         return str(self.config.get("topic.prefix", "")) + table

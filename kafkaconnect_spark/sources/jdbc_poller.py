@@ -151,6 +151,7 @@ class IncrementalPoller:
         mode: str,
         inc_col: str | None = None,
         ts_col: str | None = None,
+        batch_max_rows: int | None = None,
     ):
         if "incrementing" in mode and not inc_col:
             raise ValueError("incrementing mode requires inc_col")
@@ -160,16 +161,44 @@ class IncrementalPoller:
         self.mode = mode
         self.inc_col = inc_col
         self.ts_col = ts_col
+        self.batch_max_rows = batch_max_rows
+
+    def _order_cols(self) -> list:
+        cols = []
+        if self.ts_col and "timestamp" in self.mode:
+            cols.append(F.col(self.ts_col).asc())
+        if self.inc_col and "incrementing" in self.mode:
+            cols.append(F.col(self.inc_col).asc())
+        return cols
 
     def poll(self, table_df: DataFrame, offset: Offset) -> tuple[DataFrame, Offset]:
         """Return (new rows, advanced offset). The offset advance is
         computed with one tiny agg over the new rows (max of the
-        resume columns) — no collect of data rows."""
+        resume columns) — no collect of data rows.
+
+        ``batch.max.rows`` (Connect's JDBC source default 100): take at
+        most N rows per poll *in resume-key order* and advance the
+        offset only over the rows taken — the remainder arrives on
+        later polls. The limit is a sorted LIMIT pushed next to the
+        scan (TakeOrderedAndProject), not a driver-side slice."""
         batch = table_df.where(
             incremental_predicate(self.mode, self.inc_col, self.ts_col, offset)
         )
         if self.mode == "bulk":
             return batch, offset
+        if self.batch_max_rows:
+            limited = batch.orderBy(*self._order_cols()).limit(self.batch_max_rows)
+            if self.mode == "timestamp":
+                # a limit cutting mid-timestamp would lose the rest of
+                # that timestamp's rows once the offset advances (ts >
+                # last is strict) — extend the batch to the boundary ts,
+                # like Connect reads whole-timestamp groups
+                boundary = limited.agg(F.max(self.ts_col)).collect()[0][0]
+                if boundary is None:
+                    return limited, Offset(inc=offset.inc, ts=offset.ts)
+                batch = batch.where(F.col(self.ts_col) <= F.lit(boundary))
+            else:
+                batch = limited
 
         aggs = []
         if self.inc_col and "incrementing" in self.mode:

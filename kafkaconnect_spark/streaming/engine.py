@@ -82,11 +82,13 @@ class Engine:
         checkpoint_root: str | Path,
         table_resolver: TableResolver | None = None,
         connection_factories: dict[str, Callable[[], Any]] | None = None,
+        table_lister: Callable[[], list[str]] | None = None,
     ):
         self.spark = spark
         self.transport = TopicTransport(spark, servers)
         self.checkpoint_root = Path(checkpoint_root)
         self.table_resolver = table_resolver
+        self.table_lister = table_lister
         self.connection_factories = connection_factories or {}
         self.pipelines: dict[str, Pipeline] = {}
         self._claimed_tables: dict[tuple[str, str], str] = {}
@@ -103,7 +105,7 @@ class Engine:
             raise SpecError(f"pipeline {spec.name!r} already registered")
         if spec.kind == "jdbc-source":
             conn_url = str(spec.config.get("connection.url", ""))
-            for table in spec.tables:
+            for table in self._effective_tables(spec):
                 claim = (conn_url, table)
                 owner = self._claimed_tables.get(claim)
                 if owner:
@@ -111,7 +113,7 @@ class Engine:
                         f"table {table!r} already sourced by pipeline {owner!r} "
                         "(single-writer-per-table rule)"
                     )
-            for table in spec.tables:
+            for table in self._effective_tables(spec):
                 self._claimed_tables[(conn_url, table)] = spec.name
         pipeline = self._compile(spec)
         self.pipelines[spec.name] = pipeline
@@ -152,7 +154,7 @@ class Engine:
             p.streaming_query.stop()
         if p.spec.kind == "jdbc-source":
             conn_url = str(p.spec.config.get("connection.url", ""))
-            for table in p.spec.tables:
+            for table in self._effective_tables(p.spec):
                 self._claimed_tables.pop((conn_url, table), None)
 
     def reset_offsets(self, name: str, table: str | None = None) -> None:
@@ -230,6 +232,17 @@ class Engine:
             self._threads[name].join(timeout=30)
             del self._threads[name]
             del self._stop_flags[name]
+
+    def _effective_tables(self, spec: PipelineSpec) -> list[str]:
+        """S5 table selection: whitelist wins; else catalog scan via
+        table_lister minus table.blacklist (connector_configs/
+        mysql_jdbc_om_source_mt.json:12-13)."""
+        if spec.tables:
+            return spec.tables
+        if spec.kind == "jdbc-source" and self.table_lister is not None:
+            bl = set(spec.blacklist)
+            return [t for t in self.table_lister() if t not in bl]
+        return []
 
     # ------------------------------------------------------------------
     # converters (C1/C2 JSON, C3 Avro+registry)
@@ -338,14 +351,18 @@ class Engine:
             mode,
             inc_col=cfg.get("incrementing.column.name"),
             ts_col=cfg.get("timestamp.column.name"),
+            batch_max_rows=int(cfg["batch.max.rows"]) if cfg.get("batch.max.rows") else None,
         )
         store = OffsetStore(self.checkpoint_root, spec.name)
         chain = build_transform_chain(spec.transforms)
         # default true, like Connect's JsonConverter
         schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
-        tables = spec.tables or []
+        tables = self._effective_tables(spec)
         if not tables:
-            raise SpecError("jdbc-source needs table.whitelist (catalog scan not wired)")
+            raise SpecError(
+                "jdbc-source needs table.whitelist, or table.blacklist/"
+                "catalog scan with a table_lister on the engine"
+            )
         # O5: topic auto-creation with configured partitions/replication
         # (connector_configs/mysql_jdbc_om_source.json:10-11)
         n_parts = int(cfg.get("topic.creation.default.partitions", 1))
