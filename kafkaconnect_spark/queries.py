@@ -542,6 +542,34 @@ FROM events GROUP BY event_type
 """
 
 
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: two-phase salted groupBy must equal the
+    direct groupBy bit-for-bit (operators/skew.py; the hot-key path
+    for 100 TB aggs)."""
+    from kafkaconnect_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "v2", F.round(F.col("value"), 2).cast(T.DecimalType(18, 2))
+    )
+    out = salted_agg(
+        ev.select("event_type", "v2"),
+        keys=["event_type"],
+        sums={"v2": "sum_value"},
+        count_alias="n_events",
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", F.col("sum_value").cast("double").alias("sum_value"), "n_events"
+    )
+
+
+SALTED_ORACLE = """
+SELECT event_type, sum(round(value, 2)::DECIMAL(18,2))::DOUBLE AS sum_value,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling-window aggregate over the event stream — the
     batch shape of a Structured Streaming windowed agg (watermark +
@@ -1188,6 +1216,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "q5_supplier_volume": QueryDef(q5_supplier_volume, Q5_ORACLE),
     "events_topk_per_user": QueryDef(events_topk_per_user, TOPK_ORACLE),
     "events_distinct_users": QueryDef(events_distinct_users, DISTINCT_ORACLE),
+    "events_salted_agg": QueryDef(events_salted_agg, SALTED_ORACLE),
     "events_tumbling_window": QueryDef(events_tumbling_window, TUMBLING_ORACLE),
     "events_sessionization": QueryDef(events_sessionization, SESSION_ORACLE),
     "events_session_window": QueryDef(events_session_window, SESSION_WINDOW_ORACLE),

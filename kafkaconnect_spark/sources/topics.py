@@ -137,18 +137,22 @@ class TopicTransport:
                 )
             )
         # file transport: union of per-topic parquet streams.
-        # startingOffsets=latest maps to ignoring files present at start
-        # (snapshot.mode=schema_only analogue, SURVEY §2.1 S7).
+        # startingOffsets=latest = skip records that exist when the
+        # stream is built (snapshot.mode=schema_only analogue, SURVEY
+        # §2.1 S7): snapshot the topic's end offset now and filter —
+        # exactly Kafka's latest semantics, robust to file timestamps.
         dfs = []
         for topic in topics:
             tdir = _topic_dir(self.servers, topic) / "log"
             tdir.mkdir(parents=True, exist_ok=True)
             reader = self.spark.readStream.schema(RECORD_SCHEMA).format("parquet")
+            df = reader.load(str(tdir))
             if starting_offsets == "latest":
-                reader = reader.option("latestFirst", "false").option(
-                    "maxFileAge", "0ms"
+                start_at = self._next_offset(tdir.parent)
+                df = df.where(
+                    (F.col("topic") != topic) | (F.col("offset") >= start_at)
                 )
-            dfs.append(reader.load(str(tdir)))
+            dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
