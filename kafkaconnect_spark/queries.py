@@ -542,6 +542,57 @@ FROM events GROUP BY event_type
 """
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (TPC-H Q22 shape): customers with no 1995 orders.
+    Catalyst compiles this to a real anti join — no count trick."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+"""
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value total over time — ordered window frame
+    (rows unbounded preceding), the cumulative-metric shape."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.round(F.col("value"), 2).cast(T.DecimalType(18, 2)))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       sum(round(value, 2)::DECIMAL(18,2)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_value
+FROM events WHERE user_id < 5
+"""
+
+
 def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: two-phase salted groupBy must equal the
     direct groupBy bit-for-bit (operators/skew.py; the hot-key path
@@ -1217,6 +1268,8 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "events_topk_per_user": QueryDef(events_topk_per_user, TOPK_ORACLE),
     "events_distinct_users": QueryDef(events_distinct_users, DISTINCT_ORACLE),
     "events_salted_agg": QueryDef(events_salted_agg, SALTED_ORACLE),
+    "customers_without_orders": QueryDef(customers_without_orders, ANTI_ORACLE),
+    "events_running_total": QueryDef(events_running_total, RUNNING_ORACLE),
     "events_tumbling_window": QueryDef(events_tumbling_window, TUMBLING_ORACLE),
     "events_sessionization": QueryDef(events_sessionization, SESSION_ORACLE),
     "events_session_window": QueryDef(events_session_window, SESSION_WINDOW_ORACLE),
