@@ -56,9 +56,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division: `/` would go through double and round the
+        # microsecond (ns epochs exceed double's exact-integer range)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -93,8 +93,11 @@ def s2_jdbc_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.where(pred).select("event_id", "ts", "user_id")
 
 
+# ts::TIMESTAMP (µs) — the parquet column is TIMESTAMP_NS; Spark reads
+# it truncated to microseconds, so the oracle must compare at µs too
 S2_ORACLE = """
-SELECT event_id, ts, user_id FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+SELECT event_id, ts::TIMESTAMP AS ts, user_id
+FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
 """
 
 
@@ -109,7 +112,7 @@ def s3_jdbc_ts_incrementing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S3_ORACLE = """
-SELECT event_id, ts FROM events
+SELECT event_id, ts::TIMESTAMP AS ts FROM events
 WHERE ts > TIMESTAMP '2024-01-05 00:00:00'
    OR (ts = TIMESTAMP '2024-01-05 00:00:00' AND event_id > 300)
 """
@@ -691,8 +694,8 @@ WITH g AS (
 s AS (SELECT user_id, ts,
              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
       FROM g)
-SELECT user_id, min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
+SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+       (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, sess
 """

@@ -42,7 +42,7 @@ def canon(v) -> str:
     if isinstance(v, decimal.Decimal):
         return f"{float(v):.6g}"
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
