@@ -406,17 +406,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are order-independent and exact at any parallelism."""
     li = _t(spark, sf_dir, "lineitem")
     f = li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
-    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    charge = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
-    )
+    # exact decimal pipeline: the source values are 2-dp decimals stored
+    # as doubles; cast each factor (unambiguous) and multiply in decimal
+    # space — no lossy round() whose half-way ties engines disagree on
+    ep = F.col("l_extendedprice").cast(T.DecimalType(18, 2))
+    dm = (F.lit(1) - F.col("l_discount")).cast(T.DecimalType(8, 2))
+    tp = (F.lit(1) + F.col("l_tax")).cast(T.DecimalType(8, 2))
     return (
         f.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(T.DecimalType(18, 2))).cast("double").alias("sum_qty"),
-            F.sum(F.round(F.col("l_extendedprice"), 2).cast(T.DecimalType(18, 2))).cast("double").alias("sum_base_price"),
-            F.sum(disc.cast(T.DecimalType(22, 4))).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast(T.DecimalType(22, 4))).cast("double").alias("sum_charge"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * dm).cast("double").alias("sum_disc_price"),
+            F.sum(ep * dm * tp).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -425,9 +427,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
-       sum(round(l_extendedprice, 2)::DECIMAL(18,2))::DOUBLE AS sum_base_price,
-       sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(22,4))::DOUBLE AS sum_disc_price,
-       sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)::DECIMAL(22,4))::DOUBLE AS sum_charge,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(8,2))::DOUBLE AS sum_disc_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(8,2) * (1 + l_tax)::DECIMAL(8,2))::DOUBLE AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

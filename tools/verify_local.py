@@ -33,14 +33,17 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # full precision: the catalog is engineered to be BIT-exact vs
+        # DuckDB (exact decimal pipelines, shared md5 hashing, µs
+        # timestamps) — don't let a lenient canon hide regressions
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     import datetime
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.6g}"
+        return repr(float(v))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
