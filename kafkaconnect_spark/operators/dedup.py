@@ -231,6 +231,60 @@ def minhash_dedup_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id,
+    cluster_id = min id in component). The keep-one-per-cluster step a
+    dedup pipeline runs after pair generation.
+
+    Iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors; converges in O(diameter)
+    rounds. Each round is one join + one groupBy (distributed, no
+    driver-side graph); dup-pair components are tiny chains/cliques so
+    diameter is small. At extreme scale swap in the alternating
+    large-star/small-star variant — same loop skeleton.
+    """
+    from pyspark import StorageLevel
+
+    # persist the edge list (cuts pair-generation out of every
+    # iteration) and each round's labels (iterative lineage would
+    # otherwise recompute all prior rounds — quadratic work)
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash bigint): sign of per-bit weighted sums over token
     hashes. One explode + one groupBy(id) shuffle; the 32 bit-sums are

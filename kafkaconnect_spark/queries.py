@@ -897,6 +897,44 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH near-dup pairs —
+    iterative min-label propagation (distributed loop) vs the oracle's
+    recursive transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
+    return dedup.duplicate_clusters(pairs)
+
+
+DEDUP_CLUSTERS_ORACLE = rf"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) inter
+  FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS n, a AS m FROM e
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.n)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
@@ -1285,6 +1323,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
     "dedup_simhash": QueryDef(dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    "dedup_clusters": QueryDef(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, DEDUP_EMB_ORACLE),
     # Phase E similarity
     "similarity_topk": QueryDef(similarity_topk, SIM_TOPK_ORACLE),
