@@ -178,10 +178,15 @@ def _encode_value(t: Any, v: Any, out: io.BytesIO) -> None:
                 # naive datetimes are session-UTC instants (session tz
                 # pinned in session.py) — don't let .timestamp() apply
                 # the host's local zone.
+                # integer math end-to-end: total_seconds()/timestamp()
+                # return doubles, which round the millisecond once the
+                # epoch exceeds ~2^43 ms (post-2248... but the µs term
+                # already wobbles by 2038)
                 if v.tzinfo is None:
-                    ms = int((v - datetime.datetime(1970, 1, 1)).total_seconds() * 1000)
+                    d = v - datetime.datetime(1970, 1, 1)
                 else:
-                    ms = int(v.timestamp() * 1000)
+                    d = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                ms = (d.days * 86_400 + d.seconds) * 1000 + d.microseconds // 1000
             else:
                 ms = int(v)
             out.write(_zigzag_encode(ms))
@@ -248,7 +253,9 @@ def _decode_value(t: Any, buf: io.BytesIO) -> Any:
             import datetime
 
             ms = _zigzag_decode(buf)
-            return datetime.datetime.utcfromtimestamp(ms / 1000.0)
+            # timedelta keeps ms exact; utcfromtimestamp(ms/1000.0)
+            # would round through double
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(milliseconds=ms)
         if lt == "date":
             import datetime
 

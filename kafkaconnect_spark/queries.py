@@ -1343,3 +1343,8 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, MM_FRAMES_ORACLE),
     "multimodal_resize": QueryDef(multimodal_resize, MM_RESIZE_ORACLE),
 }
+
+# extended TPC-H-shape analytics (queries_tpch.py)
+from kafkaconnect_spark.queries_tpch import TPCH_CATALOG as _TPCH  # noqa: E402
+
+QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _TPCH.items()})

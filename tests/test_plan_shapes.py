@@ -55,3 +55,41 @@ def test_minhash_reuses_persisted_shingles(spark):
 def test_lsh_weights_are_literals_not_hashes(spark):
     p = plan(spark, "similarity_ann_lsh", mode="simple")
     assert "md5" not in p  # hyperplane weights folded driver-side
+
+
+def test_q6_is_scan_filter_agg_only(spark):
+    p = plan(spark, "q6_forecast_revenue")
+    # every predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount" in p and "LessThan(l_quantity" in p
+    # 4-column projection, no join, no Python in the path
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+    assert "Join" not in p and "BatchEvalPython" not in p
+
+
+def test_q4_exists_is_a_semi_join(spark):
+    p = plan(spark, "q4_priority_late_ship")
+    assert "LeftSemi" in p
+    # lineitem side pruned to the two columns the semi-join needs
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert any("l_orderkey" in r and "l_extendedprice" not in r for r in reads)
+
+
+def test_q16_not_in_is_a_broadcast_anti_join(spark):
+    p = plan(spark, "q16_part_supplier_counts")
+    assert "LeftAnti" in p and "BroadcastExchange" in p
+
+
+def test_q19_disjunction_keeps_hash_join(spark):
+    # Catalyst must extract the common l_partkey equi-key; the OR
+    # bands stay as a residual filter, not a nested-loop join
+    p = plan(spark, "q19_banded_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q18_having_filter_precedes_join(spark):
+    p = plan(spark, "q18_large_volume_customers", mode="simple")
+    # the >300 filter applies to the agg output before the orders join
+    assert "Filter (isnotnull(sum_qty" in p or "(sum_qty#" in p.split("Join")[-1]
