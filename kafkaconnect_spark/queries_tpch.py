@@ -395,9 +395,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-0
 
 
 # ---------------------------------------------------------------------------
-# Q15 — top supplier: agg → global rank window → rank=1 (tie-safe,
-# unlike a float-equality join against max()). The window runs over
-# one row per supplier — trivially small after the agg.
+# Q15 — top supplier: agg → scalar max → equality join back. NOT a
+# global rank() window: that funnels one row per supplier (SF×10k —
+# ~1B at the 100 TB SF) through a single partition. The scalar max is
+# a distributed 1-row reduce, broadcast back as a join literal; the
+# equality is tie-safe because rev_dec is exact DECIMAL (all tied
+# suppliers match, identical to rank=1 semantics).
 # ---------------------------------------------------------------------------
 
 
@@ -407,10 +410,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     supp = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(F.sum(_rev_dec()).alias("rev_dec"))
-    top = rev.withColumn(
-        "rk", F.rank().over(Window.orderBy(F.col("rev_dec").desc()))
-    ).where(F.col("rk") == 1)
+    from pyspark import StorageLevel
+
+    # rev feeds both the scalar max and the join-back; persist so the
+    # lineitem scan+agg runs once (the per-supplier rollup is tiny
+    # relative to lineitem — SF×10k rows)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev_dec()).alias("rev_dec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    max_rev = rev.agg(F.max("rev_dec").alias("max_rev"))
+    top = rev.join(F.broadcast(max_rev), rev.rev_dec == max_rev.max_rev)
     return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
     )

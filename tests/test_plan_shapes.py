@@ -89,6 +89,15 @@ def test_q19_disjunction_keeps_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q15_has_no_global_window(spark):
+    # rank() over a partitionless window funnels one row per supplier
+    # (SF x 10k) through a single task; the scalar-max broadcast join
+    # keeps every stage distributed
+    p = plan(spark, "q15_top_supplier")
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
+
+
 def test_q18_having_filter_precedes_join(spark):
     p = plan(spark, "q18_large_volume_customers", mode="simple")
     # the >300 filter applies to the agg output before the orders join
