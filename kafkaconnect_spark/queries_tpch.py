@@ -665,8 +665,107 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q9 — profit by supplier nation and order year: the widest star join
+# in the catalog (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders). The
+# driver schema has no partsupp, so unit cost is a deterministic
+# stand-in (60% of p_retailprice). Plan shape that matters at scale:
+# part (filtered) / supplier / nation broadcast; the only big shuffle
+# is lineitem ⋈ orders on orderkey, then the groupBy reduce.
+# ---------------------------------------------------------------------------
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.round(F.col("p_retailprice") * 0.6, 4) * F.col("l_quantity"),
+        4,
+    ).cast(T.DecimalType(22, 4))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_dec"))
+        .select(
+            "nation", "o_year", F.col("profit_dec").cast("double").alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       (sum(round(l_extendedprice * (1 - l_discount)
+                  - round(p_retailprice * 0.6, 4) * l_quantity,
+                  4)::DECIMAL(22,4)))::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cube — multi-dimensional rollup over orders × customer segment
+# (GROUPING SETS family; the reference has none of these — SURVEY
+# §2.7 — but any analytics engine at this scale needs them). CUBE is
+# a single shuffle: Spark expands the grouping sets map-side and
+# aggregates once. grouping_id disambiguates "NULL because
+# aggregated" from a real NULL group value.
+# ---------------------------------------------------------------------------
+
+
+def orders_cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    price_dec = F.round(F.col("o_totalprice"), 4).cast(T.DecimalType(22, 4))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price_dec).alias("total_dec"),
+        )
+        .select(
+            "o_orderstatus",
+            "c_mktsegment",
+            "gid",
+            "n_orders",
+            F.col("total_dec").cast("double").alias("total_price"),
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, c_mktsegment,
+       GROUPING(o_orderstatus, c_mktsegment) AS gid,
+       count(*) AS n_orders,
+       (sum(round(o_totalprice, 4)::DECIMAL(22,4)))::DOUBLE AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (o_orderstatus, c_mktsegment)
+"""
+
+
 TPCH_CATALOG = {
     "q4_priority_late_ship": (q4_priority_late_ship, Q4_ORACLE),
+    "q9_product_profit": (q9_product_profit, Q9_ORACLE),
+    "orders_cube_status_segment": (orders_cube_status_segment, CUBE_ORACLE),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_ORACLE),
     "q7_volume_shipping": (q7_volume_shipping, Q7_ORACLE),
     "q8_market_share": (q8_market_share, Q8_ORACLE),

@@ -89,6 +89,23 @@ def test_q19_disjunction_keeps_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q9_star_join_broadcasts_dims(spark):
+    # part/supplier/nation broadcast; the only shuffle join is
+    # lineitem x orders on orderkey
+    p = plan(spark, "q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    # p_name filter reaches the part scan
+    assert "StringContains(p_name,widget)" in p
+
+
+def test_cube_is_single_pass(spark):
+    # CUBE must expand map-side (Expand node), not union N aggregates
+    p = plan(spark, "orders_cube_status_segment")
+    assert "Expand" in p
+    # one scan per table (location line appears once per scan node)
+    assert p.count("orders.parquet") == 1 and p.count("customer.parquet") == 1
+
+
 def test_q15_has_no_global_window(spark):
     # rank() over a partitionless window funnels one row per supplier
     # (SF x 10k) through a single task; the scalar-max broadcast join
