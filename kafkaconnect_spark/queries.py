@@ -547,6 +547,33 @@ FROM events GROUP BY event_type
 """
 
 
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p95, linear interpolation).
+    Exact percentile sorts within each group after one shuffle —
+    deterministic under any partitioning; at 100 TB swap in
+    approx_percentile (t-digest sketch, same plan shape, mergeable
+    map-side). Both engines use the same q*(n-1) linear-interpolation
+    rule; the result is rounded to 6 decimals on both sides to absorb
+    last-ulp formula differences."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (TPC-H Q22 shape): customers with no 1995 orders.
     Catalyst compiles this to a real anti join — no count trick."""
@@ -1310,6 +1337,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "q5_supplier_volume": QueryDef(q5_supplier_volume, Q5_ORACLE),
     "events_topk_per_user": QueryDef(events_topk_per_user, TOPK_ORACLE),
     "events_distinct_users": QueryDef(events_distinct_users, DISTINCT_ORACLE),
+    "events_value_percentiles": QueryDef(events_value_percentiles, PERCENTILE_ORACLE),
     "events_salted_agg": QueryDef(events_salted_agg, SALTED_ORACLE),
     "customers_without_orders": QueryDef(customers_without_orders, ANTI_ORACLE),
     "events_running_total": QueryDef(events_running_total, RUNNING_ORACLE),
