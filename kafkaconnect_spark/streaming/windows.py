@@ -80,6 +80,48 @@ def session_window_stats(
     )
 
 
+def interval_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback`` — the attribution
+    shape. Works on two streams (watermarked inner join; the
+    event-time bound on both sides lets the state store evict matched
+    rows, so state is O(events in watermark), not O(stream)) or on
+    two batch DataFrames (plain range join) for the oracle twin.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col(ts_col).alias("click_ts")
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )
+
+
 _USER_STATS_STATE = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from kafkaconnect_spark.queries import _events
 from kafkaconnect_spark.streaming.windows import (
+    interval_attribution_join,
     running_user_stats,
     session_window_stats,
     tumbling_event_counts,
@@ -90,6 +91,25 @@ def test_session_watermark_drops_late_events(spark, events_stream_dir):
         "complete",
     )
     assert got.count() < full
+
+
+def test_interval_join_stream_equals_batch(spark, events_stream_dir):
+    """Stream-stream watermarked interval join (purchase attributed to
+    the user's clicks in the preceding hour) must emit exactly the
+    batch range-join rows once every file is replayed."""
+    batch = spark.read.parquet(events_stream_dir)
+    b_clicks = batch.where(F.col("event_type") == "click")
+    b_purch = batch.where(F.col("event_type") == "purchase")
+    expected = as_set(interval_attribution_join(b_clicks, b_purch))
+    s_clicks = _stream(spark, events_stream_dir).where(F.col("event_type") == "click")
+    s_purch = _stream(spark, events_stream_dir).where(F.col("event_type") == "purchase")
+    got = run_to_memory(
+        spark,
+        interval_attribution_join(s_clicks, s_purch, watermark=FULL_SPAN),
+        "interval_join_out",
+        "append",
+    )
+    assert as_set(got) == expected and len(expected) > 0
 
 
 def test_running_user_stats_stateful(spark, events_stream_dir):
