@@ -574,6 +574,36 @@ FROM events GROUP BY event_type
 """
 
 
+_PIVOT_TYPES = ["signup", "click", "view", "purchase", "error"]
+
+
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type. The
+    explicit value list matters twice: it skips the extra
+    distinct-values job Spark otherwise runs, and it keeps the output
+    schema static — mandatory for a streaming sink and for writing a
+    stable table at scale. Plans as a single groupBy(day) with
+    conditional aggregates (one shuffle, map-side partials)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+    )
+
+
+PIVOT_ORACLE = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1
+"""
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (TPC-H Q22 shape): customers with no 1995 orders.
     Catalyst compiles this to a real anti join — no count trick."""
@@ -1338,6 +1368,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "events_topk_per_user": QueryDef(events_topk_per_user, TOPK_ORACLE),
     "events_distinct_users": QueryDef(events_distinct_users, DISTINCT_ORACLE),
     "events_value_percentiles": QueryDef(events_value_percentiles, PERCENTILE_ORACLE),
+    "events_daily_pivot": QueryDef(events_daily_pivot, PIVOT_ORACLE),
     "events_salted_agg": QueryDef(events_salted_agg, SALTED_ORACLE),
     "customers_without_orders": QueryDef(customers_without_orders, ANTI_ORACLE),
     "events_running_total": QueryDef(events_running_total, RUNNING_ORACLE),
