@@ -1186,6 +1186,39 @@ FROM documents
 """
 
 
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequency, top 100. The
+    groupBy key is the token itself (uniform hash — stopword skew is
+    absorbed by map-side partial counts, which collapse each hot token
+    to one row per task before the shuffle); the top-k is a
+    TakeOrdered, not a global sort. (freq desc, token asc) is a total
+    order, so the limit boundary is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TX.TOKEN_SPLIT_RE)).alias(
+            "token"
+        )
+    )
+    return (
+        toks.where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+VOCAB_ORACLE = r"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 100
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1393,6 +1426,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "range_join_signup_followups": QueryDef(range_join_signup_followups, RANGE_ORACLE),
     # Phase E text
     "text_token_stats": QueryDef(text_token_stats, TEXT_TOKENS_ORACLE),
+    "text_vocabulary_topk": QueryDef(text_vocabulary_topk, VOCAB_ORACLE),
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_ORACLE),
     "text_langid": QueryDef(text_langid, TEXT_LANGID_ORACLE),
     "text_fingerprint": QueryDef(text_fingerprint, TEXT_FP_ORACLE),
