@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 from kafkaconnect_spark.functions import text as TX
 from kafkaconnect_spark.functions.envelope import unwrap_envelope, wrap_as_envelope
 from kafkaconnect_spark.functions.serde import json_deserialize, json_serialize
-from kafkaconnect_spark.operators import dedup, similarity
+from kafkaconnect_spark.operators import dedup, pipeline, similarity
 from kafkaconnect_spark.operators.transforms import (
     extract_field,
     regex_router,
@@ -1372,6 +1372,235 @@ FROM documents
 
 
 # ===========================================================================
+# Phase E — training-data pipeline ops (operators/pipeline.py)
+# ===========================================================================
+
+# DuckDB replay of functions.text.hash64 (same md5-hex-prefix bigint)
+def _hash64_sql(expr: str, seed: str) -> str:
+    return f"('0x'||substr(md5('{seed}:'||{expr}),1,8))::BIGINT"
+
+
+_NTOK_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+
+
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (14/1/1 of 16 buckets) + per-split
+    corpus stats. Membership is stable under corpus growth — appending
+    docs never moves old docs between splits (unlike rand() splits)."""
+    docs = pipeline.split_assign(_t(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SPLIT_ORACLE = rf"""
+WITH d AS (SELECT *, {_hash64_sql('doc_id', 'split')} % 16 AS b FROM documents)
+SELECT CASE WHEN b <= 13 THEN 'train' WHEN b = 14 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum({_NTOK_SQL}) AS n_tokens,
+       sum(n_chars) AS sum_chars
+FROM d GROUP BY 1
+"""
+
+
+def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic 20% sample audit: hash-bucket
+    sampling is uniform within every stratum, reproducible across
+    runs/retries (rand() is neither)."""
+    docs = pipeline.stratified_sample_flag(
+        _t(spark, sf_dir, "documents"), "doc_id", num=2, den=10
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+    )
+
+
+SAMPLE_ORACLE = rf"""
+SELECT lang, count(*) AS n_total,
+       sum(CASE WHEN {_hash64_sql('doc_id', 'sample')} % 10 < 2 THEN 1 ELSE 0 END) AS n_sampled
+FROM documents GROUP BY lang
+"""
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token windows every 48 tokens
+    (16-token overlap) — context-window packing prep. Chunk content is
+    compared by md5 so the wire stays narrow."""
+    return pipeline.chunk_documents(
+        _t(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+CHUNK_ORACLE = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t)
+SELECT doc_id, (start // 48)::INT AS chunk_idx,
+       len(toks[start+1 : start+64])::INT AS n_chunk_tokens,
+       md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_hash
+FROM c
+"""
+
+
+def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test 8-gram decontamination report: distinct-shingle
+    overlap of each test doc against the whole train split, joined on
+    64-bit shingle hashes (narrow shuffle, pre-distinct'd build side)."""
+    docs = pipeline.split_assign(_t(spark, sf_dir, "documents"), "doc_id")
+    train = docs.where(F.col("split") == "train")
+    test = docs.where(F.col("split") == "test")
+    return pipeline.ngram_contamination(train, test, n=8)
+
+
+_SHINGLE8 = (
+    "[" + _hash64_sql("array_to_string(toks[i:i+7], ' ')", "contam")
+    + " FOR i IN range(1, greatest(len(toks)-6, 1))]"
+)
+
+DECONTAM_ORACLE = rf"""
+WITH d AS (SELECT doc_id, {_hash64_sql('doc_id', 'split')} % 16 AS b,
+                  regexp_split_to_array(trim(text), '\s+') toks
+           FROM documents),
+tr AS (SELECT DISTINCT h FROM
+        (SELECT unnest({_SHINGLE8}) AS h FROM d WHERE b <= 13 AND len(toks) >= 8)),
+te AS (SELECT doc_id, unnest(list_distinct({_SHINGLE8})) AS h
+       FROM d WHERE b = 15 AND len(toks) >= 8)
+SELECT te.doc_id, count(*) AS n_shingles, count(tr.h) AS n_contaminated,
+       round(count(tr.h) / count(*), 6) AS contamination
+FROM te LEFT JOIN tr ON te.h = tr.h
+GROUP BY te.doc_id
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthesized contact lines (the corpus itself is
+    clean, so each doc gets a deterministic email+phone appended, then
+    redacted): regex is RE2-compatible so the oracle replays it."""
+    docs = _t(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    emails, phones = pipeline.pii_counts(full)
+    return docs.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        F.md5(pipeline.redact_pii(full)).alias("redacted_hash"),
+    )
+
+
+_PII_FULL = ("text || ' contact user' || doc_id || '@mail.example.com or call +1-555-' "
+             "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')")
+_EMAIL_SQL = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+_PHONE_SQL = r"'\+?[0-9][0-9-]{5,}[0-9]'"
+
+PII_ORACLE = rf"""
+WITH s AS (SELECT doc_id, {_PII_FULL} AS full_text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(full_text, {_EMAIL_SQL}))::INT AS n_emails,
+       len(regexp_extract_all(regexp_replace(full_text, {_EMAIL_SQL}, '[EMAIL]', 'g'),
+                              {_PHONE_SQL}))::INT AS n_phones,
+       md5(regexp_replace(regexp_replace(full_text, {_EMAIL_SQL}, '[EMAIL]', 'g'),
+                          {_PHONE_SQL}, '[PHONE]', 'g')) AS redacted_hash
+FROM s
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (long form): decimal-exact
+    per-dim means — identical at any parallelism. The reduce output is
+    |labels|×64 rows however large the input is."""
+    return pipeline.embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+CENTROID_ORACLE = """
+WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                  unnest(embedding::DOUBLE[]) AS v
+           FROM embeddings)
+SELECT label, dim,
+       round(sum(round(v, 7)::DECIMAL(20,7))::DOUBLE / count(*), 6) AS centroid,
+       count(*) AS n_vectors
+FROM e GROUP BY label, dim
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing into 2048-token bins per language
+    stream — per-bin doc counts and fill ratios."""
+    return pipeline.pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+PACK_ORACLE = rf"""
+WITH r AS (SELECT lang, doc_id, {_NTOK_SQL} AS n_tok FROM documents),
+b AS (SELECT lang,
+             (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) // 2048 AS bin_id,
+             n_tok
+      FROM r)
+SELECT lang, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       round(sum(n_tok) / 2048.0, 6) AS fill_ratio
+FROM b GROUP BY lang, bin_id
+"""
+
+
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report (single scan, one row): how many docs
+    survive each stage of a lang → quality → length → exact-dedup
+    pipeline. At 100 TB this is the daily data-health dashboard query:
+    conditional aggregates, no per-stage rescans."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text")
+    lang_ok = F.col("lang").isin("en", "de", "es", "fr")
+    quality_ok = lang_ok & (TX.quality_score("text") >= 0.5)
+    len_ok = quality_ok & n_tok.between(20, 2000)
+    fp = TX.fingerprint_md5("text")
+    return docs.agg(
+        F.count("*").alias("n_total"),
+        F.sum(lang_ok.cast("long")).alias("n_lang_ok"),
+        F.sum(quality_ok.cast("long")).alias("n_quality_ok"),
+        F.sum(len_ok.cast("long")).alias("n_len_ok"),
+        F.count_distinct(F.when(len_ok, fp)).alias("n_unique"),
+    )
+
+
+QUALITY_FUNNEL_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\s+')) END AS swraw
+  FROM documents),
+f AS (
+  SELECT *,
+         lang IN ('en','de','es','fr') AS lang_ok,
+         lang IN ('en','de','es','fr')
+           AND round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swraw * 5.0, 1.0)
+                     + 0.3 * (1.0 - least(praw * 4.0, 1.0)), 6) >= 0.5 AS quality_ok
+  FROM m),
+g AS (SELECT *, quality_ok AND n_tok BETWEEN 20 AND 2000 AS len_ok FROM f)
+SELECT count(*) AS n_total,
+       sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_lang_ok,
+       sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality_ok,
+       sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS n_len_ok,
+       count(DISTINCT CASE WHEN len_ok
+             THEN md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) END) AS n_unique
+FROM g
+"""
+
+
+# ===========================================================================
 # catalog
 # ===========================================================================
 
@@ -1435,6 +1664,15 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "multimodal_features": QueryDef(multimodal_features, None),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, MM_FRAMES_ORACLE),
     "multimodal_resize": QueryDef(multimodal_resize, MM_RESIZE_ORACLE),
+    # Phase E training-data pipeline
+    "split_train_valid_test": QueryDef(split_train_valid_test, SPLIT_ORACLE),
+    "sampling_stratified": QueryDef(sampling_stratified, SAMPLE_ORACLE),
+    "docs_chunk_overlap": QueryDef(docs_chunk_overlap, CHUNK_ORACLE),
+    "decontaminate_test_split": QueryDef(decontaminate_test_split, DECONTAM_ORACLE),
+    "pii_redaction": QueryDef(pii_redaction, PII_ORACLE),
+    "embedding_label_centroids": QueryDef(embedding_label_centroids, CENTROID_ORACLE),
+    "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_ORACLE),
+    "quality_funnel": QueryDef(quality_funnel, QUALITY_FUNNEL_ORACLE),
 }
 
 # extended TPC-H-shape analytics (queries_tpch.py)

@@ -1,0 +1,85 @@
+"""Edge semantics of the training-data pipeline operators
+(operators/pipeline.py) — the oracle gate covers bulk correctness;
+these pin the boundary behaviors the oracles can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.operators import pipeline
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_chunking_windows_and_tail(spark):
+    # 100 tokens, window 64 stride 48 → chunks at 0 (64 toks), 48 (52
+    # toks), 96 (4 toks): every token covered, overlap = 16
+    text = " ".join(f"w{i}" for i in range(100))
+    out = pipeline.chunk_documents(
+        _docs(spark, [(1, text)]), window=64, stride=48
+    ).collect()
+    got = {(r.chunk_idx, r.n_chunk_tokens) for r in out}
+    assert got == {(0, 64), (1, 52), (2, 4)}
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    out = pipeline.chunk_documents(
+        _docs(spark, [(1, "a b c")]), window=64, stride=48
+    ).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 3
+    # empty/whitespace docs produce no chunks
+    assert (
+        pipeline.chunk_documents(_docs(spark, [(2, "   ")]),
+                                 window=64, stride=48).count() == 0
+    )
+
+
+def test_split_is_stable_under_growth(spark):
+    # appending rows never moves existing keys between splits
+    small = pipeline.split_assign(_docs(spark, [(i, "x") for i in range(50)]), "doc_id")
+    big = pipeline.split_assign(_docs(spark, [(i, "x") for i in range(200)]), "doc_id")
+    s = {r.doc_id: r.split for r in small.collect()}
+    b = {r.doc_id: r.split for r in big.collect()}
+    assert all(b[k] == v for k, v in s.items())
+    assert set(b.values()) == {"train", "valid", "test"}
+
+
+def test_contamination_bounds_and_short_docs(spark):
+    shared = " ".join(f"t{i}" for i in range(8))  # one exact 8-gram
+    train = _docs(spark, [(1, shared + " trainonly1 trainonly2")])
+    test = _docs(
+        spark,
+        [
+            (10, shared),            # fully contaminated (its only shingle)
+            (11, " ".join(f"u{i}" for i in range(12))),  # clean
+            (12, "too short"),       # < 8 tokens → excluded entirely
+        ],
+    )
+    out = {r.doc_id: r for r in pipeline.ngram_contamination(train, test).collect()}
+    assert out[10].n_contaminated == out[10].n_shingles == 1
+    assert out[10].contamination == 1.0
+    assert out[11].n_contaminated == 0 and out[11].contamination == 0.0
+    assert 12 not in out
+
+
+def test_redaction_order_email_before_phone(spark):
+    # the email's digit run must not be half-eaten by the phone regex
+    df = spark.createDataFrame(
+        [Row(s="mail me at a123-456-7890b@x.co or +1-555-0042")]
+    )
+    red = df.select(pipeline.redact_pii(F.col("s")).alias("r")).first().r
+    assert red == "mail me at [EMAIL] or [PHONE]"
+    e, p = pipeline.pii_counts(F.col("s"))
+    row = df.select(e.alias("e"), p.alias("p")).first()
+    assert (row.e, row.p) == (1, 1)
+
+
+def test_centroid_exact_mean(spark):
+    df = spark.createDataFrame(
+        [Row(label=1, embedding=[1.0, 2.0]), Row(label=1, embedding=[3.0, 6.0])]
+    )
+    out = {(r.label, r.dim): r.centroid for r in pipeline.embedding_centroids(df).collect()}
+    assert out == {(1, 0): 2.0, (1, 1): 4.0}
