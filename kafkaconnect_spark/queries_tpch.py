@@ -762,7 +762,133 @@ GROUP BY CUBE (o_orderstatus, c_mktsegment)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier. The driver schema has no partsupp, so
+# the (part, supplier) cost table is derived from lineitem: cost =
+# cheapest observed line price. The plan shape is Q2's: a derived
+# aggregate joined to its own per-part min (correlated subquery →
+# groupBy + self-join), with all dimension joins broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "SMALL")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    # dims are tiny at any SF — broadcast the supplier→nation→region
+    # chain so the big derived aggregate never shuffles for them
+    sup_eu = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_eu), ps.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (offers.p_partkey == F.col("mc_partkey"))
+            & (offers.cost == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem GROUP BY 1, 2),
+offers AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost
+  FROM ps
+  JOIN part ON p_partkey = l_partkey AND p_size <= 10 AND p_type = 'SMALL'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+FROM offers o
+WHERE cost = (SELECT min(cost) FROM offers i WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion: nested IN-subqueries → a chain of
+# semi-joins. The part filter reduces before the lineitem aggregate;
+# the supplier probe side is joined last against the small
+# qualifying-supplier set.
+# ---------------------------------------------------------------------------
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in ASIA that shipped > 100 total units of 'small %'
+    parts during 1996 (adaptation of Q20's availqty threshold: the
+    derived 'stock' is shipped volume)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_ids = _t(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    qualifying = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(part_ids), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    nat_asia = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left_semi")
+    return (
+        sup.join(F.broadcast(nat_asia), sup.s_nationkey == nat_asia.n_nationkey, "left_semi")
+        .join(qualifying, sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA')
+  AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+ORDER BY s_name
+"""
+
+
 TPCH_CATALOG = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_ORACLE),
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_ORACLE),
     "q4_priority_late_ship": (q4_priority_late_ship, Q4_ORACLE),
     "q9_product_profit": (q9_product_profit, Q9_ORACLE),
     "orders_cube_status_segment": (orders_cube_status_segment, CUBE_ORACLE),
