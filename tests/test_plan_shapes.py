@@ -119,3 +119,38 @@ def test_q18_having_filter_precedes_join(spark):
     p = plan(spark, "q18_large_volume_customers", mode="simple")
     # the >300 filter applies to the agg output before the orders join
     assert "Filter (isnotnull(sum_qty" in p or "(sum_qty#" in p.split("Join")[-1]
+
+
+def test_pipeline_split_is_single_scan_no_join(spark):
+    p = plan(spark, "split_train_valid_test", mode="simple")
+    assert "Join" not in p and p.count("Exchange") <= 2  # partial agg + final
+    # pruning: only the three needed columns are read
+    fp = plan(spark, "split_train_valid_test")
+    read = next(l for l in fp.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read and "source" not in read
+
+
+def test_pack_sequences_partitions_by_stream_not_global(spark):
+    p = plan(spark, "docs_pack_sequences")
+    # the window must partition by lang — a global (empty-key) window
+    # would serialize the whole corpus through one task at scale
+    assert "Window" in p
+    # the partition spec appears as "..., [lang#N], [doc_id#N ASC ..."
+    import re
+
+    assert re.search(r"windowspecdefinition\(lang#\d+", p), p
+
+
+def test_q20_is_all_broadcast_semi_joins(spark):
+    p = plan(spark, "q20_excess_suppliers", mode="simple")
+    assert "SortMergeJoin" not in p  # every probe side joins a small set
+    assert p.count("LeftSemi") >= 3
+
+
+def test_decontamination_joins_on_hash_not_text(spark):
+    p = plan(spark, "decontaminate_test_split", mode="simple")
+    # the contamination join key is the 64-bit shingle hash, never the
+    # shingle string (shuffle row width at 100 TB)
+    import re
+    join_lines = [l for l in p.splitlines() if "Join" in l and "sh_hash" in l]
+    assert join_lines, p
