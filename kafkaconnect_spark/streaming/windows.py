@@ -169,3 +169,45 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same logical
+    event (at-least-once sources re-send on retry — reference behavior
+    for every Connect source, SURVEY §2.6 O1).
+
+    Streaming path uses ``dropDuplicatesWithinWatermark`` so the
+    dedup state is evicted once the watermark passes — state stays
+    O(events per watermark window), not O(stream history). Batch twin
+    is a plain ``dropDuplicates`` (same result set when all data is in
+    one batch)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str] = ("user_id", "c_custkey"),
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join: a streaming fact joined to a
+    batch dimension. The static side is marked broadcast — on a
+    cluster every executor holds the dim once and the stream never
+    shuffles (stream-static joins can't shuffle the stream side
+    anyway; broadcasting makes the per-batch plan explicit). The dim
+    is re-read per micro-batch, so slowly-changing dimensions pick up
+    updates without a restart."""
+    left_key, right_key = on
+    cols = dim_cols or [c for c in dim.columns if c != right_key]
+    d = dim.select(right_key, *cols)
+    return events.join(
+        F.broadcast(d), events[left_key] == d[right_key], "left"
+    ).drop(right_key)

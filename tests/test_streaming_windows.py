@@ -142,3 +142,39 @@ def test_running_user_stats_stateful(spark, events_stream_dir):
     }
     for r in last.itertuples():
         assert abs(float(r.total_value) - sums[int(r.user_id)]) < 0.05
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, events_stream_dir, tmp_path):
+    from kafkaconnect_spark.streaming.windows import dedup_within_watermark
+
+    # re-deliver every file twice (at-least-once source retry)
+    dup_dir = str(tmp_path / "dup")
+    batch = spark.read.parquet(events_stream_dir)
+    batch.write.mode("overwrite").parquet(dup_dir)
+    batch.write.mode("append").parquet(dup_dir)
+
+    stream = _stream(spark, dup_dir)
+    got = run_to_memory(
+        spark, dedup_within_watermark(stream, watermark=FULL_SPAN), "dedup_wm", "append"
+    )
+    assert got.count() == batch.count()  # every duplicate dropped
+    assert as_set(got.select("event_id")) == as_set(batch.select("event_id"))
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_stream_dir):
+    from kafkaconnect_spark.streaming.windows import enrich_with_dimension
+
+    dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    batch = spark.read.parquet(events_stream_dir)
+    expected = as_set(
+        enrich_with_dimension(batch, dim, dim_cols=["c_mktsegment"])
+        .groupBy("c_mktsegment").count()
+    )
+    stream = _stream(spark, events_stream_dir)
+    got = run_to_memory(
+        spark,
+        enrich_with_dimension(stream, dim, dim_cols=["c_mktsegment"]),
+        "enrich_dim",
+        "append",
+    )
+    assert as_set(got.groupBy("c_mktsegment").count()) == expected
