@@ -1600,6 +1600,49 @@ FROM g
 """
 
 
+def events_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windows.dedup_within_watermark: an
+    at-least-once source re-delivers a slice of the stream; exact
+    dedup by event key restores effectively-once. (The streaming path
+    is dropDuplicatesWithinWatermark — test_streaming_windows.py.)"""
+    from kafkaconnect_spark.streaming.windows import dedup_within_watermark
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    redelivered = ev.unionAll(ev.where(F.col("event_id") % 7 == 0))
+    return dedup_within_watermark(redelivered, keys=["event_id"])
+
+
+DEDUP_REDELIVERY_ORACLE = """
+WITH redelivered AS (
+  SELECT event_id, user_id, event_type FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type FROM events WHERE event_id % 7 = 0)
+SELECT DISTINCT event_id, user_id, event_type FROM redelivered
+"""
+
+
+def events_enrich_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windows.enrich_with_dimension: fact
+    stream left-joined to a broadcast customer dimension, rolled up by
+    segment (null segment = unmatched users kept, not dropped)."""
+    from kafkaconnect_spark.streaming.windows import enrich_with_dimension
+
+    ev = _events(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer")
+    return (
+        enrich_with_dimension(ev, dim, dim_cols=["c_mktsegment"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ENRICH_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_events
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -1673,6 +1716,9 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "embedding_label_centroids": QueryDef(embedding_label_centroids, CENTROID_ORACLE),
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_ORACLE),
     "quality_funnel": QueryDef(quality_funnel, QUALITY_FUNNEL_ORACLE),
+    # streaming batch twins
+    "events_dedup_redelivery": QueryDef(events_dedup_redelivery, DEDUP_REDELIVERY_ORACLE),
+    "events_enrich_dimension": QueryDef(events_enrich_dimension, ENRICH_ORACLE),
 }
 
 # extended TPC-H-shape analytics (queries_tpch.py)
