@@ -108,3 +108,41 @@ def test_blacklist_with_table_lister(spark, tmp_path):
     topics_dir = tmp_path / "topics"
     made = sorted(p.name for p in topics_dir.iterdir())
     assert made == ["bl_customers", "bl_order_items", "bl_orders"]
+
+
+def test_jdbc_read_options_partitioned_backfill():
+    from kafkaconnect_spark.sources.jdbc_poller import Offset, jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:mysql://h/om", "customers", "incrementing", Offset(inc=42),
+        inc_col="customer_id", tasks_max=4, inc_bounds=(43, 10042),
+    )
+    assert opts["dbtable"] == "(SELECT * FROM customers WHERE customer_id > 42) spark_poll"
+    assert (opts["partitionColumn"], opts["numPartitions"]) == ("customer_id", "4")
+    assert int(opts["lowerBound"]) == 43 and int(opts["upperBound"]) == 10043
+
+    # narrow range never over-partitions (3 new rows -> 3 partitions max)
+    opts = jdbc_read_options(
+        "jdbc:mysql://h/om", "t", "incrementing", Offset(inc=0),
+        inc_col="id", tasks_max=8, inc_bounds=(1, 3),
+    )
+    assert opts["numPartitions"] == "3"
+
+
+def test_jdbc_read_options_predicates_match_modes():
+    from kafkaconnect_spark.sources.jdbc_poller import Offset, jdbc_read_options
+
+    ts = jdbc_read_options(
+        "u", "t", "timestamp", Offset(ts="2024-01-10 00:00:00"), ts_col="upd"
+    )
+    assert "upd > TIMESTAMP '2024-01-10 00:00:00'" in ts["dbtable"]
+    tsinc = jdbc_read_options(
+        "u", "t", "timestamp+incrementing",
+        Offset(ts="2024-01-10 00:00:00", inc=7), ts_col="upd", inc_col="id",
+    )
+    assert "OR (upd = TIMESTAMP '2024-01-10 00:00:00' AND id > 7)" in tsinc["dbtable"]
+    # bulk and fresh-start offsets scan the whole table
+    assert jdbc_read_options("u", "t", "bulk", Offset())["dbtable"] == "(SELECT * FROM t) spark_poll"
+    assert jdbc_read_options("u", "t", "incrementing", Offset(), inc_col="id")[
+        "dbtable"
+    ] == "(SELECT * FROM t) spark_poll"
