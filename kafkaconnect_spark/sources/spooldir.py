@@ -31,12 +31,24 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
-def generate_schema(spark: SparkSession, input_path: str, pattern: str = "*.csv") -> T.StructType:
+def generate_schema(
+    spark: SparkSession,
+    input_path: str,
+    pattern: str = "*.csv",
+    format: str = "csv",
+) -> T.StructType:
     """schema.generation.enabled analogue: infer once, at registration,
-    from the files currently present."""
-    sample = spark.read.csv(
-        str(Path(input_path) / pattern), header=True, inferSchema=True
-    )
+    from the files currently present. ``format`` mirrors the SpoolDir
+    plugin family (SpoolDirCsvSourceConnector exercised by the labs;
+    SpoolDirJsonSourceConnector is the same contract over JSON lines)."""
+    path = str(Path(input_path) / pattern)
+    if format == "json":
+        # corrupt lines present at inference time surface as a
+        # _corrupt_record field — strip it; the stream reader re-adds
+        # its own corrupt-capture column
+        inferred = spark.read.json(path).schema
+        return T.StructType([f for f in inferred.fields if f.name != CORRUPT_COL])
+    sample = spark.read.csv(path, header=True, inferSchema=True)
     return sample.schema
 
 
@@ -48,20 +60,22 @@ def read_spooldir_stream(
     pattern: str = "*.csv",
     halt_on_error: bool = False,
     max_files_per_trigger: int | None = None,
+    format: str = "csv",
 ) -> DataFrame:
-    """Streaming CSV scan with archive-on-success and corrupt-record
-    capture. Returns rows + a ``_corrupt_record`` column (null for good
-    rows); route non-null to the error sink downstream."""
+    """Streaming CSV/JSON-lines scan with archive-on-success and
+    corrupt-record capture. Returns rows + a ``_corrupt_record`` column
+    (null for good rows); route non-null to the error sink downstream."""
     read_schema = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
     reader = (
-        spark.readStream.format("csv")
+        spark.readStream.format(format)
         .schema(read_schema)
-        .option("header", "true")
         .option("mode", "FAILFAST" if halt_on_error else "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
+    if format == "csv":
+        reader = reader.option("header", "true")
     if finished_path:
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", finished_path

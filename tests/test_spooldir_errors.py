@@ -74,3 +74,41 @@ def test_halt_on_error_fails_pipeline(spark, tmp_path):
     with pytest.raises(Exception):
         eng.run_once()
     assert eng.status("csv_err")["state"] == "FAILED"
+
+
+def test_spooldir_json_lines_variant(spark, tmp_path):
+    """SpoolDirJsonSourceConnector analogue: same schema-gen +
+    archive + corrupt-capture contract over JSON lines."""
+    import json as _json
+
+    from kafkaconnect_spark.sources.spooldir import (
+        generate_schema,
+        read_spooldir_stream,
+        split_errors,
+    )
+
+    inp = tmp_path / "in"
+    fin = tmp_path / "fin"
+    inp.mkdir(), fin.mkdir()
+    rows = [{"id": i, "name": f"n{i}", "amount": i * 1.5} for i in range(20)]
+    (inp / "a.json").write_text("\n".join(_json.dumps(r) for r in rows[:10]))
+    (inp / "b.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[10:]) + "\n{not json"
+    )
+
+    schema = generate_schema(spark, str(inp), pattern="*.json", format="json")
+    assert {f.name for f in schema.fields} >= {"id", "name", "amount"}
+
+    stream = read_spooldir_stream(
+        spark, str(inp), schema, finished_path=str(fin),
+        pattern="*.json", format="json",
+    )
+    good, bad = split_errors(stream)
+    q = (
+        good.writeStream.format("memory").queryName("sdj_good")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("sdj_good")
+    assert got.count() == 20
+    assert {r.id for r in got.collect()} == set(range(20))
