@@ -154,3 +154,35 @@ def test_decontamination_joins_on_hash_not_text(spark):
     import re
     join_lines = [l for l in p.splitlines() if "Join" in l and "sh_hash" in l]
     assert join_lines, p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key -> the join runs
+    exchange-free (the storage layout IS the shuffle)."""
+    from kafkaconnect_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_orderkey AS l_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "bt_lineitem", ["l_orderkey"], 4, path=str(tmp_path / "li"))
+    write_bucketed(od, "bt_orders", ["l_orderkey"], 4, path=str(tmp_path / "od"))
+    # at sf0.001 both sides fit the broadcast threshold, which hides
+    # the bucketing; disable it to see the 100 TB plan (where neither
+    # side of a fact-fact join broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bt_lineitem", "bt_orders", ["l_orderkey"])
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p
+        # and the result is still correct
+        plain = li.join(od, "l_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
