@@ -48,6 +48,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before a
+    compute-heavy narrow stage (per-row hashing, serde, Arrow UDFs).
+
+    The driver's testdata ships one row group per parquet file, so
+    scans arrive single-partition and a heavy map stage would run on
+    one core; at cluster scale inputs already have >= cores partitions
+    and this is a no-op (the conditional avoids paying an always-on
+    shuffle of the full input)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's events.parquet carries timestamp[ns], which the
     Spark parquet reader rejects; read nanos as long (runtime conf, so
@@ -263,7 +278,7 @@ def c1_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: JsonConverter schemas.enable=true round-trip — serialize
     {"schema":…,"payload":…}, parse back, values must survive
     (wrapper shape: 실습수행/JDBC Sink Connector 실습.md:349)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     rec = ev.select(F.struct("event_id", "event_type", "value", "props").alias("value"))
     wire = rec.select(
         json_serialize("value", _EVENT_VALUE_SCHEMA, schemas_enable=True).alias("raw")
@@ -329,7 +344,7 @@ def c3_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     avro = avro_schema_for(sub, "events")
     reg = SchemaRegistry()
     sid = reg.register("events-value", avro)
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread(_t(spark, sf_dir, "events"))
     rec = ev.select(F.struct("event_id", "event_type", "value").alias("v"))
     wire = rec.select(avro_serialize_udf(sub, avro, sid)(F.col("v")).alias("raw"))
     back = wire.select(avro_deserialize_udf(sub, avro)(F.col("raw")).alias("v"))
@@ -920,7 +935,7 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full minhash→band→bucket-join→verify pipeline (16 hashes, 4
     bands of 4 — LSH S-curve threshold ≈ 0.55)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
 
 
@@ -993,7 +1008,7 @@ SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return dedup.simhash(docs, bits=32)
 
 
@@ -1015,7 +1030,7 @@ SELECT doc_id, ({_SIMHASH_VALUE}) AS simhash FROM bs
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucket-pruned (threshold tuned to
     the synthetic corpus where max cosine ≈ 0.46)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     return similarity.embedding_near_dup_pairs(emb, threshold=0.3, num_planes=4, dim=64)
 
 
@@ -1052,7 +1067,7 @@ WHERE round(list_dot_product(a.v, b.v) /
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 10 query vectors — the exact
     baseline every ANN variant is measured against."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1075,7 +1090,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5: hyperplane signature equi-join + exact
     re-rank — the sub-linear scale path."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1102,7 +1117,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic centroids (lowest-id vectors),
     1-cell corpus assignment, 2-probe query search — the inverted-file
     scale path next to the hyperplane-LSH one."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1220,7 +1235,7 @@ LIMIT 100
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
@@ -1249,7 +1264,7 @@ FROM m
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
 
 
