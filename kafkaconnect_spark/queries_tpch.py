@@ -886,7 +886,54 @@ ORDER BY s_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q22 — global-outlook: customers above the global average balance
+# with no orders. The scalar average broadcasts (one row), the
+# no-orders test is a real anti-join; grouping is by nation.
+# ---------------------------------------------------------------------------
+
+
+def q22_global_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no 2000s orders (the
+    synthetic data gives every customer *some* order, so 'inactive'
+    = no recent order — the date filter pushes into the orders scan
+    before the anti-join)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.round("c_acctbal", 4).cast(T.DecimalType(22, 4)))
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey, count(*) AS numcust,
+       sum(round(c_acctbal, 4)::DECIMAL(22,4))::DOUBLE AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 TPCH_CATALOG = {
+    "q22_global_balance": (q22_global_balance, Q22_ORACLE),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_ORACLE),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_ORACLE),
     "q4_priority_late_ship": (q4_priority_late_ship, Q4_ORACLE),
