@@ -1658,6 +1658,39 @@ GROUP BY c_mktsegment
 """
 
 
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from the events-as-CDC stream (op mapping
+    per _OP_EXPR): every non-delete change becomes a version with
+    [valid_from, valid_to) and a current flag; deletes close the last
+    interval. One keyed window — operators/scd.py."""
+    from kafkaconnect_spark.operators.scd import scd2_history
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.col("event_id").alias("change_id"),
+        F.expr(_OP_EXPR).alias("op"),
+        F.round("value", 4).alias("value"),
+    )
+    return scd2_history(ev)
+
+
+SCD2_ORACLE = """
+WITH ch AS (
+  SELECT user_id AS key, ts::TIMESTAMP AS ts, event_id AS change_id,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         round(value, 4) AS value
+  FROM events),
+v AS (
+  SELECT *, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY key ORDER BY ts, change_id) AS valid_to
+  FROM ch)
+SELECT key, ts, change_id, value, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM v WHERE op != 'd'
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -1734,6 +1767,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     # streaming batch twins
     "events_dedup_redelivery": QueryDef(events_dedup_redelivery, DEDUP_REDELIVERY_ORACLE),
     "events_enrich_dimension": QueryDef(events_enrich_dimension, ENRICH_ORACLE),
+    "scd2_user_history": QueryDef(scd2_user_history, SCD2_ORACLE),
 }
 
 # extended TPC-H-shape analytics (queries_tpch.py)
