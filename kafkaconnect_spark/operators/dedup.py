@@ -131,7 +131,7 @@ def minhash_signatures(
     shuffle on id); the k hashes are computed columnar-side per
     shingle, not k passes."""
     sh = shingle_table(df, text_col, id_col, n)
-    return _signatures_from_shingles(sh, num_hashes, id_col)
+    return _signatures_from_shingles(sh, num_hashes, id_col).drop("sz")
 
 
 def _signatures_from_shingles(sh: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
@@ -157,12 +157,16 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int, id_col: str) -> Da
         aggs.append(
             F.min(F.substring(F.col(f"m{g}"), w * 8 + 1, 8)).alias(f"x{i}")
         )
+    # shingle-set size rides the same shuffle (callers needing Jaccard
+    # denominators would otherwise re-aggregate the shingle table)
+    aggs.append(F.count(F.lit(1)).alias("sz"))
     sigs = proj.groupBy(id_col).agg(*aggs)
     return sigs.select(
         F.col(id_col),
         F.array(
             *[F.conv(F.col(f"x{i}"), 16, 10).cast("bigint") for i in range(num_hashes)]
         ).alias("sig"),
+        "sz",
     )
 
 
@@ -211,9 +215,13 @@ def minhash_dedup_pairs(
     from pyspark import StorageLevel
 
     sh = shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _signatures_from_shingles(sh, num_hashes, id_col)
-    cands = minhash_lsh_candidates(sigs, bands, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sigs = _signatures_from_shingles(sh, num_hashes, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = minhash_lsh_candidates(sigs.drop("sz"), bands, id_col)
+    # Jaccard denominators came along on the signature shuffle — no
+    # second aggregation of the shingle table
+    sizes = sigs.select(id_col, "sz")
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
     inter = (
