@@ -62,9 +62,10 @@ def word_shingles(text_col: str, n: int = 3):
     )
 
 
-def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) inverted index — the join key for Jaccard.
-
+def shingle_arrays(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, __sh array<string>) — the distinct shingle SET per doc, kept
+    doc-level. Narrow (no shuffle); signatures and set sizes derive from
+    it per-row, and the exploded inverted index is one `explode` away.
     The token array is bound once in a prior projection so the split
     runs once per row (the single-expression form re-splits 3×)."""
     toks = df.select(
@@ -72,13 +73,18 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     return toks.where(F.size("toks") >= n).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {n} + 1), i -> array_join(slice(toks, i, {n}), ' '))"
-                )
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n} + 1), i -> array_join(slice(toks, i, {n}), ' '))"
             )
-        ).alias("shingle"),
+        ).alias("__sh"),
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) inverted index — the join key for Jaccard."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("__sh").alias("shingle")
     )
 
 
@@ -100,8 +106,10 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    # set sizes read off the persisted doc-level arrays — no aggregation
+    sizes = sharr.select(F.col(id_col), F.size("__sh").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -127,47 +135,44 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, sig array<bigint>) — k independent min-hashes over the
-    shingle set. Implemented as explode + k min-aggregations (one
-    shuffle on id); the k hashes are computed columnar-side per
-    shingle, not k passes."""
-    sh = shingle_table(df, text_col, id_col, n)
-    return _signatures_from_shingles(sh, num_hashes, id_col).drop("sz")
+    shingle set. Fully NARROW: the shingle set stays doc-level as an
+    array and each min-hash is an `array_min` over a per-row
+    `transform` — zero shuffles, runs at scan speed (the old
+    explode + k-min-aggregations form shuffled every shingle)."""
+    return _signatures_from_arrays(
+        shingle_arrays(df, text_col, id_col, n), num_hashes, id_col
+    ).select(id_col, "sig")
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
+def _signatures_from_arrays(sharr: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
     """k min-hashes with k/4 md5 calls per shingle: each md5 yields four
     independent 32-bit words (8 hex chars each), and because the words
     are fixed-width lowercase hex, lexicographic MIN == numeric MIN —
-    so the aggregation mins the hex substrings (cheap) and the hex→int
-    conversion happens once per doc, after the shuffle.
+    so `array_min` runs over the hex substrings (cheap) and the hex→int
+    conversion happens once per doc.
 
     h_i = int(md5(f"{i//4}:" + shingle)[ (i%4)*8 : (i%4)*8+8 ], 16) —
     h_0 matches functions.text.hash64(seed=0) exactly."""
     groups = (num_hashes + 3) // 4
-    proj = sh.select(
+    proj = sharr.select(
         F.col(id_col),
+        F.size("__sh").alias("sz"),
         *[
-            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"m{g}")
+            F.expr(f"transform(__sh, s -> md5(concat('{g}:', s)))").alias(f"m{g}")
             for g in range(groups)
         ],
     )
-    aggs = []
+    mins = []
     for i in range(num_hashes):
         g, w = divmod(i, 4)
-        aggs.append(
-            F.min(F.substring(F.col(f"m{g}"), w * 8 + 1, 8)).alias(f"x{i}")
+        mins.append(
+            F.conv(
+                F.array_min(F.expr(f"transform(m{g}, x -> substring(x, {w * 8 + 1}, 8))")),
+                16,
+                10,
+            ).cast("bigint")
         )
-    # shingle-set size rides the same shuffle (callers needing Jaccard
-    # denominators would otherwise re-aggregate the shingle table)
-    aggs.append(F.count(F.lit(1)).alias("sz"))
-    sigs = proj.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        F.col(id_col),
-        F.array(
-            *[F.conv(F.col(f"x{i}"), 16, 10).cast("bigint") for i in range(num_hashes)]
-        ).alias("sig"),
-        "sz",
-    )
+    return proj.select(F.col(id_col), F.array(*mins).alias("sig"), "sz")
 
 
 def minhash_lsh_candidates(
@@ -209,19 +214,19 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the full
     minhash→band→bucket-join→verify pipeline."""
-    # The shingle index feeds the signatures AND both sides of the
-    # verify join — materialize it once (at 100 TB this is the persisted
-    # intermediate; MEMORY_AND_DISK spills instead of OOMing).
+    # The doc-level shingle arrays feed the signatures (narrow), the
+    # Jaccard denominators (narrow size), AND both sides of the verify
+    # join (one explode away) — materialize them once, compactly (at
+    # 100 TB this is the persisted intermediate; MEMORY_AND_DISK spills
+    # instead of OOMing). Only the band self-join and the verify
+    # aggregation shuffle at all.
     from pyspark import StorageLevel
 
-    sh = shingle_table(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _signatures_from_shingles(sh, num_hashes, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cands = minhash_lsh_candidates(sigs.drop("sz"), bands, id_col)
-    # Jaccard denominators came along on the signature shuffle — no
-    # second aggregation of the shingle table
-    sizes = sigs.select(id_col, "sz")
+    sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_arrays(sharr, num_hashes, id_col).select(id_col, "sig")
+    cands = minhash_lsh_candidates(sigs, bands, id_col)
+    sizes = sharr.select(F.col(id_col), F.size("__sh").alias("sz"))
+    sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
     inter = (
@@ -295,25 +300,29 @@ def duplicate_clusters(
 
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash bigint): sign of per-bit weighted sums over token
-    hashes. One explode + one groupBy(id) shuffle; the 32 bit-sums are
-    columnar aggregations."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)).alias("tok"),
-    ).withColumn("h", hash64(F.col("tok"), seed="simhash"))
-    bit_sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ]
+    hashes. Fully NARROW: the token list stays row-level and the bit
+    sums fold over it with `aggregate`/`zip_with` — zero shuffles (the
+    old explode + 32-conditional-sum groupBy shuffled every token).
+    hash bit b is read as (h div 2^b) % 2 (h is in 32-bit range)."""
+    hashes = F.expr(
+        f"transform(split(trim({text_col}), '{SQL_SPLIT_RE}'), "
+        "t -> cast(conv(substring(md5(concat('simhash:', t)), 1, 8), 16, 10) as bigint))"
     )
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") >= 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sim = term if sim is None else sim + term
-    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+    bit_sums = F.expr(
+        f"aggregate(__hs, array_repeat(cast(0 as bigint), {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        "(x, b) -> x + if((h div cast(pow(2, b) as bigint)) % 2 = 1, 1, -1)))"
+    )
+    sim = F.expr(
+        f"aggregate(zip_with(__bs, sequence(0, {bits - 1}), "
+        "(s, b) -> if(s >= 0, cast(pow(2, b) as bigint), cast(0 as bigint))), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return (
+        df.select(F.col(id_col), hashes.alias("__hs"))
+        .select(F.col(id_col), bit_sums.alias("__bs"))
+        .select(F.col(id_col), sim.alias("simhash"))
+    )
 
 
 def simhash_near_dup_pairs(

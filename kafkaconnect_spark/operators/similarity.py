@@ -165,35 +165,80 @@ def ivf_ann_topk(
     Centroids are chosen deterministically (the ``n_cells`` lowest-id
     vectors) instead of k-means so any engine — including the DuckDB
     oracle — reproduces the exact same index; swap in k-means|| for
-    real recall tuning, the plan shape is identical. Cell assignment
-    and probing are broadcast nested-loop over n_cells rows (tiny),
-    then one equi-join corpus⋈queries on cell id — never quadratic.
+    real recall tuning, the plan shape is identical.
+
+    Scale shape: the centroid table is tiny, so it is collected once
+    (the index-build step) and folded into per-row expressions — cell
+    assignment is a NARROW argmax over n_cells struct comparisons, the
+    corpus never shuffles for it (the window-rank formulation would
+    shuffle 100 TB just to pick each row's nearest of ~thousands of
+    cells). Centroid norms are precomputed driver-side with the exact
+    accumulation order of ``l2_norm`` so results stay bit-identical.
     """
-    cents = embeddings.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    import math
+
+    cent_rows = (
+        embeddings.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .collect()
+    )
+    cents = []
+    for r in cent_rows:
+        acc = 0.0
+        for v in r.cent_vec:
+            acc += float(v) * float(v)
+        cents.append((r.cent_id, [float(v) for v in r.cent_vec], math.sqrt(acc)))
+
+    # The whole centroid table is rendered into ONE SQL expression
+    # string (float literals via repr → string-cast, exact roundtrip):
+    # building it with per-element F.lit would cost thousands of py4j
+    # round-trips in plan construction alone.
+    cells_sql = ",".join(
+        "named_struct('cent_id', {cid}, 'negid', {neg}, 'cnorm', cast('{cn!r}' as double), "
+        "'cvec', array({vs}))".format(
+            cid=cid, neg=-cid, cn=cnorm, vs=",".join(f"cast('{x!r}' as double)" for x in cvec)
+        )
+        for cid, cvec, cnorm in cents
     )
 
-    def nearest_cells(df: DataFrame, in_id: str, in_vec: str, keep: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).select(
-            F.col(in_id),
-            F.col(in_vec),
-            F.col("cent_id"),
-            F.round(cosine(F.col(in_vec), F.col("cent_vec")), 6).alias("__csim"),
-        )
-        w = Window.partitionBy(in_id).orderBy(F.col("__csim").desc(), F.col("cent_id"))
+    def norm_sql(vec: str) -> str:
         return (
-            scored.withColumn("__cr", F.row_number().over(w))
-            .where(F.col("__cr") <= keep)
-            .select(F.col(in_id), F.col(in_vec), F.col("cent_id").alias(out))
+            f"sqrt(aggregate(transform({vec}, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v))"
         )
 
-    corpus = nearest_cells(
-        embeddings.select(id_col, vec_col), id_col, vec_col, 1, "cell"
+    def cell_scores_sql(vec: str) -> str:
+        # struct ordering: csim desc, then negid desc == cent_id asc —
+        # the same (cosine desc, cent_id) tie-break the ranked form used
+        return (
+            f"transform(array({cells_sql}), c -> named_struct("
+            f"'csim', round(aggregate(zip_with({vec}, c.cvec, (x, y) -> cast(x as double) * y), "
+            f"cast(0.0 as double), (acc, v) -> acc + v) / (__nv * c.cnorm), 6), "
+            "'negid', c.negid, 'cent_id', c.cent_id))"
+        )
+
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("__nv")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(f"array_max({cell_scores_sql(vec_col)}).cent_id").alias("cell"),
     )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.expr(norm_sql(vec_col)).alias("__nv"),
+    ).select(
+        F.col(query_id_col),
+        F.col("__qvec"),
+        F.explode(
+            F.expr(
+                f"slice(transform(sort_array({cell_scores_sql('__qvec')}, false), "
+                f"s -> s.cent_id), 1, {n_probe})"
+            )
+        ).alias("cell"),
     )
-    probes = nearest_cells(q, query_id_col, "__qvec", n_probe, "cell")
     scored = corpus.join(probes, "cell").where(
         F.col(id_col) != F.col(query_id_col)
     ).select(
