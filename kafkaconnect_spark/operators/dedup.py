@@ -225,20 +225,25 @@ def minhash_dedup_pairs(
     sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_arrays(sharr, num_hashes, id_col).select(id_col, "sig")
     cands = minhash_lsh_candidates(sigs, bands, id_col)
-    sizes = sharr.select(F.col(id_col), F.size("__sh").alias("sz"))
-    sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # Verify by joining the candidate pairs (few, post-LSH) back to the
+    # doc-level shingle SETS and intersecting per-row — the exploded
+    # inverted-index join + count aggregation would shuffle every
+    # shingle of every candidate doc; array_intersect ships each set
+    # once and computes Jaccard narrowly.
+    a = sharr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sharr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("__sh_a") + F.size("__sh_b") - F.col("inter")),
+                6,
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
