@@ -219,3 +219,130 @@ def embedding_centroids(
         F.round(F.col("s").cast("double") / F.col("n_vectors"), 6).alias("centroid"),
         "n_vectors",
     )
+
+
+def gopher_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, public) repetition/quality stats,
+    fully NARROW — every metric is a per-row fold over the token/line
+    arrays, so at 100 TB this runs at parquet-scan speed:
+
+    - word_count, mean_word_len
+    - symbol_word_ratio: ('#' + '...') occurrences per word
+    - dup_line_frac: 1 - distinct_lines/lines
+    - top_2gram_frac: occurrences of the most frequent word 2-gram over
+      all 2-grams, computed per-row as a run-length fold over the
+      SORTED 2-gram array (O(d log d), no explode/shuffle)
+    - keep: the composite Gopher-ish filter verdict
+
+    All ratios are int/int IEEE divisions — bit-identical in any
+    engine, no rounding needed for oracle replay."""
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE))
+        .alias("__toks"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    grams = F.expr(
+        "CASE WHEN size(__toks) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) END"
+    )
+    top_run = F.expr(
+        "aggregate(sort_array(__grams), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, g) -> named_struct('prev', g, "
+        "'run', if(acc.prev is not null and g = acc.prev, acc.run + 1, 1), "
+        "'best', greatest(acc.best, if(acc.prev is not null and g = acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)"
+    )
+    n_hash = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    stats = toks.withColumn("__grams", grams).select(
+        F.col(id_col),
+        F.size("__toks").alias("word_count"),
+        F.when(F.size("__toks") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr("aggregate(__toks, cast(0 as bigint), (acc, t) -> acc + length(t))")
+            / F.size("__toks")
+        )
+        .alias("mean_word_len"),
+        F.when(F.size("__toks") == 0, F.lit(0.0))
+        .otherwise((n_hash + n_ellipsis) / F.size("__toks"))
+        .alias("symbol_word_ratio"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__lines")) / F.size("__lines")
+        ).alias("dup_line_frac"),
+        F.when(F.size("__grams") == 0, F.lit(0.0))
+        .otherwise(top_run / F.size("__grams"))
+        .alias("top_2gram_frac"),
+    )
+    return stats.withColumn(
+        "keep",
+        (F.col("word_count") >= 5)
+        & (F.col("word_count") <= 100000)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("dup_line_frac") < 0.3)
+        & (F.col("top_2gram_frac") < 0.2),
+    )
+
+
+def balance_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Mixture balancing: deterministically downsample every source to
+    the smallest source's size (in expectation) — the keep threshold is
+    integer-exact (min_count * 1e6 DIV count) and membership is decided
+    by md5-hash of the id, so the sample is stable and any engine
+    replays it bit-for-bit.
+
+    Scale shape: per-source counts are a tiny aggregate (|sources|
+    rows) broadcast back; the filter itself is narrow. Generalizes to
+    arbitrary target weights by scaling the numerator."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
+    mn = counts.agg(F.min("__c").alias("__mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        F.col(source_col), F.expr("(__mn * 1000000) DIV __c").alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(F.pmod(hash64(F.col(id_col).cast("string"), seed), F.lit(1000000)) < F.col("__thr"))
+        .select(id_col, source_col)
+    )
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str = "doc_id", shards: int = 64, seed: str = "shard"
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the "write N shuffled
+    shards for the trainer" step. shard_id = hash(id) mod N; pos = rank
+    of the hash within the shard (ties broken by id).
+
+    Scale shape: one hash-partitioned exchange on shard_id and a
+    per-shard sort — exactly what `repartition(N, shard_id).
+    sortWithinPartitions(h)` does in the writer; no global sort, no
+    driver collection. Hash-ordering within shards IS the shuffle of
+    training order (md5 ≈ uniform random permutation, but stable)."""
+    from pyspark.sql import Window
+
+    h = hash64(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy("shard_id").orderBy("__h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("__h"))
+        .withColumn("shard_id", F.pmod(F.col("__h"), F.lit(shards)))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard_id", "pos")
+    )

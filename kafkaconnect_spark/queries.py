@@ -1691,6 +1691,77 @@ FROM v WHERE op != 'd'
 """
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules — fully narrow per-row
+    folds (operators/pipeline.gopher_repetition_stats)."""
+    stats = pipeline.gopher_repetition_stats(_t(spark, sf_dir, "documents"))
+    return stats.withColumn("keep", F.col("keep").cast("int"))
+
+
+GOPHER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         str_split(text, chr(10)) AS lines
+  FROM documents),
+g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+gm AS (SELECT doc_id, max(cnt) AS best, sum(cnt) AS ngrams
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+       GROUP BY 1),
+s AS (
+  SELECT t.doc_id,
+         len(toks)::INT AS word_count,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x))) / len(toks) END AS mean_word_len,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE ((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3) / len(toks) END
+              AS symbol_word_ratio,
+         1.0 - len(list_distinct(lines)) / len(lines) AS dup_line_frac,
+         COALESCE(gm.best / gm.ngrams, 0.0) AS top_2gram_frac
+  FROM t LEFT JOIN gm USING (doc_id))
+SELECT *,
+       CASE WHEN word_count >= 5 AND word_count <= 100000
+                 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                 AND symbol_word_ratio < 0.1 AND dup_line_frac < 0.3
+                 AND top_2gram_frac < 0.2 THEN 1 ELSE 0 END AS keep
+FROM s
+"""
+
+
+def sampling_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: every source hash-downsampled to the
+    smallest source's size in expectation (integer-exact thresholds,
+    md5 membership — operators/pipeline.balance_sources)."""
+    return pipeline.balance_sources(_t(spark, sf_dir, "documents"))
+
+
+BALANCE_ORACLE = rf"""
+WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+r AS (SELECT source, (min(c) OVER ()) * 1000000 // c AS thr FROM c)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE {_hash64_sql('doc_id', 'mix')} % 1000000 < thr
+"""
+
+
+def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 64 training shards with
+    within-shard positions (operators/pipeline.shard_assignment)."""
+    return pipeline.shard_assignment(_t(spark, sf_dir, "documents"), shards=64)
+
+
+SHARD_ORACLE = rf"""
+WITH h AS (SELECT doc_id, {_hash64_sql('doc_id', 'shard')} AS h FROM documents)
+SELECT doc_id, h % 64 AS shard_id,
+       row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)::INT AS pos
+FROM h
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -1764,6 +1835,9 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "embedding_label_centroids": QueryDef(embedding_label_centroids, CENTROID_ORACLE),
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_ORACLE),
     "quality_funnel": QueryDef(quality_funnel, QUALITY_FUNNEL_ORACLE),
+    "text_gopher_rules": QueryDef(text_gopher_rules, GOPHER_ORACLE),
+    "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
+    "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
     # streaming batch twins
     "events_dedup_redelivery": QueryDef(events_dedup_redelivery, DEDUP_REDELIVERY_ORACLE),
     "events_enrich_dimension": QueryDef(events_enrich_dimension, ENRICH_ORACLE),

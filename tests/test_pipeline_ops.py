@@ -83,3 +83,44 @@ def test_centroid_exact_mean(spark):
     )
     out = {(r.label, r.dim): r.centroid for r in pipeline.embedding_centroids(df).collect()}
     assert out == {(1, 0): 2.0, (1, 1): 4.0}
+
+
+def test_gopher_stats_repetition_and_edges(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b a b"),            # one 2-gram dominates
+            Row(doc_id=2, text="all distinct words here now"),
+            Row(doc_id=3, text=""),                            # empty → zeros
+            Row(doc_id=4, text="x\ny\nx\ny"),                  # duplicate lines
+            Row(doc_id=5, text="#### ... #### words"),         # symbol soup
+        ]
+    )
+    out = {r.doc_id: r for r in pipeline.gopher_repetition_stats(df).collect()}
+    # "a b" appears 4× among 7 2-grams
+    assert out[1].top_2gram_frac == 4 / 7 and not out[1].keep
+    assert out[2].top_2gram_frac == 1 / 4
+    assert out[3].word_count == 0 and out[3].mean_word_len == 0.0
+    assert out[4].dup_line_frac == 0.5
+    assert out[5].symbol_word_ratio > 0.1 and not out[5].keep
+
+
+def test_balance_sources_thresholds(spark):
+    rows = [Row(doc_id=i, source="big") for i in range(100)] + [
+        Row(doc_id=100 + i, source="small") for i in range(10)
+    ]
+    out = pipeline.balance_sources(spark.createDataFrame(rows)).collect()
+    by_src = {"big": 0, "small": 0}
+    for r in out:
+        by_src[r.source] += 1
+    # every small-source doc survives (threshold = 1e6); big is ~10%
+    assert by_src["small"] == 10
+    assert 0 < by_src["big"] < 40
+
+
+def test_shard_assignment_positions(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    out = pipeline.shard_assignment(df, shards=8).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    for shard in range(8):
+        poss = sorted(r.pos for r in out if r.shard_id == shard)
+        assert poss == list(range(1, len(poss) + 1))
