@@ -1691,6 +1691,19 @@ FROM v WHERE op != 'd'
 """
 
 
+def events_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users + approx value-quantiles per event type —
+    constant sketch state per group at any scale (operators/sketches).
+    Approximate by design → no value oracle; accuracy contracts live
+    in tests/test_sketches.py against exact answers."""
+    from kafkaconnect_spark.operators import sketches
+
+    ev = _events(spark, sf_dir)
+    card = sketches.group_cardinality_sketch(ev, "event_type", "user_id")
+    quant = sketches.group_quantile_sketch(ev, "event_type", "value")
+    return card.join(quant, "event_type")
+
+
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality rules — fully narrow per-row
     folds (operators/pipeline.gopher_repetition_stats)."""
@@ -1836,6 +1849,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_ORACLE),
     "quality_funnel": QueryDef(quality_funnel, QUALITY_FUNNEL_ORACLE),
     "text_gopher_rules": QueryDef(text_gopher_rules, GOPHER_ORACLE),
+    "events_cardinality_sketch": QueryDef(events_cardinality_sketch, None),
     "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
     "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
     # streaming batch twins

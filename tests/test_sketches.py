@@ -1,0 +1,65 @@
+"""Error-bound contracts for the sketch aggregations — the catalog
+query for sketches takes the driver's rows-only check (approx values
+are engine-specific), so THESE assertions are the correctness
+statement: estimates must land within the configured bounds of the
+exact answers on real testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.operators import sketches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from kafkaconnect_spark.queries import _events
+
+    return _events(spark, SF_DIR)
+
+
+def test_hll_within_rsd(spark, events):
+    est = {
+        r[0]: r.approx_distinct
+        for r in sketches.group_cardinality_sketch(
+            events, "event_type", "user_id", rsd=0.02
+        ).collect()
+    }
+    exact = {
+        r[0]: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        # 5 sigma of the configured 2% rsd
+        assert abs(est[k] - n) <= max(1, 0.1 * n), (k, est[k], n)
+
+
+def test_quantile_sketch_rank_error(spark, events):
+    approx = {
+        r[0]: (r.p50, r.p95)
+        for r in sketches.group_quantile_sketch(
+            events, "event_type", "value", quantiles=(0.5, 0.95)
+        ).collect()
+    }
+    for etype, (p50, p95) in approx.items():
+        vals = sorted(
+            r.value
+            for r in events.where(F.col("event_type") == etype).select("value").collect()
+        )
+        n = len(vals)
+
+        def rank_of(v):
+            import bisect
+
+            return bisect.bisect_right(vals, v) / n
+
+        # percentile_approx guarantees rank error <= 1/accuracy; allow
+        # slack for duplicate-value plateaus on small groups
+        assert 0.5 - 0.02 <= rank_of(p50) and rank_of(p50 - 1e-9) <= 0.5 + 0.02
+        assert 0.95 - 0.02 <= rank_of(p95) and rank_of(p95 - 1e-9) <= 0.95 + 0.02
