@@ -88,26 +88,33 @@ def hyperplane_signature(vec_col: str, num_planes: int, dim: int) -> Column:
     """
     import hashlib
 
-    bits = []
-    for p in range(num_planes):
-        # the weights are pure constants — fold them driver-side
-        # (identical md5 math to the in-engine/oracle derivation) so the
-        # executor does only the dot product, zero runtime hashing
-        weights = [
-            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
-            for d in range(dim)
-        ]
-        warr = F.array(*[F.lit(w) for w in weights])
-        terms = F.aggregate(
-            F.zip_with(F.col(vec_col), warr, lambda v, w: v.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # The weights are pure constants — fold them driver-side (identical
+    # md5 math to the in-engine/oracle derivation) so the executor does
+    # only the dot products, zero runtime hashing. Rendered as ONE SQL
+    # expression string: per-element F.lit would cost num_planes×dim
+    # py4j round-trips (~1 s of plan-build for 8×64) before Spark even
+    # sees the query.
+    planes_sql = "array({})".format(
+        ",".join(
+            "array({})".format(
+                ",".join(
+                    "cast('{!r}' as double)".format(
+                        int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+                        / 2147483648.0
+                        - 1.0
+                    )
+                    for d in range(dim)
+                )
+            )
+            for p in range(num_planes)
         )
-        bits.append(F.when(terms >= 0, F.lit(2 ** p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    )
+    return F.expr(
+        f"cast(aggregate(sequence(0, {num_planes - 1}), 0, (acc, p) -> acc + "
+        f"if(aggregate(zip_with({vec_col}, element_at({planes_sql}, p + 1), "
+        "(v, w) -> cast(v as double) * w), cast(0.0 as double), (a, t) -> a + t) >= 0, "
+        "cast(pow(2, p) as int), 0)) as int)"
+    )
 
 
 def lsh_ann_topk(
@@ -269,15 +276,23 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     sig = hyperplane_signature(vec_col, num_planes, dim)
-    c = embeddings.withColumn("__bucket", sig)
-    a, b = c.alias("a"), c.alias("b")
+    # distinct column names per side (not DataFrame aliases): the
+    # name-resolved SQL expression inside the signature breaks under
+    # self-join attribute dedup otherwise
+    c = embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("__bucket"))
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+    )
     return (
         a.join(b, "__bucket")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(F.col("id_a") < F.col("id_b"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
