@@ -184,6 +184,50 @@ def _build_ts_converter(p: dict[str, str]) -> Transform:
     )
 
 
+# ---------------------------------------------------------------------------
+# user extension point (SURVEY §2.7): registered Python transforms.
+# Connect's SMT surface has no UDF hook; ours allows a named Python
+# DataFrame→DataFrame function in the chain — spec type
+# "PythonFunction" with param "function": the registered name:
+#   {"type": "kafkaconnect_spark.PythonFunction", "function": "clean"}
+# ---------------------------------------------------------------------------
+
+USER_TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {}
+
+
+def register_python_transform(
+    name: str, fn: Transform | Callable[[dict[str, str]], Transform], takes_params: bool = False
+) -> None:
+    """Register a Python transform for use in SMT chains. ``fn`` is a
+    DataFrame→DataFrame callable, or (with ``takes_params=True``) a
+    builder params→Transform."""
+    USER_TRANSFORM_REGISTRY[name] = fn if takes_params else (lambda _p, _fn=fn: _fn)
+
+
+def pandas_batch_transform(fn, schema) -> Transform:
+    """Arrow-batched pandas map as an SMT: ``fn`` sees a
+    pandas.DataFrame per batch and returns one matching ``schema``.
+    The slow-path escape hatch — per-batch Arrow transfer, never
+    row-at-a-time; keep hot-path transforms as Column expressions."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        def gen(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return df.mapInPandas(gen, schema=schema)
+
+    return _apply
+
+
+def _build_python_function(p: dict[str, str]) -> Transform:
+    name = p.get("function", "")
+    builder = USER_TRANSFORM_REGISTRY.get(name)
+    if builder is None:
+        raise SpecError(f"unregistered python transform {name!r}")
+    return builder(p)
+
+
 TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
     "ValueToKey": _build_value_to_key,
     "ExtractField$Key": _build_extract_key,
@@ -191,6 +235,7 @@ TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
     "ExtractNewRecordState": _build_unwrap,
     "RegexRouter": _build_router,
     "TimestampConverter$Value": _build_ts_converter,
+    "PythonFunction": _build_python_function,
 }
 
 

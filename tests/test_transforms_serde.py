@@ -140,3 +140,39 @@ def test_build_transform_chain_order(spark):
     out = chain(df)
     row = out.first()
     assert row.key == 5 and row.topic == "post_t"
+
+
+def test_python_transform_in_chain(spark):
+    from kafkaconnect_spark.operators.transforms import (
+        pandas_batch_transform,
+        register_python_transform,
+    )
+
+    def upper_x(pdf):
+        # value is a Connect-style struct column → dicts in pandas
+        pdf["value"] = pdf["value"].map(lambda v: {**v, "x": v["x"].upper()})
+        return pdf
+
+    register_python_transform(
+        "upper_x",
+        pandas_batch_transform(upper_x, "value struct<id:int, x:string>"),
+    )
+    chain = build_transform_chain(
+        [
+            TransformSpec("clean", "kafkaconnect_spark.PythonFunction", {"function": "upper_x"}),
+            TransformSpec("create_key", "org.apache.kafka.connect.transforms.ValueToKey", {"fields": "id"}),
+        ]
+    )
+    out = chain(records(spark, [(1, "ab")], "id int, x string")).first()
+    assert out.value.x == "AB" and out.key.id == 1
+
+
+def test_python_transform_unregistered_fails():
+    import pytest
+
+    from kafkaconnect_spark.plans.spec import SpecError
+
+    with pytest.raises(SpecError, match="unregistered"):
+        build_transform_chain(
+            [TransformSpec("c", "kafkaconnect_spark.PythonFunction", {"function": "nope"})]
+        )
