@@ -126,10 +126,17 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """ANN top-k: bucket equi-join on the hyperplane signature, exact
     cosine re-rank inside the bucket. Candidates ≈ N / 2^planes per
-    query — tune num_planes to the corpus size."""
+    query — tune num_planes to the corpus size.
+
+    ``multi_probe``: also probe every Hamming-1 neighbor bucket (flip
+    each signature bit on the QUERY side only — the corpus index is
+    untouched, candidates grow ×(planes+1) not ×2^planes). The
+    standard recall lever when a near neighbor straddles one
+    hyperplane; recall gain is asserted in test_ann_recall.py."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     sig = hyperplane_signature(vec_col, num_planes, dim)
@@ -137,8 +144,20 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        hyperplane_signature(vec_col, num_planes, dim).alias("__bucket"),
+        hyperplane_signature(vec_col, num_planes, dim).alias("__bucket0"),
     )
+    if multi_probe:
+        probes = F.expr(
+            f"array_union(array(__bucket0), transform(sequence(0, {num_planes - 1}), "
+            "p -> cast(__bucket0 ^ cast(pow(2, p) as int) as int)))"
+        )
+        q = q.select(
+            F.col(query_id_col),
+            F.col("__qvec"),
+            F.explode(probes).alias("__bucket"),
+        )
+    else:
+        q = q.withColumnRenamed("__bucket0", "__bucket")
     scored = corpus.join(F.broadcast(q), "__bucket").where(
         F.col(id_col) != F.col(query_id_col)
     ).select(
@@ -146,6 +165,11 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
     )
+    if multi_probe:
+        # a neighbor can collide on several probe buckets
+        scored = scored.groupBy(query_id_col, "neighbor_id").agg(
+            F.max("cosine").alias("cosine")
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

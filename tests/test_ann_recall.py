@@ -40,3 +40,17 @@ def test_lsh_and_ivf_recall_vs_brute_force(spark, sf_dir):
     # candidate sets are actually pruned (sub-linear path is real)
     assert lsh.count() <= exact.count()
     assert ivf.count() <= exact.count()
+
+
+def test_multi_probe_improves_or_matches_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    exact = similarity.brute_force_topk(emb, q, k=10)
+    single = similarity.lsh_ann_topk(emb, q, k=10, num_planes=4, dim=64)
+    multi = similarity.lsh_ann_topk(
+        emb, q, k=10, num_planes=4, dim=64, multi_probe=True
+    )
+    r_single = recall(single, exact, 10)
+    r_multi = recall(multi, exact, 10)
+    assert r_multi >= r_single, (r_single, r_multi)
+    assert r_multi >= 0.4, f"multi-probe recall collapsed: {r_multi}"
