@@ -266,8 +266,12 @@ def duplicate_clusters(
     from pyspark import StorageLevel
 
     # persist the edge list (cuts pair-generation out of every
-    # iteration) and each round's labels (iterative lineage would
-    # otherwise recompute all prior rounds — quadratic work)
+    # iteration); each round's labels are localCheckpoint'ed — the
+    # label plan references the previous round's plan more than once,
+    # so without lineage TRUNCATION (persist alone doesn't truncate)
+    # the logical plan grows exponentially with iterations and
+    # analysis itself OOMs on high-diameter graphs. On a cluster with
+    # a checkpoint dir, swap for reliable checkpoint().
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -276,7 +280,7 @@ def duplicate_clusters(
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor = (
@@ -287,7 +291,7 @@ def duplicate_clusters(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -296,10 +300,10 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -364,3 +368,74 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm): converges in O(log n) rounds even for long
+    chains, where min-label propagation needs O(diameter). The
+    extreme-scale variant promised by duplicate_clusters.
+
+    large-star: every node points its LARGER neighbors at the min of
+    its neighborhood; small-star: every node points its smaller-or-
+    equal neighbors (and itself) at that min. At fixpoint the edge set
+    is exactly (node → component-min) stars. Each half-round is one
+    groupBy + one join, all keyed — no driver-side graph.
+    """
+
+    def bidirect(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = bidirect(e)
+        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        return (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge large→small, group the small neighbors
+        oriented = bidirect(e).where(F.col("v") < F.col("u"))
+        m = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = oriented.join(m, "u")
+        to_min = joined.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
+            joined.select(F.col("u"), F.col("mn").alias("v"))
+        )
+        return to_min.where(F.col("u") != F.col("v")).distinct()
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # localCheckpoint truncates lineage each round — the star plans
+        # reference the previous round's plan several times, which
+        # would otherwise grow the logical plan exponentially
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        # fixpoint when the (canonical, distinct) edge sets match
+        changed = (
+            new_edges.unionByName(edges)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") != 2)
+            .limit(1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # star edges are (node → component min); the min labels itself
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    mins = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return labels.unionByName(mins)

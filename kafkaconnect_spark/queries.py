@@ -978,6 +978,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labels via alternating large-star/small-star
+    (O(log n) rounds — the extreme-scale variant); gated against the
+    identical recursive-CTE oracle as dedup_clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
+    return dedup.duplicate_clusters_star(pairs)
+
+
 DEDUP_CLUSTERS_ORACLE = rf"""
 WITH RECURSIVE {_SHINGLE_CTE},
 sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
@@ -1820,6 +1829,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE),
     "dedup_simhash": QueryDef(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "dedup_clusters": QueryDef(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
+    "dedup_clusters_star": QueryDef(dedup_clusters_star, DEDUP_CLUSTERS_ORACLE),
     "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, DEDUP_EMB_ORACLE),
     # Phase E similarity
     "similarity_topk": QueryDef(similarity_topk, SIM_TOPK_ORACLE),

@@ -1,0 +1,47 @@
+"""Connected-component equivalence and scalability regressions for
+the two clustering algorithms (min-label propagation vs alternating
+large-star/small-star)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+
+from kafkaconnect_spark.operators import dedup
+
+
+def _both(spark, rows):
+    df = spark.createDataFrame(rows)
+    a = {(r.doc_id, r.cluster_id) for r in dedup.duplicate_clusters(df).collect()}
+    b = {(r.doc_id, r.cluster_id) for r in dedup.duplicate_clusters_star(df).collect()}
+    return a, b
+
+
+def test_long_chain_no_plan_blowup(spark):
+    # regression: iterative lineage must be truncated per round —
+    # a diameter-30 chain used to OOM the driver on plan analysis
+    a, b = _both(spark, [Row(id_a=i, id_b=i + 1) for i in range(30)])
+    assert a == b == {(i, 0) for i in range(31)}
+
+
+def test_random_graph_equivalence(spark):
+    random.seed(7)
+    rows = [
+        Row(id_a=random.randrange(120), id_b=random.randrange(120)) for _ in range(90)
+    ]
+    rows = [r for r in rows if r.id_a != r.id_b]
+    a, b = _both(spark, rows)
+    assert a == b and len(a) > 0
+
+
+def test_cliques_and_isolated_pair(spark):
+    rows = [Row(id_a=i, id_b=j) for i in range(5) for j in range(i + 1, 5)]
+    rows += [Row(id_a=100 + i, id_b=100 + j) for i in range(4) for j in range(i + 1, 4)]
+    rows += [Row(id_a=900, id_b=901)]
+    a, b = _both(spark, rows)
+    assert a == b
+    labels = dict(b)
+    assert all(labels[i] == 0 for i in range(5))
+    assert all(labels[100 + i] == 100 for i in range(4))
+    assert labels[900] == labels[901] == 900
