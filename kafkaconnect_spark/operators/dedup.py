@@ -175,6 +175,20 @@ def _signatures_from_arrays(sharr: DataFrame, num_hashes: int, id_col: str) -> D
     return proj.select(F.col(id_col), F.array(*mins).alias("sig"), "sz")
 
 
+def _banded(sigs: DataFrame, bands: int, id_col: str) -> DataFrame:
+    """(id, band, band_hash) — signature split into b bands, each
+    hashed; the LSH bucket key."""
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"md5(array_join(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands}), ',')))"
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 4,
@@ -185,15 +199,7 @@ def minhash_lsh_candidates(
     rows-per-band r = len(sig)/bands; collision prob ≈ 1-(1-s^r)^b for
     Jaccard s — the standard S-curve. Returns candidate (id_a, id_b)
     pairs, deduplicated."""
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"md5(array_join(slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands}), ',')))"
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded(sigs, bands, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band", "band_hash"])
@@ -246,6 +252,62 @@ def minhash_dedup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: match a NEW batch against the standing
+    corpus — the production shape (the 100 TB corpus is never
+    self-joined again; only new×corpus band collisions are tested).
+
+    At scale the corpus side of this plan (shingle sets + banded
+    signatures) is a precomputed index table partitioned/bucketed by
+    band_hash, so each ingest batch joins against it with no corpus
+    recompute; here both sides derive from DataFrames — the join
+    shape is identical. Returns (id_new, id_corpus, jaccard)."""
+    from pyspark import StorageLevel
+
+    sh_new = shingle_arrays(new_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_cor = shingle_arrays(corpus_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b_new = _banded(
+        _signatures_from_arrays(sh_new, num_hashes, id_col).select(id_col, "sig"),
+        bands,
+        id_col,
+    ).withColumnRenamed(id_col, "id_new")
+    b_cor = _banded(
+        _signatures_from_arrays(sh_cor, num_hashes, id_col).select(id_col, "sig"),
+        bands,
+        id_col,
+    ).withColumnRenamed(id_col, "id_corpus")
+    cands = b_new.join(b_cor, ["band", "band_hash"]).select("id_new", "id_corpus").distinct()
+    a = sh_new.select(F.col(id_col).alias("id_new"), F.col("__sh").alias("__sh_a"))
+    b = sh_cor.select(F.col(id_col).alias("id_corpus"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, "id_new")
+        .join(b, "id_corpus")
+        .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.size("__sh_a") + F.size("__sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
     )
 
 

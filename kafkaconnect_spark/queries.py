@@ -978,6 +978,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with doc_id % 10 = 0 play the 'newly
+    crawled batch', the rest the standing corpus — only new×corpus
+    band collisions are verified (the corpus is never self-joined)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_dedup_pairs_between(
+        new, corpus, threshold=0.2, num_hashes=16, bands=4
+    )
+
+
+DEDUP_INCR_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_new, b.doc_id id_corpus
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT id_new, id_corpus, count(*) inter
+  FROM cands JOIN sh a ON a.doc_id = id_new JOIN sh b ON b.doc_id = id_corpus AND a.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT id_new, id_corpus, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_new JOIN sizes sb ON sb.doc_id = id_corpus
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+"""
+
+
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same component labels via alternating large-star/small-star
     (O(log n) rounds — the extreme-scale variant); gated against the
@@ -1830,6 +1864,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "dedup_clusters": QueryDef(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "dedup_clusters_star": QueryDef(dedup_clusters_star, DEDUP_CLUSTERS_ORACLE),
+    "dedup_incremental": QueryDef(dedup_incremental, DEDUP_INCR_ORACLE),
     "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, DEDUP_EMB_ORACLE),
     # Phase E similarity
     "similarity_topk": QueryDef(similarity_topk, SIM_TOPK_ORACLE),
