@@ -40,6 +40,9 @@ HEADLINE = [
     "similarity_ivf",
     "text_quality",
     "text_langid",
+    "text_gopher_rules",
+    "dedup_incremental",
+    "docs_shard_assignment",
 ]
 
 
