@@ -186,3 +186,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_new_pipeline_ops_plan_shapes(spark):
+    from kafkaconnect_spark.operators import pipeline
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # Gopher metrics: fully narrow — quality filtering at scan speed
+    p = pipeline.gopher_repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+    # shard assignment: exactly one hash exchange (the shard routing)
+    p = pipeline.shard_assignment(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    # source balancing: the corpus side joins the tiny per-source rate
+    # table via broadcast — no shuffle of the documents scan
+    p = pipeline.balance_sources(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
