@@ -94,6 +94,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via the shingle inverted index.
 
@@ -101,8 +102,15 @@ def ngram_jaccard_pairs(
     intersections → join per-doc sizes → filter. Two shuffles (join +
     groupBy), both keyed on uniform hashes. Hot shingles (stopword
     runs) create skew at scale — AQE skew-join handles moderate skew;
-    extreme cases should pre-filter top-frequency shingles (document
-    frequency cap), which is also a quality win.
+    ``max_doc_freq`` is the extreme-case lever: shingles appearing in
+    more than that many docs are dropped from the CANDIDATE join (a
+    df-cap shingle contributes ≥ df² join rows but only ever links
+    near-identical boilerplate). Capped shingles still count toward
+    set sizes and intersections via the doc-level arrays, so reported
+    Jaccard values for surviving pairs stay EXACT; only pairs whose
+    every shared shingle is capped can be missed — at a df cap of
+    thousands those are boilerplate, not near-dups. Default None =
+    fully exact.
     """
     from pyspark import StorageLevel
 
@@ -110,6 +118,40 @@ def ngram_jaccard_pairs(
     sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     # set sizes read off the persisted doc-level arrays — no aggregation
     sizes = sharr.select(F.col(id_col), F.size("__sh").alias("sz"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        cands = (
+            joinable.alias("a")
+            .join(joinable.alias("b"), on="shingle")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+        a_sets = sharr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+        b_sets = sharr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+        return (
+            cands.join(a_sets, "id_a")
+            .join(b_sets, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (F.size("__sh_a") + F.size("__sh_b") - F.col("inter")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

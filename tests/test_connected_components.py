@@ -45,3 +45,26 @@ def test_cliques_and_isolated_pair(spark):
     assert all(labels[i] == 0 for i in range(5))
     assert all(labels[100 + i] == 100 for i in range(4))
     assert labels[900] == labels[901] == 900
+
+
+def test_ngram_df_cap_keeps_exact_jaccard(spark):
+    # 30 docs all share one boilerplate shingle run; two true near-dups
+    base = "alpha beta gamma"
+    rows = [Row(doc_id=i, text=f"{base} filler{i} mid{i} tail{i}") for i in range(30)]
+    rows += [
+        Row(doc_id=100, text="x y z w v u t"),
+        Row(doc_id=101, text="x y z w v u q"),
+    ]
+    df = spark.createDataFrame(rows)
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=10).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    # the true near-dup pair survives the cap with the EXACT jaccard
+    assert (100, 101) in capped and capped[(100, 101)] == exact[(100, 101)]
+    # boilerplate-only links (jaccard < threshold anyway here) absent
+    assert all(k[0] == 100 or exact.get(k) is not None for k in capped)
