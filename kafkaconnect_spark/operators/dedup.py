@@ -88,6 +88,38 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _jaccard_verify(
+    cands: DataFrame,
+    sharr_a: DataFrame,
+    sharr_b: DataFrame,
+    threshold: float,
+    key_a: str,
+    key_b: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Join candidate pairs back to the doc-level shingle SETS and
+    compute exact Jaccard per-row (array_intersect) — the shared
+    verify tail of every candidate-generation strategy. Ships each set
+    once per candidate; no shingle-level shuffle."""
+    a = sharr_a.select(F.col(id_col).alias(key_a), F.col("__sh").alias("__sh_a"))
+    b = sharr_b.select(F.col(id_col).alias(key_b), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, key_a)
+        .join(b, key_b)
+        .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("__sh_a") + F.size("__sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(key_a, key_b, "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -135,23 +167,7 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        a_sets = sharr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-        b_sets = sharr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
-        return (
-            cands.join(a_sets, "id_a")
-            .join(b_sets, "id_b")
-            .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("inter")
-                    / (F.size("__sh_a") + F.size("__sh_b") - F.col("inter")),
-                    6,
-                ),
-            )
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+        return _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -276,25 +292,9 @@ def minhash_dedup_pairs(
     # Verify by joining the candidate pairs (few, post-LSH) back to the
     # doc-level shingle SETS and intersecting per-row — the exploded
     # inverted-index join + count aggregation would shuffle every
-    # shingle of every candidate doc; array_intersect ships each set
+    # shingle of every candidate doc; _jaccard_verify ships each set
     # once and computes Jaccard narrowly.
-    a = sharr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sharr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("__sh_a") + F.size("__sh_b") - F.col("inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col)
 
 
 def minhash_dedup_pairs_between(
@@ -335,22 +335,7 @@ def minhash_dedup_pairs_between(
         id_col,
     ).withColumnRenamed(id_col, "id_corpus")
     cands = b_new.join(b_cor, ["band", "band_hash"]).select("id_new", "id_corpus").distinct()
-    a = sh_new.select(F.col(id_col).alias("id_new"), F.col("__sh").alias("__sh_a"))
-    b = sh_cor.select(F.col(id_col).alias("id_corpus"), F.col("__sh").alias("__sh_b"))
-    return (
-        cands.join(a, "id_new")
-        .join(b, "id_corpus")
-        .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.size("__sh_a") + F.size("__sh_b") - F.col("inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_new", "id_corpus", "jaccard")
-    )
+    return _jaccard_verify(cands, sh_new, sh_cor, threshold, "id_new", "id_corpus", id_col)
 
 
 def duplicate_clusters(
@@ -404,6 +389,7 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
+        labels.unpersist()  # superseded round's checkpointed blocks
         labels = new_labels
         if changed == 0:
             break
@@ -417,6 +403,9 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     sums fold over it with `aggregate`/`zip_with` — zero shuffles (the
     old explode + 32-conditional-sum groupBy shuffled every token).
     hash bit b is read as (h div 2^b) % 2 (h is in 32-bit range)."""
+    # NULL text is dropped, matching the old explode form (explode of a
+    # NULL array emits no row) and the oracle's unnest
+    df = df.where(F.col(text_col).isNotNull())
     hashes = F.expr(
         f"transform(split(trim({text_col}), '{SQL_SPLIT_RE}'), "
         "t -> cast(conv(substring(md5(concat('simhash:', t)), 1, 8), 16, 10) as bigint))"
@@ -534,6 +523,7 @@ def duplicate_clusters_star(
             .limit(1)
             .count()
         )
+        edges.unpersist()  # superseded round's checkpointed blocks
         edges = new_edges
         if changed == 0:
             break

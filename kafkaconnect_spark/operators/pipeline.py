@@ -238,15 +238,16 @@ def gopher_repetition_stats(
 
     All ratios are int/int IEEE divisions — bit-identical in any
     engine, no rounding needed for oracle replay."""
+    # NULL text behaves as empty (metrics 0, keep=false) on both the
+    # engine and oracle sides — not NULL-propagated half-metrics
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = df.select(
         F.col(id_col),
-        F.col(text_col),
-        F.when(
-            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
-        )
-        .otherwise(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE))
+        txt.alias(text_col),
+        F.when(F.length(F.trim(txt)) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim(txt), TOKEN_SPLIT_RE))
         .alias("__toks"),
-        F.split(F.col(text_col), "\n").alias("__lines"),
+        F.split(txt, "\n").alias("__lines"),
     )
     grams = F.expr(
         "CASE WHEN size(__toks) < 2 THEN array() ELSE "

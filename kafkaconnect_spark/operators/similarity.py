@@ -221,16 +221,26 @@ def ivf_ann_topk(
             acc += float(v) * float(v)
         cents.append((r.cent_id, [float(v) for v in r.cent_vec], math.sqrt(acc)))
 
+    def _id_lit(cid) -> str:
+        if isinstance(cid, str):
+            return "'" + cid.replace("'", "''") + "'"
+        return repr(cid)
+
     # The whole centroid table is rendered into ONE SQL expression
     # string (float literals via repr → string-cast, exact roundtrip):
     # building it with per-element F.lit would cost thousands of py4j
-    # round-trips in plan construction alone.
+    # round-trips in plan construction alone. cent_rows arrive sorted
+    # by cent_id, so the list index doubles as the cent_id-ascending
+    # tie-break (negidx desc == cent_id asc) — works for string ids too.
     cells_sql = ",".join(
-        "named_struct('cent_id', {cid}, 'negid', {neg}, 'cnorm', cast('{cn!r}' as double), "
-        "'cvec', array({vs}))".format(
-            cid=cid, neg=-cid, cn=cnorm, vs=",".join(f"cast('{x!r}' as double)" for x in cvec)
+        "named_struct('negidx', {neg}, 'cent_id', {cid}, "
+        "'cnorm', cast('{cn!r}' as double), 'cvec', array({vs}))".format(
+            cid=_id_lit(cid),
+            neg=-i,
+            cn=cnorm,
+            vs=",".join(f"cast('{x!r}' as double)" for x in cvec),
         )
-        for cid, cvec, cnorm in cents
+        for i, (cid, cvec, cnorm) in enumerate(cents)
     )
 
     def norm_sql(vec: str) -> str:
@@ -240,13 +250,13 @@ def ivf_ann_topk(
         )
 
     def cell_scores_sql(vec: str) -> str:
-        # struct ordering: csim desc, then negid desc == cent_id asc —
+        # struct ordering: csim desc, then negidx desc == cent_id asc —
         # the same (cosine desc, cent_id) tie-break the ranked form used
         return (
             f"transform(array({cells_sql}), c -> named_struct("
             f"'csim', round(aggregate(zip_with({vec}, c.cvec, (x, y) -> cast(x as double) * y), "
             f"cast(0.0 as double), (acc, v) -> acc + v) / (__nv * c.cnorm), 6), "
-            "'negid', c.negid, 'cent_id', c.cent_id))"
+            "'negidx', c.negidx, 'cent_id', c.cent_id))"
         )
 
     corpus = embeddings.select(
@@ -270,13 +280,17 @@ def ivf_ann_topk(
             )
         ).alias("cell"),
     )
+    # no (query, neighbor) dedup needed: each corpus row lives in
+    # exactly one cell and a query's probe cells are distinct, so a
+    # pair can collide only once — a groupBy here would be a pure
+    # extra shuffle of the candidate set
     scored = corpus.join(probes, "cell").where(
         F.col(id_col) != F.col(query_id_col)
     ).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
-    ).groupBy(query_id_col, "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

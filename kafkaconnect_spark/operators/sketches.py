@@ -56,5 +56,8 @@ def group_quantile_sketch(
     out = df.groupBy(group_col).agg(qs.alias("__qs"))
     return out.select(
         group_col,
-        *[F.col("__qs")[i].alias(f"p{int(q * 100)}") for i, q in enumerate(quantiles)],
+        *[
+            F.col("__qs")[i].alias(f"p{round(q * 100)}")
+            for i, q in enumerate(quantiles)
+        ],
     )

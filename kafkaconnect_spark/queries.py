@@ -1756,10 +1756,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOPHER_ORACLE = r"""
 WITH t AS (
-  SELECT doc_id, text,
-         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
-         str_split(text, chr(10)) AS lines
+  SELECT doc_id, COALESCE(text, '') AS text,
+         CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(COALESCE(text, '')), '\s+') END AS toks,
+         str_split(COALESCE(text, ''), chr(10)) AS lines
   FROM documents),
 g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
       FROM t, unnest(range(1, len(toks))) AS u(i)

@@ -11,14 +11,11 @@ from pyspark.sql import functions as F
 
 from kafkaconnect_spark.operators import sketches
 
-SF_DIR = "/root/testdata/sf0.001"
-
-
-@pytest.fixture(scope="module")
-def events(spark):
+@pytest.fixture()
+def events(spark, sf_dir):
     from kafkaconnect_spark.queries import _events
 
-    return _events(spark, SF_DIR)
+    return _events(spark, sf_dir)
 
 
 def test_hll_within_rsd(spark, events):
