@@ -36,3 +36,43 @@ def test_partitioned_write_prunes_and_compacts(spark, sf_dir, tmp_path):
         .first()[0]
     )
     assert a == b
+
+
+def test_merge_into_partitioned_cdc(spark, tmp_path):
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "lake")
+    t0 = spark.createDataFrame(
+        [
+            Row(k=1, v="a", ver=1, day="d1"),
+            Row(k=2, v="b", ver=1, day="d1"),
+            Row(k=3, v="c", ver=1, day="d2"),
+            Row(k=4, v="d", ver=1, day="d3"),
+        ]
+    )
+    layout.merge_into_partitioned(spark, t0, path, ["k"], "day", "ver")
+
+    untouched_before = sorted(os.listdir(os.path.join(path, "day=d3")))
+
+    batch = spark.createDataFrame(
+        [
+            Row(k=1, v="a2", ver=2, day="d1", dead=False),   # update
+            Row(k=2, v="b", ver=2, day="d1", dead=True),     # delete
+            Row(k=5, v="e", ver=1, day="d4", dead=False),    # new partition
+        ]
+    )
+    layout.merge_into_partitioned(
+        spark, batch, path, ["k"], "day", "ver", delete_col="dead"
+    )
+
+    state = {r.k: (r.v, r.day) for r in spark.read.parquet(path).collect()}
+    assert state == {1: ("a2", "d1"), 3: ("c", "d2"), 4: ("d", "d3"), 5: ("e", "d4")}
+    # untouched partition's files were not rewritten (dynamic overwrite)
+    assert sorted(os.listdir(os.path.join(path, "day=d3"))) == untouched_before
+
+    # idempotent replay converges to the same state
+    layout.merge_into_partitioned(
+        spark, batch, path, ["k"], "day", "ver", delete_col="dead"
+    )
+    state2 = {r.k: (r.v, r.day) for r in spark.read.parquet(path).collect()}
+    assert state2 == state
