@@ -96,8 +96,12 @@ def merge_into_partitioned(
         .where((F.col("__rn") == 1) & (~F.col("__del")))
         .drop("__rn", "__del", "__src")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # set the mode on the session that will EXECUTE the write: inside
+    # foreachBatch the batch DataFrame belongs to a cloned micro-batch
+    # session whose conf snapshot ignores later changes to the original
+    sess = merged.sparkSession
+    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
             merged.repartition(F.col(partition_col))
@@ -106,4 +110,4 @@ def merge_into_partitioned(
             .parquet(path)
         )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

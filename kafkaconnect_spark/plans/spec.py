@@ -45,6 +45,8 @@ _KIND_BY_CLASS_PATTERN: list[tuple[str, str]] = [
     (r"JdbcSinkConnector$", "jdbc-sink"),
     (r"SpoolDir(Csv)?SourceConnector$", "spooldir-source"),
     (r"io\.debezium\.connector\..*Connector$", "cdc-source"),
+    # engine-native parquet-lake sink (no Connect analogue; SURVEY §2.7)
+    (r"ParquetLakeSinkConnector$", "parquet-sink"),
 ]
 
 VALID_JDBC_MODES = {"bulk", "incrementing", "timestamp", "timestamp+incrementing"}
@@ -132,6 +134,12 @@ class PipelineSpec:
                 raise SpecError("jdbc-source requires topic.prefix")
             if cfg.get("table.whitelist") and cfg.get("table.blacklist"):
                 raise SpecError("table.whitelist and table.blacklist are mutually exclusive")
+        elif self.kind == "parquet-sink":
+            for req in ("topics", "path", "partition.field", "order.field"):
+                if not cfg.get(req):
+                    raise SpecError(f"parquet-sink requires {req}")
+            if not self.pk_fields:
+                raise SpecError("parquet-sink requires pk.fields")
         elif self.kind == "jdbc-sink":
             if not cfg.get("topics") and not cfg.get("topics.regex"):
                 raise SpecError("jdbc-sink requires topics or topics.regex")

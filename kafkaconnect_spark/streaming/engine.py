@@ -337,6 +337,8 @@ class Engine:
             return self._compile_spooldir(spec)
         if spec.kind == "jdbc-sink":
             return self._compile_jdbc_sink(spec)
+        if spec.kind == "parquet-sink":
+            return self._compile_parquet_sink(spec)
         if spec.kind == "cdc-source":
             return self._compile_cdc_ingest(spec)
         raise SpecError(f"cannot compile kind {spec.kind!r}")
@@ -546,6 +548,54 @@ class Engine:
             return -1
 
         return Pipeline(spec=spec, run_one=run_one, extras={"writer": writer})
+
+    def _compile_parquet_sink(self, spec: PipelineSpec) -> Pipeline:
+        """Parquet-lake sink (engine-native, SURVEY §2.7): per-batch
+        dynamic-partition-overwrite MERGE — upsert by pk.fields, newest
+        order.field wins, optional delete.field tombstones. Only the
+        partitions present in a batch are rewritten
+        (operators/layout.merge_into_partitioned)."""
+        from kafkaconnect_spark.operators.layout import merge_into_partitioned
+
+        cfg = spec.config
+        topics = [t.strip() for t in str(cfg["topics"]).split(",") if t.strip()]
+        path = str(cfg["path"])
+        partition_field = str(cfg["partition.field"])
+        order_field = str(cfg["order.field"])
+        delete_field = cfg.get("delete.field")
+        chain = build_transform_chain(spec.transforms)
+        value_schema = self._resolve_sink_schema(cfg, topics)
+        _, deserialize = self._value_serde(cfg, value_schema, topics[0])
+        pk = spec.pk_fields
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            recs = batch_df.withColumn("value", deserialize("value"))
+            recs = chain(recs)
+            flat = recs.where(F.col("value").isNotNull()).select("value.*")
+            merge_into_partitioned(
+                self.spark,
+                flat,
+                path,
+                pk,
+                partition_field,
+                order_field,
+                delete_col=str(delete_field) if delete_field else None,
+            )
+
+        ckpt = str(self.checkpoint_root / spec.name)
+        stream = self.transport.read_stream(topics)
+
+        def run_one() -> int:
+            q = (
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return -1
+
+        return Pipeline(spec=spec, run_one=run_one, extras={"path": path})
 
     def _compile_cdc_ingest(self, spec: PipelineSpec) -> Pipeline:
         """Debezium-format topic ingest (S7/S8): parse envelope, apply

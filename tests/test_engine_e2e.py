@@ -255,3 +255,62 @@ def test_cdc_ingest_unwrap_to_sink(spark, tmp_path):
         got = sorted(c.execute("SELECT id, name FROM customers_sink").fetchall())
     # id=1 upserted to a2; id=2 deleted by tombstone
     assert got == [(1, "a2")]
+
+
+def test_parquet_lake_sink_merge(spark, tmp_path):
+    """Engine-native parquet-lake sink: topic batches MERGE into a
+    hive-partitioned dataset via dynamic partition overwrite."""
+    from kafkaconnect_spark.functions.serde import json_serialize
+
+    eng = make_engine(spark, tmp_path)
+    lake = str(tmp_path / "lake")
+
+    def wire(rows_df):
+        vt = rows_df.schema["value"].dataType if "value" in rows_df.columns else None
+        assert vt is None
+        packed = rows_df.select(F.struct(*rows_df.columns).alias("value"))
+        return packed.select(
+            F.col("value.id").cast("string").alias("key"),
+            json_serialize("value", packed.schema["value"].dataType, schemas_enable=False).alias("value"),
+            F.lit("lake_topic").alias("topic"),
+        )
+
+    t0 = spark.createDataFrame(
+        [(1, "a", "d1", 1, False), (2, "b", "d1", 1, False), (3, "c", "d2", 1, False)],
+        "id int, name string, day string, ver int, deleted boolean",
+    )
+    eng.transport.append(wire(t0))
+
+    eng.register(
+        {
+            "name": "lake_sink",
+            "config": {
+                "connector.class": "kafkaconnect_spark.ParquetLakeSinkConnector",
+                "topics": "lake_topic",
+                "path": lake,
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                "partition.field": "day",
+                "order.field": "ver",
+                "delete.field": "deleted",
+                "value.schema.ddl": "id int, name string, day string, ver int, deleted boolean",
+                "value.converter.schemas.enable": "false",
+                "transforms": "",
+            },
+        }
+    )
+    eng.run_once("lake_sink")
+    assert {
+        (r.id, r.name) for r in spark.read.parquet(lake).collect()
+    } == {(1, "a"), (2, "b"), (3, "c")}
+
+    # second batch: update id=1, tombstone id=2, new partition d3
+    t1 = spark.createDataFrame(
+        [(1, "a2", "d1", 2, False), (2, "b", "d1", 2, True), (4, "d", "d3", 1, False)],
+        "id int, name string, day string, ver int, deleted boolean",
+    )
+    eng.transport.append(wire(t1))
+    eng.run_once("lake_sink")
+    assert {
+        (r.id, r.name, r.day) for r in spark.read.parquet(lake).collect()
+    } == {(1, "a2", "d1"), (3, "c", "d2"), (4, "d", "d3")}
