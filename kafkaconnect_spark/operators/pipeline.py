@@ -347,3 +347,41 @@ def shard_assignment(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard_id", "pos")
     )
+
+
+def salient_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k salient terms per doc by tf·(N/df) — keyword extraction
+    for corpus indexing/analysis. Uses the raw N/df ratio instead of
+    log-idf so every weight is a product/quotient of exact integers:
+    bit-identical in any IEEE engine (ln() differs by ulps across
+    libms and would flake a value-hash gate).
+
+    Scale shape: per-doc term frequencies reduce map-side (explode →
+    groupBy (doc, token)); the document-frequency table is vocabulary-
+    sized and joins broadcast; the only row-count-sized shuffles are
+    the tf aggregation and the final per-doc top-k window."""
+    from pyspark.sql import Window
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.where(F.col(text_col).isNotNull()).select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("weight").desc(), F.col("token").asc())
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("weight", F.col("tf") * (F.col("n_docs") / F.col("df")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "weight", "rank")
+    )

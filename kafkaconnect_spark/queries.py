@@ -1734,6 +1734,29 @@ FROM v WHERE op != 'd'
 """
 
 
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·(N/df) salient terms per doc — keyword extraction
+    (operators/pipeline.salient_terms). Integer-ratio weights keep
+    the value hash engine-exact (no log-idf ulp drift)."""
+    return pipeline.salient_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+SALIENT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+       FROM toks WHERE token != '' GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents WHERE text IS NOT NULL),
+ranked AS (
+  SELECT doc_id, token, tf, df, tf * (n_docs / df) AS weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf * (n_docs / df) DESC, token ASC)::INT AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd)
+SELECT doc_id, token, tf, df, weight, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def events_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct users + approx value-quantiles per event type —
     constant sketch state per group at any scale (operators/sketches).
@@ -1894,6 +1917,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_ORACLE),
     "quality_funnel": QueryDef(quality_funnel, QUALITY_FUNNEL_ORACLE),
     "text_gopher_rules": QueryDef(text_gopher_rules, GOPHER_ORACLE),
+    "text_salient_terms": QueryDef(text_salient_terms, SALIENT_ORACLE),
     "events_cardinality_sketch": QueryDef(events_cardinality_sketch, None),
     "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
     "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
