@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def write_partitioned(
@@ -60,54 +61,99 @@ def merge_into_partitioned(
     (K1/K2): upsert by ``keys``, newest ``order_col`` wins, rows
     flagged true in ``delete_col`` are tombstones.
 
+    CONTRACT: ``partition_col`` must be a stable function of the key
+    (the standard date-partitioned-CDC assumption; Hudi/Iceberg need a
+    global index for the same reason). A change record that moves a
+    key between partitions would leave the old partition's copy in
+    place, since only the batch's partitions are read.
+
     Scale shape: only the partitions PRESENT IN THE BATCH are read
     (partition pruning on the existing dataset) and rewritten
     (``partitionOverwriteMode=dynamic`` leaves every other partition's
     files untouched — asserted by file identity in test_layout.py).
     A CDC batch touching 3 of 10,000 daily partitions rewrites 3.
-    Idempotent: replaying a batch converges to the same state."""
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    try:
-        existing = spark.read.parquet(path).where(F.col(partition_col).isin(touched))
-    except Exception:  # first batch: nothing to merge yet
-        existing = None
+    Touched partitions whose rows are ALL deleted are rewritten as
+    empty (dynamic overwrite alone would skip them, silently undoing
+    the deletes). Idempotent: replaying a batch converges to the same
+    state; order_col ties are broken by batch-over-existing, then by
+    the remaining value columns, so the winner never depends on row
+    order."""
+    from pyspark import StorageLevel
 
-    if delete_col is None:
-        updates = updates.withColumn("__del", F.lit(False))
-        delete_col = "__del"
-    cols = [c for c in updates.columns if c != delete_col]
-    # __src breaks order_col ties in favor of the incoming batch —
-    # replaying an already-applied batch stays deterministic
-    base = updates.select(*cols, F.col(delete_col).alias("__del")).withColumn(
-        "__src", F.lit(1)
-    )
-    if existing is not None:
-        base = base.unionByName(
-            existing.select(*cols)
-            .withColumn("__del", F.lit(False))
-            .withColumn("__src", F.lit(0)),
-            allowMissingColumns=False,
-        )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("__src").desc()
-    )
-    merged = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .where((F.col("__rn") == 1) & (~F.col("__del")))
-        .drop("__rn", "__del", "__src")
-    )
-    # set the mode on the session that will EXECUTE the write: inside
-    # foreachBatch the batch DataFrame belongs to a cloned micro-batch
-    # session whose conf snapshot ignores later changes to the original
-    sess = merged.sparkSession
-    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        (
-            merged.repartition(F.col(partition_col))
-            .write.partitionBy(partition_col)
-            .mode("overwrite")
-            .parquet(path)
+        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        part_filter = F.col(partition_col).isin([t for t in touched if t is not None])
+        if any(t is None for t in touched):
+            part_filter = part_filter | F.col(partition_col).isNull()
+        try:
+            existing = spark.read.parquet(path).where(part_filter)
+        except AnalysisException:  # first batch: dataset doesn't exist yet
+            existing = None
+
+        if delete_col is None:
+            updates_flagged = updates.withColumn("__del", F.lit(False))
+            delete_col = "__del"
+        else:
+            updates_flagged = updates
+        cols = [c for c in updates_flagged.columns if c != delete_col]
+        base = updates_flagged.select(*cols, F.col(delete_col).alias("__del")).withColumn(
+            "__src", F.lit(1)
         )
+        if existing is not None:
+            base = base.unionByName(
+                existing.select(*cols)
+                .withColumn("__del", F.lit(False))
+                .withColumn("__src", F.lit(0)),
+                allowMissingColumns=False,
+            )
+        # tie-break: order_col, then batch-over-existing, then every
+        # remaining column (deterministic for duplicate (key, order)
+        # rows within one batch — replay converges)
+        rest = [c for c in cols if c not in keys and c != order_col]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(),
+            F.col("__src").desc(),
+            *[F.col(c).desc() for c in rest],
+        )
+        merged = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (~F.col("__del")))
+            .drop("__rn", "__del", "__src")
+        )
+        # set the mode on the session that will EXECUTE the write: inside
+        # foreachBatch the batch DataFrame belongs to a cloned micro-batch
+        # session whose conf snapshot ignores later changes to the original
+        sess = merged.sparkSession
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # survivors must be collected BEFORE the overwrite: the
+            # merged plan reads the existing files, and re-executing it
+            # after the write would hit their deleted predecessors
+            if existing is not None:
+                surviving = {
+                    r[0] for r in merged.select(partition_col).distinct().collect()
+                }
+            (
+                merged.repartition(F.col(partition_col))
+                .write.partitionBy(partition_col)
+                .mode("overwrite")
+                .parquet(path)
+            )
+            # partitions the batch touched but that have NO survivors are
+            # absent from `merged`; dynamic overwrite skips them, which
+            # would silently drop the deletes — rewrite them empty
+            if existing is not None:
+                emptied = [t for t in touched if t not in surviving]
+                # a zero-row dynamic write would also touch nothing, so
+                # each emptied directory gets a direct static overwrite
+                # with an empty file of the partition's row schema
+                empty_rows = merged.drop(partition_col).limit(0).coalesce(1)
+                for t in emptied:
+                    part_dir = f"{partition_col}={t if t is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    empty_rows.write.mode("overwrite").parquet(f"{path}/{part_dir}")
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        updates.unpersist()

@@ -571,7 +571,18 @@ class Engine:
         def process(batch_df: DataFrame, batch_id: int) -> None:
             recs = batch_df.withColumn("value", deserialize("value"))
             recs = chain(recs)
-            flat = recs.where(F.col("value").isNotNull()).select("value.*")
+            # null-value (key-only) tombstones carry no partition value,
+            # so this sink cannot target them — fail loudly rather than
+            # silently retaining deleted rows; route deletes through a
+            # flagged column (delete.field, e.g. Debezium rewrite mode)
+            n_tombstones = recs.where(F.col("value").isNull()).limit(1).count()
+            if n_tombstones:
+                raise SpecError(
+                    f"pipeline {spec.name!r}: parquet-sink cannot apply "
+                    "null-value tombstones (no partition value); use "
+                    "delete.field with flagged delete records"
+                )
+            flat = recs.select("value.*")
             merge_into_partitioned(
                 self.spark,
                 flat,

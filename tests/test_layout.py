@@ -76,3 +76,37 @@ def test_merge_into_partitioned_cdc(spark, tmp_path):
     )
     state2 = {r.k: (r.v, r.day) for r in spark.read.parquet(path).collect()}
     assert state2 == state
+
+
+def test_merge_partition_emptying_delete(spark, tmp_path):
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "lake2")
+    layout.merge_into_partitioned(
+        spark,
+        spark.createDataFrame([Row(k=1, v="a", ver=1, day="d1"), Row(k=3, v="c", ver=1, day="d2")]),
+        path, ["k"], "day", "ver",
+    )
+    # delete the ONLY row of d2 — the partition must actually empty
+    layout.merge_into_partitioned(
+        spark,
+        spark.createDataFrame([Row(k=3, v="c", ver=2, day="d2", dead=True)]),
+        path, ["k"], "day", "ver", delete_col="dead",
+    )
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1}
+
+
+def test_merge_same_order_ties_deterministic(spark, tmp_path):
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "lake3")
+    batch = spark.createDataFrame(
+        [Row(k=1, v="x", ver=5, day="d1"), Row(k=1, v="y", ver=5, day="d1")]
+    )
+    layout.merge_into_partitioned(spark, batch, path, ["k"], "day", "ver")
+    first = spark.read.parquet(path).collect()
+    assert len(first) == 1 and first[0].v == "y"  # max of remaining cols wins
+    # replay converges
+    layout.merge_into_partitioned(spark, batch, path, ["k"], "day", "ver")
+    again = spark.read.parquet(path).collect()
+    assert len(again) == 1 and again[0].v == "y"
