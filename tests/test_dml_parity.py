@@ -233,3 +233,73 @@ def test_sink_fails_on_raw_envelope(spark, tmp_path):
         eng.run_once("raw_sink")
     assert eng.status("raw_sink")["state"] == "FAILED"
     assert eng.status("raw_sink")["error"]
+
+
+def test_baseline_scale_throughput(spark, tmp_path):
+    """BASELINE.md operative workload: the reference's largest mixed-DML
+    run (CONNECT_DML_TEST(0,5000,100,100) ≈ 25k inserts + hundreds of
+    updates/deletes) through source → topic → sink with end-state
+    parity. The reference spreads this over ≥50 s of 10 s poll cycles
+    and sleeps; the engine must clear the whole backlog in ONE cycle
+    well under that."""
+    import time
+
+    rng = random.Random(1234)
+    db = str(tmp_path / "bl.db")
+    url = "jdbc:sqlite:" + db
+    eng = Engine(
+        spark,
+        servers=f"file://{tmp_path}/topics",
+        checkpoint_root=tmp_path / "ckpt",
+        connection_factories={url: functools.partial(sqlite3.connect, db)},
+    )
+    src = SourceTable(rng)
+    eng.register(
+        {
+            "name": "bl_ingest",
+            "config": {
+                "connector.class": "io.debezium.connector.mysql.MySqlConnector",
+                "cdc.topic.pattern": "bl.t.raw",
+                "value.schema.ddl": "id int, name string, score double",
+                "transforms": "unwrap, route",
+                "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+                "transforms.unwrap.drop.tombstones": "false",
+                "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
+                "transforms.route.regex": "(.*)\\.(.*)\\.raw",
+                "transforms.route.replacement": "$1-$2-flat",
+            },
+        }
+    )
+    eng.register(
+        {
+            "name": "bl_sink",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
+                "topics": "bl-t-flat",
+                "connection.url": url,
+                "insert.mode": "upsert",
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                "delete.enabled": "true",
+                "table.name.format": "t_sink",
+                "value.schema.ddl": "id int, name string, score double",
+                "value.converter.schemas.enable": "false",
+            },
+        }
+    )
+
+    src.step(n_ops=25_000)
+    n = src.drain_to_topic(spark, eng, "bl.t.raw")
+    assert n == 25_000
+    t0 = time.time()
+    eng.run_once()
+    elapsed = time.time() - t0
+    with sqlite3.connect(db) as c:
+        got = {
+            r[0]: (r[0], r[1], r[2])
+            for r in c.execute("SELECT id, name, score FROM t_sink").fetchall()
+        }
+    assert got == src.rows
+    # generous CI bound; the reference's own cadence implies >= 50 s
+    assert elapsed < 30, f"backlog took {elapsed:.1f}s"
+    print(f"baseline workload: 25k ops end-to-end in {elapsed:.1f}s")
