@@ -59,14 +59,23 @@ def brute_force_topk(
 
     ``queries``: (query_id, embedding). Broadcast it — the corpus side
     never shuffles; only the (tiny) per-query candidate ranking does.
-    """
+    Norms are hoisted to per-row columns BEFORE the join (same
+    multiplication order as inline cosine → bit-identical results):
+    inline they would recompute per PAIR — |queries|× the work."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__nq"),
     )
-    scored = embeddings.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__nv")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__nq") * F.col("__nv")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -140,10 +149,13 @@ def lsh_ann_topk(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     sig = hyperplane_signature(vec_col, num_planes, dim)
-    corpus = embeddings.withColumn("__bucket", sig)
+    corpus = embeddings.withColumn("__bucket", sig).withColumn(
+        "__nv", l2_norm(F.col(vec_col))
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__nq"),
         hyperplane_signature(vec_col, num_planes, dim).alias("__bucket0"),
     )
     if multi_probe:
@@ -154,6 +166,7 @@ def lsh_ann_topk(
         q = q.select(
             F.col(query_id_col),
             F.col("__qvec"),
+            F.col("__nq"),
             F.explode(probes).alias("__bucket"),
         )
     else:
@@ -163,7 +176,9 @@ def lsh_ann_topk(
     ).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__nq") * F.col("__nv")), 6
+        ).alias("cosine"),
     )
     if multi_probe:
         # a neighbor can collide on several probe buckets
@@ -317,12 +332,23 @@ def embedding_near_dup_pairs(
     # distinct column names per side (not DataFrame aliases): the
     # name-resolved SQL expression inside the signature breaks under
     # self-join attribute dedup otherwise
-    c = embeddings.select(F.col(id_col), F.col(vec_col), sig.alias("__bucket"))
+    c = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sig.alias("__bucket"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
     a = c.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        "__bucket",
+        F.col("__n").alias("__na"),
     )
     b = c.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        "__bucket",
+        F.col("__n").alias("__nb"),
     )
     return (
         a.join(b, "__bucket")
@@ -330,7 +356,9 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
