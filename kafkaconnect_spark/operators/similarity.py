@@ -274,11 +274,14 @@ def ivf_ann_topk(
             "'negidx', c.negidx, 'cent_id', c.cent_id))"
         )
 
+    # the norm bound for cell assignment rides along into the final
+    # re-rank — cosine there needs only the dot product per candidate
     corpus = embeddings.select(
         F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("__nv")
     ).select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("__nv"),
         F.expr(f"array_max({cell_scores_sql(vec_col)}).cent_id").alias("cell"),
     )
     probes = queries.select(
@@ -288,6 +291,7 @@ def ivf_ann_topk(
     ).select(
         F.col(query_id_col),
         F.col("__qvec"),
+        F.col("__nv").alias("__nq"),
         F.explode(
             F.expr(
                 f"slice(transform(sort_array({cell_scores_sql('__qvec')}, false), "
@@ -304,7 +308,9 @@ def ivf_ann_topk(
     ).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__nq") * F.col("__nv")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
