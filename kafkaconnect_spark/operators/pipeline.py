@@ -385,3 +385,62 @@ def salient_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "weight", "rank")
     )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "contam",
+) -> DataFrame:
+    """Bloom-filter decontamination — the zero-join scale variant of
+    ngram_contamination: the train split's shingle set is folded into
+    an m-bit Bloom filter and broadcast as a LITERAL bitset, so the
+    test side becomes a narrow scan (no shuffle, no join at all).
+
+    Scale shape: the filter is built distributedly — k bit positions
+    per train shingle, distinct'd on the cluster — and only the SET
+    BIT POSITIONS are collected (bounded by m_bits regardless of
+    corpus size; 1M bits ≈ ≤1M ints). Probabilistic contract: NO
+    false negatives (every truly contaminated shingle is flagged);
+    false-positive rate ≈ (1-e^(-kn/m))^k, tested against the exact
+    join in test_pipeline_ops.py. Size m_bits to the train shingle
+    cardinality (≈1.44·n·log2(1/fpp) bits)."""
+    th = _shingle_hashes(train, id_col, text_col, n, seed).select("sh_hash")
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("sh_hash"), F.lit(j)), F.lit(m_bits)) for j in range(k)
+    ]
+    positions = (
+        th.select(F.explode(F.array(*pos_cols)).alias("p")).distinct().collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in positions:
+        p = r.p
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement render so every word parses as a BIGINT literal
+    bits_sql = "array({})".format(
+        ",".join(f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words)
+    )
+
+    checks = [
+        f"((element_at(__bf, cast(pmod(xxhash64(sh_hash, {j}), {m_bits}) div 64 as int) + 1) "
+        f">> cast(pmod(xxhash64(sh_hash, {j}), {m_bits}) % 64 as int)) & 1) = 1"
+        for j in range(k)
+    ]
+    te = _shingle_hashes(test, id_col, text_col, n, seed)
+    flagged = (
+        te.withColumn("__bf", F.expr(bits_sql))  # bound once; constant-folded
+        .withColumn("__hit", F.expr("(" + " AND ".join(checks) + ")"))
+        .drop("__bf")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("__hit").cast("long")).alias("n_flagged"),
+        F.round(F.sum(F.col("__hit").cast("long")) / F.count("*"), 6).alias(
+            "contamination"
+        ),
+    )

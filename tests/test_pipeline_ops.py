@@ -124,3 +124,26 @@ def test_shard_assignment_positions(spark):
     for shard in range(8):
         poss = sorted(r.pos for r in out if r.shard_id == shard)
         assert poss == list(range(1, len(poss) + 1))
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    rng_docs = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)]
+    shared = " ".join(f"s{j}" for j in range(10))
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rng_docs[:20]] + [Row(doc_id=99, text=shared)]
+    )
+    test = spark.createDataFrame(
+        [Row(doc_id=200, text=shared),                     # fully contaminated
+         Row(doc_id=201, text=" ".join(f"z{j}" for j in range(12)))]  # clean
+    )
+    exact = {r.doc_id: r for r in pipeline.ngram_contamination(train, test).collect()}
+    bloom = {r.doc_id: r for r in pipeline.bloom_contamination(train, test).collect()}
+    assert bloom.keys() == exact.keys()
+    for d in exact:
+        # no false negatives: bloom flags at least everything exact found
+        assert bloom[d].n_flagged >= exact[d].n_contaminated
+        assert bloom[d].n_shingles == exact[d].n_shingles
+    assert bloom[200].contamination == 1.0
+    # FP budget: the clean doc has 5 shingles; with m=2^20, k=3 and a
+    # tiny train set, expected FPs ~ 0
+    assert bloom[201].n_flagged == 0
