@@ -110,3 +110,41 @@ def test_merge_same_order_ties_deterministic(spark, tmp_path):
     layout.merge_into_partitioned(spark, batch, path, ["k"], "day", "ver")
     again = spark.read.parquet(path).collect()
     assert len(again) == 1 and again[0].v == "y"
+
+
+def test_merge_randomized_model_check(spark, tmp_path):
+    """Model-based check: random CDC batches applied to the lake and to
+    a plain dict model must agree on final state. Partition is a stable
+    function of the key (the documented contract)."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(99)
+    path = str(tmp_path / "lake_rand")
+    model: dict[int, tuple] = {}
+    ver = 0
+    for _ in range(6):
+        batch = []
+        for _ in range(30):
+            ver += 1
+            k = rng.randrange(25)
+            day = f"d{k % 4}"  # stable key→partition mapping
+            if rng.random() < 0.2 and k in model:
+                batch.append(Row(k=k, v=None, ver=ver, day=day, dead=True))
+                model.pop(k, None)
+            else:
+                v = f"v{ver}"
+                batch.append(Row(k=k, v=v, ver=ver, day=day, dead=False))
+                model[k] = (v, day)
+        layout.merge_into_partitioned(
+            spark,
+            spark.createDataFrame(batch),
+            path,
+            ["k"],
+            "day",
+            "ver",
+            delete_col="dead",
+        )
+    got = {r.k: (r.v, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == model
