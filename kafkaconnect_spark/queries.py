@@ -1734,6 +1734,38 @@ FROM v WHERE op != 'd'
 """
 
 
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per week-offset of later activity. Two aggregations + one
+    broadcastable join on user — the canonical product-analytics
+    shape; all-integer arithmetic so the hash gate is exact."""
+    ev = _events(spark, sf_dir)
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+SELECT cohort_week, (date_diff('day', cohort_week, week) // 7)::INT AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM weeks JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf·(N/df) salient terms per doc — keyword extraction
     (operators/pipeline.salient_terms). Integer-ratio weights keep
@@ -1918,6 +1950,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "quality_funnel": QueryDef(quality_funnel, QUALITY_FUNNEL_ORACLE),
     "text_gopher_rules": QueryDef(text_gopher_rules, GOPHER_ORACLE),
     "text_salient_terms": QueryDef(text_salient_terms, SALIENT_ORACLE),
+    "events_weekly_retention": QueryDef(events_weekly_retention, RETENTION_ORACLE),
     "events_cardinality_sketch": QueryDef(events_cardinality_sketch, None),
     "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
     "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
