@@ -1755,6 +1755,64 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, each stage
+    counts only if it happens strictly after the previous stage's
+    first occurrence. One conditional aggregation per user computes
+    all stage times in a single shuffle (no per-stage self-joins),
+    then a tiny unpivoted count. The standard product-analytics
+    funnel, exact-arithmetic oracle."""
+    ev = _events(spark, sf_dir)
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        t1.alias("t_view"),
+        F.collect_list(
+            F.when(F.col("event_type").isin("click", "purchase"),
+                   F.struct("ts", "event_type"))
+        ).alias("__later"),
+    )
+    # first click after t_view; first purchase after that click
+    t_click = F.expr(
+        "array_min(transform(filter(__later, x -> x.event_type = 'click' AND x.ts > t_view), x -> x.ts))"
+    )
+    t_purchase = F.expr(
+        "array_min(transform(filter(__later, x -> x.event_type = 'purchase' AND x.ts > t_click), x -> x.ts))"
+    )
+    stages = (
+        per_user.withColumn("t_click", t_click)
+        .withColumn("t_purchase", t_purchase)
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN per USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > per.t_view
+  GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       count(t_click) AS n_click,
+       count(t_purchase) AS n_purchase
+FROM per LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 RETENTION_ORACLE = """
 WITH weeks AS (
   SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events),
@@ -1951,6 +2009,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "text_gopher_rules": QueryDef(text_gopher_rules, GOPHER_ORACLE),
     "text_salient_terms": QueryDef(text_salient_terms, SALIENT_ORACLE),
     "events_weekly_retention": QueryDef(events_weekly_retention, RETENTION_ORACLE),
+    "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_ORACLE),
     "events_cardinality_sketch": QueryDef(events_cardinality_sketch, None),
     "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
     "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
