@@ -1755,6 +1755,37 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the labeled lang
+    column vs the stopword-vote prediction — the eval loop a pipeline
+    runs on any heuristic classifier. One tiny aggregation over the
+    narrow per-row predictor."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select("lang", TX.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANGID_CONFUSION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS toks
+  FROM documents),
+hits AS (SELECT doc_id, lang, {_LANGID_HITS} FROM toks),
+pred AS (
+  SELECT lang,
+         CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) <= 0 THEN 'und'
+              WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+              WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_es >= hits_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM hits)
+SELECT lang, lang_pred, count(*) AS n_docs FROM pred GROUP BY 1, 2
+"""
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase): per user, each stage
     counts only if it happens strictly after the previous stage's
@@ -2010,6 +2041,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "text_salient_terms": QueryDef(text_salient_terms, SALIENT_ORACLE),
     "events_weekly_retention": QueryDef(events_weekly_retention, RETENTION_ORACLE),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_ORACLE),
+    "text_langid_confusion": QueryDef(text_langid_confusion, LANGID_CONFUSION_ORACLE),
     "events_cardinality_sketch": QueryDef(events_cardinality_sketch, None),
     "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
     "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
