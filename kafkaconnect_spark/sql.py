@@ -28,11 +28,11 @@ TABLES = (
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Create one temp view per parquet table in ``sf_dir``; events
     goes through the nanosecond-timestamp loader. Returns the names."""
-    from kafkaconnect_spark.queries import _events, _t
+    from kafkaconnect_spark.queries import _t
 
     out = []
     for name in TABLES:
-        df = _events(spark, sf_dir) if name == "events" else _t(spark, sf_dir, name)
+        df = _t(spark, sf_dir, name)  # routes events through the ns loader
         df.createOrReplaceTempView(name)
         out.append(name)
     return out

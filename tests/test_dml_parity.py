@@ -237,8 +237,8 @@ def test_sink_fails_on_raw_envelope(spark, tmp_path):
 
 def test_baseline_scale_throughput(spark, tmp_path):
     """BASELINE.md operative workload: the reference's largest mixed-DML
-    run (CONNECT_DML_TEST(0,5000,100,100) ≈ 25k inserts + hundreds of
-    updates/deletes) through source → topic → sink with end-state
+    run (CONNECT_DML_TEST(0,5000,100,100) ≈ 25k change ops; here a
+    6/3/1 insert/update/delete mix) through source → topic → sink with end-state
     parity. The reference spreads this over ≥50 s of 10 s poll cycles
     and sleeps; the engine must clear the whole backlog in ONE cycle
     well under that."""
