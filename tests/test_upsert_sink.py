@@ -156,3 +156,38 @@ def test_dialect_sql_shapes():
     up_pg = pg.upsert_sql("t", ["id", "name"], ["id"])
     assert "ON DUPLICATE KEY UPDATE" in up_my
     assert "ON CONFLICT" in up_pg and "EXCLUDED" in up_pg.upper()
+
+
+def test_auto_evolve_rejects_not_null_column(spark, tmp_path):
+    """Reference failure probe (…실습 - 03.md:253-273 / Schema
+    Registry….md:474-476): auto-evolve must surface — not guess a
+    default for — a new NOT NULL column."""
+    import functools
+    import sqlite3
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from kafkaconnect_spark.dialects import dialect_for_url
+    from kafkaconnect_spark.operators.upsert import JdbcSinkWriter
+
+    db = str(tmp_path / "ev.db")
+    url = "jdbc:sqlite:" + db
+    writer = JdbcSinkWriter(
+        table="t",
+        pk=["id"],
+        dialect=dialect_for_url(url),
+        connection_factory=functools.partial(sqlite3.connect, db),
+        auto_create=True,
+        auto_evolve=True,
+    )
+    v1 = T.StructType([T.StructField("id", T.IntegerType(), False)])
+    writer.ensure_table(v1)
+    v2 = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("strict_col", T.StringType(), False),  # NOT NULL
+        ]
+    )
+    with pytest.raises(RuntimeError, match="NOT NULL"):
+        writer.ensure_table(v2)
