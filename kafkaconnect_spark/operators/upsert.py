@@ -201,6 +201,19 @@ class JdbcSinkWriter:
 
         if self.delete_enabled:
             deletes = records.where(F.col("value").isNull()).select("key.*")
+            # parity with the reference's PK-less-delete probe
+            # (…PostgreSQL CDC….md:339-353): a tombstone whose key
+            # fields are NULL (source lacked REPLICA IDENTITY FULL /
+            # a PK) would DELETE nothing — surface it, don't no-op.
+            incomplete = None
+            for c in self.pk:
+                cond = F.col(c).isNull()
+                incomplete = cond if incomplete is None else (incomplete | cond)
+            if incomplete is not None and deletes.where(incomplete).limit(1).count():
+                raise RuntimeError(
+                    f"tombstone with NULL key field(s) {self.pk} cannot be "
+                    "applied — source table needs a PK or REPLICA IDENTITY FULL"
+                )
             if n:
                 deletes = deletes.repartition(n, *[F.col(c) for c in self.pk])
             del_sql = self.dialect.delete_sql(self.table, self.pk)

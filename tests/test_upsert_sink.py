@@ -191,3 +191,36 @@ def test_auto_evolve_rejects_not_null_column(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="NOT NULL"):
         writer.ensure_table(v2)
+
+
+def test_tombstone_with_null_key_surfaces(spark, tmp_path):
+    """Reference failure probe (…PostgreSQL CDC….md:339-353): deleting
+    a PK-less row without REPLICA IDENTITY FULL yields a keyless
+    tombstone — the sink must error, not silently delete nothing."""
+    import functools
+    import sqlite3
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.dialects import dialect_for_url
+    from kafkaconnect_spark.operators.upsert import JdbcSinkWriter
+
+    db = str(tmp_path / "nk.db")
+    writer = JdbcSinkWriter(
+        table="t",
+        pk=["id"],
+        dialect=dialect_for_url("jdbc:sqlite:" + db),
+        connection_factory=functools.partial(sqlite3.connect, db),
+        auto_create=True,
+        delete_enabled=True,
+    )
+    rows = spark.createDataFrame(
+        [Row(id=1, name="a"), Row(id=None, name=None)]
+    ).select(
+        F.struct(F.col("id")).alias("key"),
+        F.when(F.col("id").isNotNull(), F.struct("id", "name")).alias("value"),
+    )
+    with pytest.raises(RuntimeError, match="REPLICA IDENTITY"):
+        writer.process_batch(rows)
