@@ -147,3 +147,46 @@ def test_bloom_contamination_superset_of_exact(spark):
     # FP budget: the clean doc has 5 shingles; with m=2^20, k=3 and a
     # tiny train set, expected FPs ~ 0
     assert bloom[201].n_flagged == 0
+
+
+def test_gopher_stats_property_vs_python_reference(spark):
+    """Third-implementation check: the per-row fold must agree with a
+    plain-Python reference on random ASCII corpora (the DuckDB oracle
+    is the second). Exact float equality — both sides run the same
+    IEEE int/int divisions in the same order."""
+    import re
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab #.\n" + "xy9"
+
+    def ref(text: str):
+        # SQL trim strips SPACES only (Spark and DuckDB agree) — not \n
+        t = text.strip(" ")
+        toks = re.split(r"\s+", t) if t else []
+        wc = len(toks)
+        mean = sum(len(x) for x in toks) / wc if wc else 0.0
+        n_hash = text.count("#")
+        n_ell = (len(text) - len(text.replace("...", ""))) / 3
+        sym = (n_hash + n_ell) / wc if wc else 0.0
+        lines = text.split("\n")
+        dup = 1.0 - len(set(lines)) / len(lines)
+        grams = [f"{toks[i]} {toks[i+1]}" for i in range(wc - 1)]
+        top = max(Counter(grams).values()) / len(grams) if grams else 0.0
+        return (wc, mean, sym, dup, top)
+
+    @given(texts=st.lists(st.text(alphabet=alphabet, max_size=60), min_size=1, max_size=25))
+    @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    def run(texts):
+        df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        got = {
+            r.doc_id: (r.word_count, r.mean_word_len, r.symbol_word_ratio,
+                       r.dup_line_frac, r.top_2gram_frac)
+            for r in pipeline.gopher_repetition_stats(df).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t), (repr(t), got[i], ref(t))
+
+    run()
