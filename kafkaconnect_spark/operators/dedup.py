@@ -26,10 +26,10 @@ row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafkaconnect_spark.functions.text import TOKEN_SPLIT_RE, fingerprint_md5, hash64
+from kafkaconnect_spark.functions.text import TOKEN_SPLIT_RE, fingerprint_md5
 
 # Spark SQL string literals consume one level of backslash escaping, so
 # regexes inside F.expr need doubling ('\\s+' in SQL text → \s+ regex).

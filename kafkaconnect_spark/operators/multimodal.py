@@ -18,7 +18,6 @@ struct column is separate from the blob.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd

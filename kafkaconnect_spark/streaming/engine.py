@@ -37,7 +37,6 @@ registry refuses two active source pipelines claiming the same
 from __future__ import annotations
 
 import threading
-import time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable

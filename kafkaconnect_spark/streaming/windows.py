@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
