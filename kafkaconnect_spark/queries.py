@@ -1379,14 +1379,25 @@ SELECT doc_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS sha256 FROM docu
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary blobs (decode step is
     a documented stub; Arrow plumbing is real). Mean intensity = mean
-    byte value of the UTF-8 bytes — oracle-checkable via octet math is
-    painful in SQL, so this entry takes the rows-only check."""
+    byte value of the UTF-8 bytes; the corpus is ASCII, so the oracle
+    replays it with per-char ord() — full value-hash gate, proving the
+    Arrow round-trip is bit-faithful."""
     from kafkaconnect_spark.operators.multimodal import extract_image_features, make_fake_media
 
     docs = _t(spark, sf_dir, "documents")
     media = make_fake_media(docs)
     feats = extract_image_features(media)
     return feats.select("doc_id", F.round(F.col("mean_intensity"), 6).alias("mean_intensity"))
+
+
+MM_FEATURES_ORACLE = """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE round(list_sum(list_transform(range(1, length(text) + 1),
+                                i -> ord(text[i]))) / length(text), 6) END
+       AS mean_intensity
+FROM documents
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2025,7 +2036,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "text_fingerprint": QueryDef(text_fingerprint, TEXT_FP_ORACLE),
     # Phase E multimodal
     "multimodal_meta": QueryDef(multimodal_meta, MM_META_ORACLE),
-    "multimodal_features": QueryDef(multimodal_features, None),
+    "multimodal_features": QueryDef(multimodal_features, MM_FEATURES_ORACLE),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, MM_FRAMES_ORACLE),
     "multimodal_resize": QueryDef(multimodal_resize, MM_RESIZE_ORACLE),
     # Phase E training-data pipeline
