@@ -314,3 +314,42 @@ def test_parquet_lake_sink_merge(spark, tmp_path):
     assert {
         (r.id, r.name, r.day) for r in spark.read.parquet(lake).collect()
     } == {(1, "a2", "d1"), (3, "c", "d2"), (4, "d", "d3")}
+
+
+def test_spooldir_to_parquet_lake_chain(spark, tmp_path):
+    """S6 → K8 → parquet-lake sink: CSV files land as a partitioned
+    parquet dataset through two registered pipelines."""
+    eng = make_engine(spark, tmp_path)
+    lake = str(tmp_path / "csv_lake")
+
+    (tmp_path / "spool" / "batch1.csv").parent.mkdir(parents=True, exist_ok=True)
+    (tmp_path / "spool" / "batch1.csv").write_text(
+        "id,name,region\n1,alpha,eu\n2,beta,us\n3,gamma,eu\n"
+    )
+    spec = spooldir_spec(tmp_path, topic="csv_topic")
+    eng.register(spec)
+    eng.run_once("csv_spooldir")
+
+    eng.register(
+        {
+            "name": "csv_lake",
+            "config": {
+                "connector.class": "kafkaconnect_spark.ParquetLakeSinkConnector",
+                "topics": "csv_topic",
+                "path": lake,
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                "partition.field": "region",
+                "order.field": "id",
+                "value.schema.ddl": "id int, name string, region string",
+                "value.converter.schemas.enable": "true",
+                "transforms": "",
+            },
+        }
+    )
+    eng.run_once("csv_lake")
+    got = {r.id: (r.name, r.region) for r in spark.read.parquet(lake).collect()}
+    assert got == {1: ("alpha", "eu"), 2: ("beta", "us"), 3: ("gamma", "eu")}
+    assert sorted(
+        d for d in __import__("os").listdir(lake) if d.startswith("region=")
+    ) == ["region=eu", "region=us"]
