@@ -176,8 +176,12 @@ def resize_image(
 def make_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test fixture: deterministic binary blobs derived from text
     (sha-seeded) — lets the multimodal plumbing run on the driver's
-    documents table without real media files."""
+    documents table without real media files. Non-ASCII characters are
+    stripped first so byte positions == character positions and every
+    downstream oracle's octet math is corpus-independent."""
     return df.select(
         F.col(id_col),
-        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.encode(
+            F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", ""), "UTF-8"
+        ).alias("media"),
     )

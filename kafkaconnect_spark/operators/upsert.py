@@ -205,15 +205,25 @@ class JdbcSinkWriter:
             # (…PostgreSQL CDC….md:339-353): a tombstone whose key
             # fields are NULL (source lacked REPLICA IDENTITY FULL /
             # a PK) would DELETE nothing — surface it, don't no-op.
-            incomplete = None
-            for c in self.pk:
-                cond = F.col(c).isNull()
-                incomplete = cond if incomplete is None else (incomplete | cond)
-            if incomplete is not None and deletes.where(incomplete).limit(1).count():
-                raise RuntimeError(
-                    f"tombstone with NULL key field(s) {self.pk} cannot be "
-                    "applied — source table needs a PK or REPLICA IDENTITY FULL"
-                )
+            # raise_error fires executor-side DURING the delete pass:
+            # zero extra jobs on the hot path. Like Connect, the batch
+            # is not atomic — upserts may have applied before the
+            # failure — but PK-idempotent writes make retries safe.
+            err = (
+                f"tombstone with NULL key field(s) {self.pk} cannot be "
+                "applied — source table needs a PK or REPLICA IDENTITY FULL"
+            )
+            deletes = deletes.select(
+                *[
+                    F.when(
+                        F.col(c).isNull(),
+                        F.raise_error(F.lit(err)).cast(deletes.schema[c].dataType),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in self.pk
+                ]
+            )
             if n:
                 deletes = deletes.repartition(n, *[F.col(c) for c in self.pk])
             del_sql = self.dialect.delete_sql(self.table, self.pk)

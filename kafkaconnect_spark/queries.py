@@ -1372,7 +1372,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_META_ORACLE = """
-SELECT doc_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS sha256 FROM documents
+WITH a AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') AS text FROM documents)
+SELECT doc_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS sha256 FROM a
 """
 
 
@@ -1391,12 +1392,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_FEATURES_ORACLE = """
+WITH a AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') AS text FROM documents)
 SELECT doc_id,
        CASE WHEN length(text) = 0 THEN NULL
             ELSE round(list_sum(list_transform(range(1, length(text) + 1),
                                 i -> ord(text[i]))) / length(text), 6) END
        AS mean_intensity
-FROM documents
+FROM a
 """
 
 
@@ -1411,8 +1413,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_FRAMES_ORACLE = """
+WITH a AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') AS text FROM documents)
 SELECT doc_id, CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
-FROM documents WHERE strlen(text) > 0
+FROM a WHERE strlen(text) > 0
 """
 
 
@@ -1433,10 +1436,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MM_RESIZE_ORACLE = """
+WITH a AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') AS text FROM documents)
 SELECT doc_id, 1024::INT AS n_bytes,
        sha256(rpad(substr(text, 1, 1024), 1024, chr(0))) AS sha256,
        32 AS width, 32 AS height
-FROM documents
+FROM a
 """
 
 

@@ -222,5 +222,5 @@ def test_tombstone_with_null_key_surfaces(spark, tmp_path):
         F.struct(F.col("id")).alias("key"),
         F.when(F.col("id").isNotNull(), F.struct("id", "name")).alias("value"),
     )
-    with pytest.raises(RuntimeError, match="REPLICA IDENTITY"):
+    with pytest.raises(Exception, match="REPLICA IDENTITY"):
         writer.process_batch(rows)
