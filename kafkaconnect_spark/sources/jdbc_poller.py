@@ -123,9 +123,15 @@ def incremental_predicate(
     elif mode == "timestamp+incrementing":
         if offset.ts is not None:
             t = F.to_timestamp(F.lit(offset.ts))
-            lex = (F.col(ts_col) > t)
             if offset.inc is not None:
-                lex = lex | ((F.col(ts_col) == t) & (F.col(inc_col) > F.lit(offset.inc)))
+                lex = (F.col(ts_col) > t) | (
+                    (F.col(ts_col) == t) & (F.col(inc_col) > F.lit(offset.inc))
+                )
+            else:
+                # unknown inc at this ts (offset written by a pure
+                # timestamp run, or NULL inc values): include the whole
+                # boundary timestamp — at-least-once, never skips
+                lex = F.col(ts_col) >= t
             conds.append(lex)
     else:
         raise ValueError(f"unknown mode {mode!r}")
@@ -152,6 +158,7 @@ class IncrementalPoller:
         inc_col: str | None = None,
         ts_col: str | None = None,
         batch_max_rows: int | None = None,
+        ts_delay_ms: int = 0,
     ):
         if "incrementing" in mode and not inc_col:
             raise ValueError("incrementing mode requires inc_col")
@@ -162,6 +169,11 @@ class IncrementalPoller:
         self.inc_col = inc_col
         self.ts_col = ts_col
         self.batch_max_rows = batch_max_rows
+        # Connect's timestamp.delay.interval.ms (default 0): exclude
+        # rows stamped within the last N ms so slow-committing
+        # transactions with earlier timestamps aren't skipped forever
+        # once the offset advances past them
+        self.ts_delay_ms = int(ts_delay_ms or 0)
 
     def _order_cols(self) -> list:
         cols = []
@@ -186,6 +198,11 @@ class IncrementalPoller:
         )
         if self.mode == "bulk":
             return batch, offset
+        if self.ts_delay_ms and "timestamp" in self.mode:
+            batch = batch.where(
+                F.col(self.ts_col)
+                <= F.current_timestamp() - F.expr(f"INTERVAL {self.ts_delay_ms} MILLISECONDS")
+            )
         if self.batch_max_rows:
             limited = batch.orderBy(*self._order_cols()).limit(self.batch_max_rows)
             if self.mode == "timestamp":
@@ -200,13 +217,38 @@ class IncrementalPoller:
             else:
                 batch = limited
 
+        # Pin the batch: the offset agg and the downstream topic write
+        # are separate Spark jobs — against a live source an uncached
+        # plan could return DIFFERENT rows to each, so the stored
+        # offset would cover rows that were never delivered. The caller
+        # unpersists after its write commits.
+        from pyspark import StorageLevel
+
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+
+        new = Offset(inc=offset.inc, ts=offset.ts)
+        if self.mode == "timestamp+incrementing":
+            # Connect's TimestampIncrementingOffset is the (ts, inc)
+            # pair of the LEXICOGRAPHICALLY-LAST row — independent
+            # MAX(ts)/MAX(inc) would fabricate a position no row holds
+            # and skip e.g. an old row updated after a newer row
+            m = batch.agg(
+                F.max(
+                    F.struct(
+                        F.col(self.ts_col).alias("ts"), F.col(self.inc_col).alias("inc")
+                    )
+                ).alias("m")
+            ).collect()[0].m
+            if m is not None:
+                new.ts = m.ts.isoformat(sep=" ")
+                new.inc = int(m.inc)
+            return batch, new
         aggs = []
         if self.inc_col and "incrementing" in self.mode:
             aggs.append(F.max(self.inc_col).alias("max_inc"))
         if self.ts_col and "timestamp" in self.mode:
             aggs.append(F.max(self.ts_col).alias("max_ts"))
         row = batch.agg(*aggs).collect()[0]
-        new = Offset(inc=offset.inc, ts=offset.ts)
         d = row.asDict()
         if d.get("max_inc") is not None:
             new.inc = int(d["max_inc"])
@@ -280,9 +322,12 @@ def _predicate_sql(
     if mode == "timestamp+incrementing":
         if offset.ts is None:
             return ""
-        t, i = offset.ts, int(offset.inc or 0)
+        t = offset.ts
+        if offset.inc is None:
+            # same at-least-once boundary semantics as the Column path
+            return f" WHERE {ts_col} >= TIMESTAMP '{t}'"
         return (
             f" WHERE {ts_col} > TIMESTAMP '{t}'"
-            f" OR ({ts_col} = TIMESTAMP '{t}' AND {inc_col} > {i})"
+            f" OR ({ts_col} = TIMESTAMP '{t}' AND {inc_col} > {int(offset.inc)})"
         )
     raise ValueError(f"unknown mode {mode!r}")

@@ -353,6 +353,7 @@ class Engine:
             inc_col=cfg.get("incrementing.column.name"),
             ts_col=cfg.get("timestamp.column.name"),
             batch_max_rows=int(cfg["batch.max.rows"]) if cfg.get("batch.max.rows") else None,
+            ts_delay_ms=int(cfg.get("timestamp.delay.interval.ms", 0) or 0),
         )
         store = OffsetStore(self.checkpoint_root, spec.name)
         chain = build_transform_chain(spec.transforms)
@@ -404,6 +405,7 @@ class Engine:
                 # commit offset only after the append succeeded
                 # (at-least-once, like connect-offsets commit post-produce)
                 store.put(table, new_offset)
+                batch.unpersist()  # poll() pinned it for offset/append consistency
                 total += cnt
             return total
 

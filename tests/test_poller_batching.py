@@ -146,3 +146,63 @@ def test_jdbc_read_options_predicates_match_modes():
     assert jdbc_read_options("u", "t", "incrementing", Offset(), inc_col="id")[
         "dbtable"
     ] == "(SELECT * FROM t) spark_poll"
+
+
+def test_ts_inc_offset_is_lexicographic_last_row(spark):
+    """Regression: independent MAX(ts)/MAX(inc) fabricates an offset no
+    row holds — e.g. an old row (high inc, old ts) updated after a new
+    row (low inc, new ts) — and then skips later same-ts updates."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from kafkaconnect_spark.sources.jdbc_poller import IncrementalPoller, Offset
+
+    t9 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    t10 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    poller = IncrementalPoller(
+        spark, "timestamp+incrementing", inc_col="inc", ts_col="ts"
+    )
+    df1 = spark.createDataFrame([Row(inc=100, ts=t9), Row(inc=5, ts=t10)])
+    batch, off = poller.poll(df1, Offset())
+    assert batch.count() == 2
+    # the offset must be the LAST row in (ts, inc) order: (10:00, 5) —
+    # not the fabricated (10:00, 100)
+    assert off.ts.startswith("2024-01-01 10:00:00") and off.inc == 5
+
+    # a later update stamps inc=7 at the same boundary timestamp —
+    # it must still be polled
+    df2 = spark.createDataFrame(
+        [Row(inc=100, ts=t9), Row(inc=5, ts=t10), Row(inc=7, ts=t10)]
+    )
+    batch2, off2 = poller.poll(df2, off)
+    rows = batch2.collect()
+    assert [r.inc for r in rows] == [7]
+    assert off2.inc == 7
+
+
+def test_ts_inc_unknown_inc_includes_boundary(spark):
+    """Offset with ts but no inc (written by a pure timestamp run):
+    the boundary timestamp is re-included — at-least-once, never
+    skipped."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from kafkaconnect_spark.sources.jdbc_poller import (
+        IncrementalPoller,
+        Offset,
+        _predicate_sql,
+    )
+
+    t10 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    poller = IncrementalPoller(
+        spark, "timestamp+incrementing", inc_col="inc", ts_col="ts"
+    )
+    df = spark.createDataFrame([Row(inc=3, ts=t10)])
+    batch, _ = poller.poll(df, Offset(inc=None, ts="2024-01-01 10:00:00"))
+    assert batch.count() == 1
+    sql = _predicate_sql(
+        "timestamp+incrementing", "inc", "ts", Offset(inc=None, ts="2024-01-01 10:00:00")
+    )
+    assert ">=" in sql
