@@ -17,6 +17,14 @@ Three converters from the reference:
 
 All JSON work is built-in ``to_json``/``from_json``/``schema_of_json``
 — JVM-side, no Python UDFs.
+
+Documented divergence from Connect's JsonConverter (alongside the
+decimal divergence noted in SURVEY §7): temporal payloads are ISO-8601
+strings (to_json's rendering) while the schema block declares Connect's
+logical int64/int32 names — a real JsonConverter consumer expecting
+epoch-millis integers would need a TimestampConverter SMT (T5) at the
+boundary. Internally the engine round-trips this shape losslessly and
+the golden-file tests pin it.
 """
 
 from __future__ import annotations
@@ -117,32 +125,16 @@ def json_deserialize(
     schema: T.StructType,
     schemas_enable: bool = False,
 ) -> Column:
-    """JSON string → typed struct; NULL bytes stay NULL (tombstone)."""
+    """JSON string → typed struct; NULL bytes stay NULL (tombstone).
+
+    FAILFAST like Connect's JsonConverter: malformed bytes throw a
+    parse error instead of PERMISSIVE's silent all-NULL row (which
+    would flow downstream as a garbage upsert — or, worse, read as a
+    tombstone where NULL value means DELETE)."""
     c = F.col(raw_col) if isinstance(raw_col, str) else raw_col
     c = c.cast("string")
+    opts = {"mode": "FAILFAST"}
     if schemas_enable:
         wrapper = T.StructType([T.StructField("payload", schema, True)])
-        return F.from_json(c, wrapper)["payload"]
-    return F.from_json(c, schema)
-
-
-def serialize_records(
-    df: DataFrame,
-    value_schema: T.StructType,
-    key_fields: list[str] | None = None,
-    schemas_enable: bool = False,
-) -> DataFrame:
-    """Canonical record df (key/value/topic) → wire df (key/value as
-    strings) ready for a kafka-format write."""
-    out = df.withColumn(
-        "value", json_serialize("value", value_schema, schemas_enable=schemas_enable)
-    )
-    if "key" in df.columns:
-        key_type = dict(zip(df.columns, df.schema))["key"].dataType
-        if isinstance(key_type, T.StructType):
-            out = out.withColumn(
-                "key", json_serialize("key", key_type, schemas_enable=schemas_enable)
-            )
-        else:
-            out = out.withColumn("key", F.col("key").cast("string"))
-    return out
+        return F.from_json(c, wrapper, opts)["payload"]
+    return F.from_json(c, schema, opts)

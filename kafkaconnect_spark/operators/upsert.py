@@ -71,20 +71,28 @@ class _PartitionWriter:
         self.connect = connect
         self.sqlite = sqlite
 
+    CHUNK = 5000  # bound Python-side buffering per partition
+
     def __call__(self, rows: Iterator[Any]) -> None:
-        batch = [
-            tuple(_to_db_value(row[c], self.sqlite) for c in self.columns)
-            for row in rows
-        ]
-        if not batch:
-            return
-        conn = self.connect()
+        conn = None
+        batch: list[tuple] = []
         try:
-            cur = conn.cursor()
-            cur.executemany(self.sql, batch)
-            conn.commit()
+            for row in rows:
+                batch.append(tuple(_to_db_value(row[c], self.sqlite) for c in self.columns))
+                if len(batch) >= self.CHUNK:
+                    if conn is None:
+                        conn = self.connect()
+                    conn.cursor().executemany(self.sql, batch)
+                    batch.clear()
+            if batch:
+                if conn is None:
+                    conn = self.connect()
+                conn.cursor().executemany(self.sql, batch)
+            if conn is not None:
+                conn.commit()
         finally:
-            conn.close()
+            if conn is not None:
+                conn.close()
 
 
 class JdbcSinkWriter:
@@ -126,12 +134,23 @@ class JdbcSinkWriter:
                 cur.execute(f"PRAGMA table_info({self.dialect.q(self.table)})")
                 cols = [r[1] for r in cur.fetchall()]
                 return cols or None
-            tbl = self.table.split(".")[-1]
-            cur.execute(
-                "SELECT column_name FROM information_schema.columns WHERE table_name = "
-                + self.dialect.placeholder,
-                (tbl,),
-            )
+            # schema-qualify when the configured table is (a same-named
+            # table in another schema must not mask the real target)
+            parts = self.table.split(".")
+            tbl = parts[-1]
+            if len(parts) > 1:
+                cur.execute(
+                    "SELECT column_name FROM information_schema.columns "
+                    f"WHERE table_name = {self.dialect.placeholder} "
+                    f"AND table_schema = {self.dialect.placeholder}",
+                    (tbl, parts[-2]),
+                )
+            else:
+                cur.execute(
+                    "SELECT column_name FROM information_schema.columns WHERE table_name = "
+                    + self.dialect.placeholder,
+                    (tbl,),
+                )
             cols = [r[0] for r in cur.fetchall()]
             return cols or None
         finally:
@@ -180,10 +199,31 @@ class JdbcSinkWriter:
             raise TypeError("records.value must be a struct column")
         self.ensure_table(value_type)
 
+        from pyspark import StorageLevel
+
         order_cols = [c for c in ("offset", "timestamp") if c in records.columns] or None
         pk_key_cols = [F.col(f"key.{c}") for c in self.pk]
         if order_cols:
             records = dedupe_last_per_key(records, pk_key_cols, order_cols)
+        else:
+            # no ordering metadata: still collapse to ONE record per
+            # key so the upsert and delete sets stay DISJOINT — the
+            # delete-after-upsert apply order depends on it (a key with
+            # both a value and a tombstone would otherwise be upserted
+            # then deleted regardless of intent). Preference is
+            # deterministic: a value record beats a tombstone, ties
+            # break on the value itself.
+            w = Window.partitionBy(*pk_key_cols).orderBy(
+                F.col("value").isNotNull().desc(), F.col("value").desc()
+            )
+            records = (
+                records.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        # both the upsert and the delete pass execute this frame —
+        # persist so the dedupe shuffle runs once per batch
+        records = records.persist(StorageLevel.MEMORY_AND_DISK)
 
         n = self.num_writers
         upserts = records.where(F.col("value").isNotNull()).select("value.*")
@@ -230,3 +270,4 @@ class JdbcSinkWriter:
             deletes.foreachPartition(
                 _PartitionWriter(del_sql, self.pk, self.connect, self.dialect.name == "sqlite")
             )
+        records.unpersist()

@@ -506,7 +506,22 @@ class Engine:
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             recs = batch_df
-            recs = recs.withColumn("value", deserialize("value"))
+            # poison-pill guard: from_json yields NULL for malformed
+            # input, and NULL value == tombstone == DELETE downstream —
+            # a corrupt record must fail loudly, not delete live data.
+            # Only a null WIRE value is a genuine tombstone.
+            parse_err = (
+                f"pipeline {spec.name!r}: malformed value record (parse "
+                "returned NULL for non-null bytes) — not a tombstone; "
+                "check the converter config or dead-letter the record"
+            )
+            parsed = deserialize("value")
+            recs = recs.withColumn(
+                "value",
+                F.when(F.col("value").isNull(), parsed).otherwise(
+                    F.coalesce(parsed, F.raise_error(F.lit(parse_err)).cast(value_schema))
+                ),
+            )
             recs = chain(recs)
             # key: json struct of pk fields, or scalar pk — normalize to
             # struct keyed by pk names, casting to the value's pk types.

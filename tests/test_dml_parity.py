@@ -303,3 +303,41 @@ def test_baseline_scale_throughput(spark, tmp_path):
     # generous CI bound; the reference's own cadence implies >= 50 s
     assert elapsed < 30, f"backlog took {elapsed:.1f}s"
     print(f"baseline workload: 25k ops end-to-end in {elapsed:.1f}s")
+
+
+def test_sink_poison_pill_does_not_delete(spark, tmp_path):
+    """A malformed value record (from_json → NULL) must fail the batch
+    with a clear error — NOT be mistaken for a tombstone and DELETE
+    live data."""
+    db = str(tmp_path / "pp.db")
+    url = "jdbc:sqlite:" + db
+    eng = Engine(
+        spark,
+        servers=f"file://{tmp_path}/topics",
+        checkpoint_root=tmp_path / "ckpt",
+        connection_factories={url: functools.partial(sqlite3.connect, db)},
+    )
+    wire = spark.createDataFrame(
+        [("1", '{"id": 1, "name": "a"}', "pp_topic"), ("1", "{truncated", "pp_topic")],
+        "key string, value string, topic string",
+    )
+    eng.transport.append(wire)
+    eng.register(
+        {
+            "name": "pp_sink",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
+                "topics": "pp_topic",
+                "connection.url": url,
+                "insert.mode": "upsert",
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                "delete.enabled": "true",
+                "table.name.format": "t_sink",
+                "value.schema.ddl": "id int, name string",
+                "value.converter.schemas.enable": "false",
+            },
+        }
+    )
+    with pytest.raises(Exception, match="malformed|Malformed|FAILFAST"):
+        eng.run_once("pp_sink")
