@@ -51,7 +51,7 @@ _SPARK_TO_AVRO: list[tuple[type, str]] = [
 ]
 
 
-def _avro_type(dt: T.DataType) -> Any:
+def _avro_type(dt: T.DataType, name_hint: str = "nested") -> Any:
     for spark_t, avro_t in _SPARK_TO_AVRO:
         if isinstance(dt, spark_t):
             return avro_t
@@ -67,9 +67,11 @@ def _avro_type(dt: T.DataType) -> Any:
             "scale": dt.scale,
         }
     if isinstance(dt, T.ArrayType):
-        return {"type": "array", "items": _avro_type(dt.elementType)}
+        return {"type": "array", "items": _avro_type(dt.elementType, name_hint + "_item")}
     if isinstance(dt, T.StructType):
-        return avro_schema_for(dt, name="nested")
+        # Avro forbids redefining a record name — derive a unique name
+        # from the field path (two 'nested' records would be invalid)
+        return avro_schema_for(dt, name=name_hint or "nested")
     raise TypeError(f"no Avro mapping for Spark type {dt}")
 
 
@@ -78,7 +80,7 @@ def avro_schema_for(schema: T.StructType, name: str = "ConnectDefault") -> dict:
     fields become ["null", T] unions with null default."""
     fields = []
     for f in schema.fields:
-        at = _avro_type(f.dataType)
+        at = _avro_type(f.dataType, f"{name}_{f.name}")
         if f.nullable:
             fields.append({"name": f.name, "type": ["null", at], "default": None})
         else:
@@ -326,9 +328,11 @@ class SchemaRegistry:
     def __init__(self, path: str | Path | None = None):
         self.path = Path(path) if path else None
         self._data: dict[str, Any] = {"schemas": {}, "subjects": {}, "config": {}}
-        self._global_compat = "BACKWARD"
         if self.path and self.path.exists():
             self._data = json.loads(self.path.read_text())
+        # global mode lives IN the persisted document, or a file-backed
+        # registry would silently revert to BACKWARD on reload
+        self._data.setdefault("global_compat", "BACKWARD")
 
     def _save(self) -> None:
         if self.path:
@@ -340,13 +344,13 @@ class SchemaRegistry:
         if mode not in ("BACKWARD", "NONE"):
             raise ValueError("supported modes: BACKWARD, NONE")
         if subject is None:
-            self._global_compat = mode
+            self._data["global_compat"] = mode
         else:
             self._data["config"][subject] = mode
         self._save()
 
     def compatibility(self, subject: str) -> str:
-        return self._data["config"].get(subject, self._global_compat)
+        return self._data["config"].get(subject, self._data["global_compat"])
 
     # -- registration ---------------------------------------------------
     @staticmethod
@@ -431,21 +435,44 @@ def avro_serialize_udf(value_schema: T.StructType, avro_schema: dict, schema_id:
 
     # struct input arrives as pd.DataFrame; the hint checker wants the
     # Union spelling for that protocol
+    import numpy as np
+
+    def _clean(v):
+        # Arrow->pandas hands back numpy scalars/arrays and NaN/NaT —
+        # normalize to plain Python before the codec sees them
+        if isinstance(v, np.ndarray):
+            return [_clean(x) for x in v.tolist()]
+        if isinstance(v, list):
+            return [_clean(x) for x in v]
+        if isinstance(v, np.generic):
+            v = v.item()
+        if v is None or v is pd.NaT:
+            return None
+        if isinstance(v, float) and pd.isna(v):
+            return None
+        return v
+
     @pandas_udf(T.BinaryType())
     def _ser(s: Union[pd.Series, pd.DataFrame]) -> pd.Series:
         out = []
         for rec in s.to_dict("records"):
-            out.append(encode_message(avro_schema, rec, schema_id))
+            out.append(
+                encode_message(avro_schema, {k: _clean(v) for k, v in rec.items()}, schema_id)
+            )
         return pd.Series(out, dtype=object)
 
     return _ser
 
 
-def avro_deserialize_udf(value_schema: T.StructType, avro_schema: dict):
+def avro_deserialize_udf(
+    value_schema: T.StructType, avro_schema: dict, expected_id: int | None = None
+):
     """Framed wire bytes → struct rows. Assumes a single writer schema
-    (per-pipeline fixed schema — SURVEY §1.3); a mixed-id stream
-    decodes per-message via the embedded id against this schema's
-    field list."""
+    per pipeline (SURVEY §1.3); when ``expected_id`` is given, a
+    message carrying a DIFFERENT embedded schema id fails loudly —
+    positional decode against the wrong field list would silently
+    corrupt columns (evolved topics need a registry lookup in the
+    reader, which is the restart-on-evolution path)."""
     from pyspark.sql.functions import pandas_udf
 
     names = [f.name for f in value_schema.fields]
@@ -457,7 +484,13 @@ def avro_deserialize_udf(value_schema: T.StructType, avro_schema: dict):
             if wire is None:
                 rows.append({n: None for n in names})
                 continue
-            _, body = unframe(bytes(wire))
+            sid, body = unframe(bytes(wire))
+            if expected_id is not None and sid != expected_id:
+                raise ValueError(
+                    f"message written with schema id {sid}, reader bound to "
+                    f"{expected_id} — schema evolved mid-stream; restart the "
+                    "pipeline against the new version"
+                )
             rows.append(_decode_record(avro_schema, io.BytesIO(body)))
         return pd.DataFrame(rows, columns=names)
 

@@ -65,11 +65,9 @@ def wrap_as_envelope(
     and documented as such).
     """
     row = F.struct(*[F.col(c).alias(c) for c in row_cols])
-    ts_ms = (
-        (F.col(ts_col).cast("double") * 1000).cast("long")
-        if ts_col
-        else F.lit(None).cast("long")
-    )
+    # unix_millis is integer math end-to-end; double*1000 truncation
+    # can be 1 ms off for values not exactly representable as doubles
+    ts_ms = F.unix_millis(F.col(ts_col)) if ts_col else F.lit(None).cast("long")
     src = F.struct(
         F.lit(connector).alias("connector"),
         F.lit(db).alias("db"),

@@ -114,9 +114,16 @@ class TopicTransport:
                     "timestamp",
                 )
             )
-            n = w.count()
-            w.coalesce(1).write.mode("append").parquet(str(tdir / "log"))
-            self._set_next_offset(tdir, base + n)
+            # one evaluation: the lineage includes serde UDFs/transform
+            # chains, and the offset accounting must match the rows
+            # actually written
+            w = w.persist()
+            try:
+                n = w.count()
+                w.coalesce(1).write.mode("append").parquet(str(tdir / "log"))
+                self._set_next_offset(tdir, base + n)
+            finally:
+                w.unpersist()
 
     # ---- read ----------------------------------------------------------
     def read_stream(self, topics: list[str], starting_offsets: str = "earliest") -> DataFrame:

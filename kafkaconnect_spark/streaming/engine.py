@@ -267,11 +267,18 @@ class Engine:
             avro = avro_schema_for(value_schema, "ConnectDefault")
             sid = registry.register(f"{topic}-value", avro)
             ser_udf = avro_serialize_udf(value_schema, avro, sid)
-            de_udf = avro_deserialize_udf(value_schema, avro)
+            de_udf = avro_deserialize_udf(value_schema, avro, expected_id=sid)
 
-            # tombstones: null wire bytes must stay a null STRUCT (the
-            # writer splits on value IS NULL — K2), but a pandas UDF
-            # can only return a row of nulls; guard outside the UDF.
+            # tombstones need guards on BOTH sides of the UDF boundary:
+            # a null struct entering a pandas UDF arrives as an all-NaN
+            # row (which would encode as a record of nulls, destroying
+            # the delete), and null wire bytes must come back as a null
+            # STRUCT (the writer splits on value IS NULL — K2).
+            def _null_preserving_ser(struct_col):
+                return F.when(
+                    struct_col.isNull(), F.lit(None).cast("binary")
+                ).otherwise(ser_udf(struct_col))
+
             def _null_preserving_de(raw_col):
                 return F.when(
                     raw_col.isNull(), F.lit(None).cast(value_schema)
@@ -279,11 +286,11 @@ class Engine:
 
             if self.transport.is_file:
                 return (
-                    lambda col: F.base64(ser_udf(F.col(col))),
+                    lambda col: F.base64(_null_preserving_ser(F.col(col))),
                     lambda col: _null_preserving_de(F.unbase64(F.col(col))),
                 )
             return (
-                lambda col: ser_udf(F.col(col)),
+                lambda col: _null_preserving_ser(F.col(col)),
                 lambda col: _null_preserving_de(F.col(col)),
             )
         schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"

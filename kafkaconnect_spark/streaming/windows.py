@@ -138,35 +138,53 @@ _USER_STATS_OUT = T.StructType(
 )
 
 
-def _user_stats_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+def _user_stats_fn_factory(inactivity_timeout_ms: int | None):
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        if inactivity_timeout_ms:
+            state.setTimeoutDuration(inactivity_timeout_ms)  # evict idle keys
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return _fn
 
 
-def running_user_stats(events: DataFrame) -> DataFrame:
+def running_user_stats(
+    events: DataFrame, inactivity_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator: running per-user event count + value
     total, emitted every micro-batch (applyInPandasWithState). This is
-    the pattern for operators Spark's built-ins can't express."""
+    the pattern for operators Spark's built-ins can't express.
+
+    State is otherwise unbounded (one entry per user ever seen) — a
+    CONTINUOUS deployment should pass ``inactivity_timeout_ms`` to
+    evict idle keys via ProcessingTimeTimeout. The default stays
+    NoTimeout because processing-time timeouts don't terminate under
+    the availableNow trigger batch jobs and tests use."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if inactivity_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _user_stats_fn,
+            _user_stats_fn_factory(inactivity_timeout_ms),
             outputStructType=_USER_STATS_OUT,
             stateStructType=_USER_STATS_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 

@@ -161,3 +161,70 @@ def test_spark_roundtrip_via_pandas_udf(spark):
         (1, "a", 0.5, datetime.datetime(2024, 1, 1, 10, 0, 0)),
         (2, None, None, None),
     ]
+
+
+def test_udf_roundtrip_array_column_and_id_check(spark):
+    """The numpy path: list columns arrive in the pandas UDF as
+    numpy arrays and must serialize; a message with a foreign schema
+    id must fail loudly, not decode positionally."""
+    sub = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    avro = avro_schema_for(sub, "tagged")
+    reg = SchemaRegistry()
+    sid = reg.register("tagged-value", avro)
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, None)], sub)
+    rec = df.select(F.struct(*df.columns).alias("value"))
+    ser = avro_serialize_udf(sub, avro, sid)
+    wire = rec.select(ser(F.col("value")).alias("raw"))
+    de = avro_deserialize_udf(sub, avro, expected_id=sid)
+    back = wire.select(de(F.col("raw")).alias("value")).select("value.*")
+    got = sorted([(r.id, list(r.tags) if r.tags is not None else None) for r in back.collect()])
+    assert got == [(1, ["a", "b"]), (2, None)]
+
+    import pytest
+
+    bad = avro_deserialize_udf(sub, avro, expected_id=sid + 7)
+    with pytest.raises(Exception, match="schema id"):
+        wire.select(bad(F.col("raw")).alias("v")).collect()
+
+
+def test_nested_struct_schema_names_unique():
+    """Avro forbids redefining a record name: a schema with two nested
+    structs must emit two distinct record names."""
+    sub = T.StructType(
+        [
+            T.StructField(
+                "before", T.StructType([T.StructField("id", T.IntegerType(), True)]), True
+            ),
+            T.StructField(
+                "after", T.StructType([T.StructField("id", T.IntegerType(), True)]), True
+            ),
+        ]
+    )
+    avro = avro_schema_for(sub, "env")
+
+    def names(node, acc):
+        if isinstance(node, dict):
+            if node.get("type") == "record":
+                acc.append(node["name"])
+            for v in node.values():
+                names(v, acc)
+        elif isinstance(node, list):
+            for v in node:
+                names(v, acc)
+        return acc
+
+    found = names(avro, [])
+    assert len(found) == len(set(found)), found
+
+
+def test_registry_global_compat_persists(tmp_path):
+    p = str(tmp_path / "reg.json")
+    reg = SchemaRegistry(p)
+    reg.set_compatibility("NONE")
+    reg2 = SchemaRegistry(p)
+    assert reg2.compatibility("any-subject") == "NONE"
