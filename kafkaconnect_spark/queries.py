@@ -64,16 +64,23 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The driver's events.parquet carries timestamp[ns], which the
-    Spark parquet reader rejects; read nanos as long (runtime conf, so
-    it works under the driver's own SparkSession too) and truncate to
-    a microsecond TimestampType — same truncation DuckDB applies."""
+    """Normalize the driver's events.parquet `ts` to TimestampType.
+
+    Two generations of testdata exist: timestamp[ns] (rejected by the
+    parquet reader → read nanos as long and truncate to µs, same
+    truncation DuckDB applies) and naive timestamp[us] (inferred as
+    TIMESTAMP_NTZ on Spark ≥3.5, which watermarking rejects → cast to
+    TimestampType; session tz is pinned UTC so the instant mapping is
+    identity and matches DuckDB's naive timestamps)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer division: `/` would go through double and round the
         # microsecond (ns epochs exceed double's exact-integer range)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
