@@ -338,6 +338,50 @@ def minhash_dedup_pairs_between(
     return _jaccard_verify(cands, sh_new, sh_cor, threshold, "id_new", "id_corpus", id_col)
 
 
+def minhash_dedup_pairs_within(
+    df: DataFrame,
+    is_new,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup when the new batch and the corpus live in the
+    SAME table (the lake layout: today's ingest-date partition vs the
+    rest). ``is_new`` is a Column predicate over ``id_col`` that marks
+    the new side.
+
+    Shingle sets, signatures, and banded buckets are computed in ONE
+    pass over the table and split by the predicate afterwards — half
+    the scan/hash stages of ``minhash_dedup_pairs_between`` on two
+    filtered reads of the same source. Returns (id_new, id_corpus,
+    jaccard)."""
+    from pyspark import StorageLevel
+
+    sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # banded is tiny ((id, band, band_hash) × bands rows/doc) — persist
+    # it so the min-hash transforms run once, not once per side.
+    banded = _banded(
+        _signatures_from_arrays(sharr, num_hashes, id_col).select(id_col, "sig"),
+        bands,
+        id_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    b_new = banded.where(is_new).withColumnRenamed(id_col, "id_new")
+    b_cor = banded.where(~is_new).withColumnRenamed(id_col, "id_corpus")
+    cands = b_new.join(b_cor, ["band", "band_hash"]).select("id_new", "id_corpus").distinct()
+    return _jaccard_verify(
+        cands,
+        sharr.where(is_new),
+        sharr.where(~is_new),
+        threshold,
+        "id_new",
+        "id_corpus",
+        id_col,
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
 ) -> DataFrame:

@@ -988,12 +988,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: docs with doc_id % 10 = 0 play the 'newly
     crawled batch', the rest the standing corpus — only new×corpus
-    band collisions are verified (the corpus is never self-joined)."""
+    band collisions are verified (the corpus is never self-joined).
+    Both sides live in one table, so the single-pass `_within` variant
+    shingles/signs/bands once and splits by the predicate."""
     docs = _t(spark, sf_dir, "documents")
-    new = docs.where(F.col("doc_id") % 10 == 0)
-    corpus = docs.where(F.col("doc_id") % 10 != 0)
-    return dedup.minhash_dedup_pairs_between(
-        new, corpus, threshold=0.2, num_hashes=16, bands=4
+    return dedup.minhash_dedup_pairs_within(
+        docs, F.col("doc_id") % 10 == 0, threshold=0.2, num_hashes=16, bands=4
     )
 
 
