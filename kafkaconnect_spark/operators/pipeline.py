@@ -444,3 +444,155 @@ def bloom_contamination(
             "contamination"
         ),
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy of the within-doc token distribution — a
+    repetition/quality proxy (low entropy = boilerplate/spam; the
+    normalized form is comparable across doc lengths).
+
+    Fully NARROW: the token array, the distinct-token counts, and the
+    entropy fold are all per-row expressions — at 100 TB this runs at
+    parquet-scan speed, no shuffle. Each -p·log2(p) term is rounded to
+    7 decimals and DECIMAL-summed (order-independent), so the DuckDB
+    oracle replays the value exactly."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE).alias(
+            "__toks"
+        ),
+        (F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0).alias("__empty"),
+    )
+    staged = toks.select(
+        F.col(id_col),
+        F.when(F.col("__empty"), F.lit(0)).otherwise(F.size("__toks")).alias("n_tokens"),
+        F.when(F.col("__empty"), F.expr("array()").cast("array<int>"))
+        .otherwise(
+            F.expr("transform(array_distinct(__toks), c -> size(filter(__toks, x -> x = c)))")
+        )
+        .alias("__counts"),
+    )
+    ent = staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.size("__counts").alias("n_distinct"),
+        F.expr(
+            "aggregate(__counts, cast(0 as decimal(20,7)), (acc, c) -> cast(acc + "
+            "cast(round(-(c / cast(n_tokens as double)) * log2(c / cast(n_tokens as double)), 7) "
+            "as decimal(20,7)) as decimal(20,7)))"
+        ).alias("__ent"),
+    )
+    return ent.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_distinct"),
+        # raw decimal→double, no round: the sum is a multiple of 1e-7,
+        # so round(…, 6) would sit exactly on .5 boundaries where
+        # engines disagree; the nearest-double conversion itself is
+        # identical everywhere
+        F.col("__ent").cast("double").alias("entropy"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(F.col("__ent").cast("double") / F.log2("n_distinct"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization — how 100 TB of
+    embeddings actually get stored (4× smaller than float32, and ANN
+    distance on int8 is SIMD-friendly). scale = max|v|/127 per vector;
+    q_i = round(v_i/scale). Reports the quantized range and the mean
+    absolute reconstruction error per vector.
+
+    Fully NARROW (per-row array folds, no shuffle); the error fold is
+    per-element rounded → DECIMAL-summed so it replays exactly in the
+    oracle."""
+    v = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    )
+    s = v.select(
+        F.col(id_col),
+        F.col("__v"),
+        (
+            F.greatest(F.expr("array_max(transform(__v, x -> abs(x)))"), F.lit(1e-12))
+            / 127.0
+        ).alias("__scale"),
+    )
+    q = s.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.col("__scale"),
+        F.expr("transform(__v, x -> cast(round(x / __scale, 0) as int))").alias("__q"),
+    )
+    return q.select(
+        F.col(id_col),
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.size("__v").alias("n_dims"),
+        F.expr("array_min(__q)").alias("q_min"),
+        F.expr("array_max(__q)").alias("q_max"),
+        # no final round — decimal-sum→double then an IEEE division is
+        # bit-identical across engines; rounding would land on exact
+        # .5 boundaries (sums are multiples of 1e-7) and flip
+        (
+            F.expr(
+                "aggregate(zip_with(__v, __q, (x, qq) -> "
+                "cast(round(abs(x - qq * __scale), 7) as decimal(20,7))), "
+                "cast(0 as decimal(20,7)), (acc, t) -> cast(acc + t as decimal(20,7)))"
+            ).cast("double")
+            / F.size("__v")
+        ).alias("recon_mae"),
+    )
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic ±1 projection-matrix entry: parity of the first
+    32 md5 bits of "j:i" — replayable verbatim in the DuckDB oracle."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+
+
+def random_projection(
+    df: DataFrame,
+    out_dims: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    deterministic ±1 matrix: y_j = Σ_i sign(j,i)·v_i / √out_dims.
+    Long-form output (id, out_dim, value).
+
+    The out_dims×dim sign matrix is tiny and FOLDED INTO the per-row
+    expression as literals (same trick as the IVF centroid argmax) —
+    the corpus never joins or shuffles to project; at 100 TB this is a
+    narrow map at scan speed. Components are rounded to 7 decimals and
+    DECIMAL-summed (signs are exact ints), so the projection is
+    order-independent and bit-replayable in the oracle."""
+    import math
+
+    sums = []
+    for j in range(out_dims):
+        signs = ", ".join(str(_rp_sign(j, i)) for i in range(dim))
+        sums.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, array({signs}), "
+                "(v, s) -> cast(round(cast(v as double), 7) as decimal(20,7)) * s), "
+                "cast(0 as decimal(27,7)), (acc, t) -> cast(acc + t as decimal(27,7)))"
+            )
+        )
+    long = df.select(F.col(id_col), F.posexplode(F.array(*sums)).alias("out_dim", "__s"))
+    # NO final round: the decimal sum converts to the same nearest
+    # double in every engine and /sqrt(k) is a correctly-rounded IEEE
+    # op — bit-identical everywhere. (A round(…, 6) here would sit on
+    # exact .5 boundaries by construction — multiples of 1e-7/√k — and
+    # engines disagree on those.)
+    return long.select(
+        F.col(id_col),
+        F.col("out_dim"),
+        (F.col("__s").cast("double") / math.sqrt(out_dims)).alias("value"),
+    )

@@ -1612,6 +1612,76 @@ FROM e GROUP BY label, dim
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = max|v|/127)
+    with reconstruction-error report — narrow per-row folds, no
+    shuffle."""
+    return pipeline.quantize_int8(_spread(_t(spark, sf_dir, "embeddings")))
+
+
+QUANT_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (SELECT vec_id, vec,
+             greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12) / 127.0 AS scale
+      FROM v),
+e AS (SELECT vec_id, scale, unnest(vec) AS x FROM s),
+q AS (SELECT vec_id, scale, x, round(x / scale, 0)::INT AS qv FROM e)
+SELECT vec_id, round(scale, 6) AS scale, count(*)::INT AS n_dims,
+       min(qv) AS q_min, max(qv) AS q_max,
+       sum(round(abs(x - qv * scale), 7)::DECIMAL(20,7))::DOUBLE / count(*) AS recon_mae
+FROM q GROUP BY vec_id, scale
+"""
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→16-dim Johnson–Lindenstrauss projection with a deterministic
+    md5-derived ±1 matrix folded into the row expression (no join, no
+    shuffle)."""
+    return pipeline.random_projection(
+        _spread(_t(spark, sf_dir, "embeddings")), out_dims=16, dim=64
+    )
+
+
+RPROJ_ORACLE = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  round(unnest(embedding::DOUBLE[]), 7)::DECIMAL(20,7) AS v
+           FROM embeddings),
+j AS (SELECT unnest(range(0, 16)) AS out_dim),
+s AS (SELECT vec_id, out_dim,
+             sum(v * (CASE WHEN ('0x' || substr(md5(out_dim::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                           THEN 1 ELSE -1 END)) AS acc
+      FROM e, j GROUP BY 1, 2)
+SELECT vec_id, out_dim::INT AS out_dim, acc::DOUBLE / 4.0 AS value FROM s
+"""
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc token-distribution Shannon entropy (+ length-
+    normalized form) — repetition/boilerplate detector; narrow per-row
+    fold at scan speed."""
+    return pipeline.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+TOKEN_ENTROPY_ORACLE = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM d WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*)::INT AS n_distinct
+        FROM c GROUP BY doc_id),
+e AS (SELECT c.doc_id,
+             sum(round(-(c.n / tot.n_tokens::DOUBLE) * log2(c.n / tot.n_tokens::DOUBLE), 7)::DECIMAL(20,7)) AS ent
+      FROM c JOIN tot ON c.doc_id = tot.doc_id GROUP BY c.doc_id)
+SELECT tot.doc_id, tot.n_tokens, tot.n_distinct,
+       ent::DOUBLE AS entropy,
+       CASE WHEN tot.n_distinct > 1 THEN round(ent::DOUBLE / log2(tot.n_distinct), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM tot JOIN e ON tot.doc_id = e.doc_id
+UNION ALL
+SELECT doc_id, 0, 0, 0.0, 0.0 FROM d WHERE length(trim(text)) = 0
+"""
+
+
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut packing into 2048-token bins per language
     stream — per-bin doc counts and fill ratios."""
@@ -2057,6 +2127,9 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "decontaminate_test_split": QueryDef(decontaminate_test_split, DECONTAM_ORACLE),
     "pii_redaction": QueryDef(pii_redaction, PII_ORACLE),
     "embedding_label_centroids": QueryDef(embedding_label_centroids, CENTROID_ORACLE),
+    "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT_ORACLE),
+    "embedding_random_projection": QueryDef(embedding_random_projection, RPROJ_ORACLE),
+    "text_token_entropy": QueryDef(text_token_entropy, TOKEN_ENTROPY_ORACLE),
     "docs_pack_sequences": QueryDef(docs_pack_sequences, PACK_ORACLE),
     "quality_funnel": QueryDef(quality_funnel, QUALITY_FUNNEL_ORACLE),
     "text_gopher_rules": QueryDef(text_gopher_rules, GOPHER_ORACLE),

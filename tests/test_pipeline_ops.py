@@ -190,3 +190,46 @@ def test_gopher_stats_property_vs_python_reference(spark):
             assert got[i] == ref(t), (repr(t), got[i], ref(t))
 
     run()
+
+
+def test_token_entropy_edges(spark):
+    rows = [
+        (1, "a a a a"),        # one distinct token → entropy 0, norm 0
+        (2, "a b a b"),        # uniform 2-token dist → entropy 1 bit
+        (3, "   "),            # whitespace-only → 0 tokens
+        (4, "x"),              # single token
+    ]
+    out = {r.doc_id: r for r in pipeline.token_entropy(_docs(spark, rows)).collect()}
+    assert (out[1].n_tokens, out[1].n_distinct) == (4, 1)
+    assert out[1].entropy == 0.0 and out[1].norm_entropy == 0.0
+    assert out[2].entropy == 1.0 and out[2].norm_entropy == 1.0
+    assert (out[3].n_tokens, out[3].n_distinct, out[3].entropy) == (0, 0, 0.0)
+    assert (out[4].n_tokens, out[4].n_distinct, out[4].entropy) == (1, 1, 0.0)
+
+
+def test_quantize_int8_zero_vector_and_range(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0]),         # zero vector: eps scale, q=0
+         Row(vec_id=2, embedding=[1.0, -1.0, 0.5])],  # max|v|=1 → q = ±127, 64
+    )
+    out = {r.vec_id: r for r in pipeline.quantize_int8(df).collect()}
+    assert (out[1].q_min, out[1].q_max, out[1].recon_mae) == (0, 0, 0.0)
+    assert (out[2].q_min, out[2].q_max) == (-127, 127)
+    # reconstruction of the extreme components is exact (q*scale = ±1);
+    # the 0.5 component carries the full half-step error (~0.004)
+    assert out[2].recon_mae < 2e-3
+
+
+def test_random_projection_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + d) for d in range(8)]) for i in range(3)]
+    )
+    a = pipeline.random_projection(df, out_dims=4, dim=8).collect()
+    b = pipeline.random_projection(df, out_dims=4, dim=8).collect()
+    assert len(a) == 12  # 3 vectors × 4 output dims
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # fully deterministic
+    # sign matrix is ±1 only → |y_j| ≤ sum|v| / sqrt(k)
+    import math
+    for r in a:
+        bound = sum(abs(float(r.vec_id + d)) for d in range(8)) / math.sqrt(4) + 1e-9
+        assert abs(r.value) <= bound
