@@ -43,6 +43,9 @@ HEADLINE = [
     "text_gopher_rules",
     "dedup_incremental",
     "docs_shard_assignment",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "text_token_entropy",
 ]
 
 

@@ -205,3 +205,26 @@ def test_new_pipeline_ops_plan_shapes(spark):
     # table via broadcast — no shuffle of the documents scan
     p = pipeline.balance_sources(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
+
+
+def test_embedding_and_entropy_ops_are_narrow(spark):
+    from kafkaconnect_spark.operators import pipeline
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # int8 quantization: per-row folds only — no shuffle, no Python eval
+    p = pipeline.quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    # random projection: sign matrix folded into literals — no join,
+    # no shuffle, no md5 in the plan (signs precomputed driver-side)
+    p = pipeline.random_projection(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "md5" not in p, p
+
+    # token entropy: narrow map at scan speed
+    p = pipeline.token_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
