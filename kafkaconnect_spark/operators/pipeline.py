@@ -453,9 +453,12 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     Fully NARROW: the token array, the distinct-token counts, and the
     entropy fold are all per-row expressions — at 100 TB this runs at
-    parquet-scan speed, no shuffle. Each -p·log2(p) term is rounded to
-    7 decimals and DECIMAL-summed (order-independent), so the DuckDB
-    oracle replays the value exactly."""
+    parquet-scan speed, no shuffle. Counts come from a run-length fold
+    over the SORTED token array — O(n log n) per row, so a single
+    200k-token outlier document can't stall its task the way the naive
+    O(distinct·n) count-by-filter would. Each -p·log2(p) term is
+    rounded to 7 decimals and DECIMAL-summed (order-independent), so
+    the DuckDB oracle replays the value exactly."""
     toks = df.select(
         F.col(id_col),
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE).alias(
@@ -468,7 +471,16 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.when(F.col("__empty"), F.lit(0)).otherwise(F.size("__toks")).alias("n_tokens"),
         F.when(F.col("__empty"), F.expr("array()").cast("array<int>"))
         .otherwise(
-            F.expr("transform(array_distinct(__toks), c -> size(filter(__toks, x -> x = c)))")
+            # run-length encode the sorted tokens: (prev, run, counts)
+            # accumulator; the finish lambda flushes the last run
+            F.expr(
+                "aggregate(array_sort(__toks), "
+                "named_struct('p', cast(null as string), 'c', 0, 'cs', cast(array() as array<int>)), "
+                "(a, t) -> if(a.p is null, named_struct('p', t, 'c', 1, 'cs', a.cs), "
+                "  if(t = a.p, named_struct('p', a.p, 'c', a.c + 1, 'cs', a.cs), "
+                "     named_struct('p', t, 'c', 1, 'cs', array_append(a.cs, a.c)))), "
+                "a -> if(a.p is null, a.cs, array_append(a.cs, a.c)))"
+            )
         )
         .alias("__counts"),
     )
@@ -509,11 +521,13 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_
 
     Fully NARROW (per-row array folds, no shuffle); the error fold is
     per-element rounded → DECIMAL-summed so it replays exactly in the
-    oracle."""
+    oracle. Degenerate rows (NULL or empty vector) are excluded — there
+    is nothing to quantize and the oracle's unnest produces no rows for
+    them either."""
     v = df.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
-    )
+    ).where(F.size("__v") > 0)
     s = v.select(
         F.col(id_col),
         F.col("__v"),
@@ -572,9 +586,16 @@ def random_projection(
     the corpus never joins or shuffles to project; at 100 TB this is a
     narrow map at scan speed. Components are rounded to 7 decimals and
     DECIMAL-summed (signs are exact ints), so the projection is
-    order-independent and bit-replayable in the oracle."""
+    order-independent and bit-replayable in the oracle.
+
+    Rows whose vector length != ``dim`` (including NULL vectors) are
+    excluded: zip_with against the literal sign rows would NULL-pad
+    the short side and poison every output dim for that id, silently
+    and divergently from any SQL oracle — an explicit length contract
+    is the only sane semantics."""
     import math
 
+    df = df.where(F.size(F.col(vec_col)) == dim)
     sums = []
     for j in range(out_dims):
         signs = ", ".join(str(_rp_sign(j, i)) for i in range(dim))

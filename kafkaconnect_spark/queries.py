@@ -1620,7 +1620,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUANT_ORACLE = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE len(embedding) > 0),
 s AS (SELECT vec_id, vec,
              greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12) / 127.0 AS scale
       FROM v),
@@ -1645,7 +1646,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 RPROJ_ORACLE = """
 WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                   round(unnest(embedding::DOUBLE[]), 7)::DECIMAL(20,7) AS v
-           FROM embeddings),
+           FROM embeddings WHERE len(embedding) = 64),
 j AS (SELECT unnest(range(0, 16)) AS out_dim),
 s AS (SELECT vec_id, out_dim,
              sum(v * (CASE WHEN ('0x' || substr(md5(out_dim::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2 = 0

@@ -233,3 +233,20 @@ def test_random_projection_shape_and_determinism(spark):
     for r in a:
         bound = sum(abs(float(r.vec_id + d)) for d in range(8)) / math.sqrt(4) + 1e-9
         assert abs(r.value) <= bound
+
+
+def test_quantize_and_projection_exclude_degenerate_vectors(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()),
+         T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, []), (3, None), (4, [1.0, 2.0, 3.0])], schema
+    )
+    assert {r.vec_id for r in pipeline.quantize_int8(df).collect()} == {1, 4}
+    # projection keeps only exact-length vectors (no NULL-padded zip_with)
+    out = pipeline.random_projection(df, out_dims=2, dim=2).collect()
+    assert {r.vec_id for r in out} == {1}
+    assert all(r.value is not None for r in out)
