@@ -178,3 +178,53 @@ def test_stream_static_enrichment_equals_batch(spark, events_stream_dir):
         "append",
     )
     assert as_set(got.groupBy("c_mktsegment").count()) == expected
+
+
+def test_running_user_stats_transform_with_state(spark, events_stream_dir):
+    """Spark 4 transformWithState twin: final emitted state per user
+    equals the batch aggregate (and the applyInPandasWithState
+    implementation). Needs the RocksDB state store provider."""
+    from kafkaconnect_spark.streaming.windows import (
+        HAS_TRANSFORM_WITH_STATE,
+        running_user_stats_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("transformWithState needs Spark >= 4.0 and google.protobuf")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(
+            spark,
+            running_user_stats_tws(_stream(spark, events_stream_dir)),
+            "user_stats_tws_out",
+            "update",
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r.user_id, r.n)
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    pdf = out.toPandas()
+    # n_events is monotone per user — the max row is the final state
+    last = pdf.loc[pdf.groupby("user_id")["n_events"].idxmax()]
+    got = {(int(r.user_id), int(r.n_events)) for r in last.itertuples()}
+    assert got == expected
+    sums = {
+        r.user_id: float(r.s)
+        for r in batch.groupBy("user_id")
+        .agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("s"))
+        .collect()
+    }
+    for r in last.itertuples():
+        assert abs(float(r.total_value) - sums[int(r.user_id)]) < 0.05
