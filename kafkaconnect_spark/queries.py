@@ -43,9 +43,42 @@ class QueryDef(NamedTuple):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a driver testdata table, normalizing every temporal column
+    to TimestampType. The generator has already switched encodings
+    once (timestamp[ns] → naive timestamp[us]); this handles both for
+    ALL tables (l_shipdate/o_orderdate, not just events.ts) so a
+    regeneration can't silently break the catalog:
+
+    - timestamp[ns] (parquet reader rejects): read nanos as long via
+      the runtime conf, truncate to µs — same truncation DuckDB
+      applies. Which columns were ns comes from the parquet footer.
+    - naive timestamp[us] (TIMESTAMP_NTZ on Spark ≥3.5, which
+      watermarking rejects): cast to TimestampType; the session tz is
+      pinned UTC so the instant mapping is identity and matches
+      DuckDB's naive timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+
+    import pyarrow.parquet as pq  # driver-side, one footer read
+
+    try:
+        arrow_schema = pq.read_schema(path)
+        ns_cols = {
+            f.name
+            for f in arrow_schema
+            if str(f.type).startswith("timestamp[ns")
+        }
+    except Exception:  # non-local path (cluster deploy) — no ns testdata there
+        ns_cols = set()
+    for c, t in df.dtypes:
+        if c in ns_cols and t == "bigint":
+            # integer division: `/` would go through double and round
+            # the microsecond (ns epochs exceed double's exact range)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -64,24 +97,8 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalize the driver's events.parquet `ts` to TimestampType.
-
-    Two generations of testdata exist: timestamp[ns] (rejected by the
-    parquet reader → read nanos as long and truncate to µs, same
-    truncation DuckDB applies) and naive timestamp[us] (inferred as
-    TIMESTAMP_NTZ on Spark ≥3.5, which watermarking rejects → cast to
-    TimestampType; session tz is pinned UTC so the instant mapping is
-    identity and matches DuckDB's naive timestamps)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        # integer division: `/` would go through double and round the
-        # microsecond (ns epochs exceed double's exact-integer range)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return df
+    """events table with `ts` normalized to TimestampType (see _t)."""
+    return _t(spark, sf_dir, "events")
 
 
 # the op mapping used to view the events table as a CDC change stream:

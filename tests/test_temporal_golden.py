@@ -96,3 +96,40 @@ def test_session_timezone_is_utc(spark):
         F.date_format(F.from_utc_timestamp("ts", "Asia/Seoul"), "yyyy-MM-dd HH:mm:ss").alias("seoul")
     )
     assert df.first().seoul == "2023-03-15 17:30:59"
+
+
+def test_table_reader_normalizes_both_timestamp_generations(spark, tmp_path):
+    """The driver has regenerated testdata with a different timestamp
+    encoding once already (timestamp[ns] -> naive timestamp[us]); _t
+    must normalize BOTH to TimestampType for every table, so neither
+    generation can break the catalog."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafkaconnect_spark.queries import _t
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0, 123456)
+    rows = [t0, t0 + datetime.timedelta(seconds=1)]
+
+    ns_dir = tmp_path / "gen_ns"
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table({"l_orderkey": [1, 2],
+                  "l_shipdate": pa.array(rows, type=pa.timestamp("ns"))}),
+        ns_dir / "lineitem.parquet",
+    )
+    us_dir = tmp_path / "gen_us"
+    us_dir.mkdir()
+    pq.write_table(
+        pa.table({"l_orderkey": [1, 2],
+                  "l_shipdate": pa.array(rows, type=pa.timestamp("us"))}),
+        us_dir / "lineitem.parquet",
+    )
+
+    for d in (ns_dir, us_dir):
+        df = _t(spark, str(d), "lineitem")
+        assert dict(df.dtypes)["l_shipdate"] == "timestamp", (d, df.dtypes)
+        got = [r.l_shipdate for r in df.orderBy("l_orderkey").collect()]
+        assert got == rows, (d, got)
