@@ -49,9 +49,22 @@ def asof_join(
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
     r_payload = F.struct(*[F.col(c) for c in right_cols])
-    r_tagged = right.select(
+    # keep the tiebreak column's own type (a long cast would NULL out
+    # string ids and collapse fractional values — nondeterministic
+    # ties); the left side carries a typed NULL filler for the union
+    if tiebreak:
+        r_tb = F.col(tiebreak).alias("__tb")
+        l_tb = F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb")
+    else:
+        r_tb = F.lit(0).alias("__tb")
+        l_tb = F.lit(0).alias("__tb")
+    # a right row with NULL ts can never be "the most recent row at or
+    # before" anything — and Spark's NULLS-FIRST ascending ordering
+    # would otherwise park it at the partition head where last(...,
+    # ignorenulls) hands it to every left row as a bogus match
+    r_tagged = right.where(F.col(on).isNotNull()).select(
         F.col(by), F.col(on), F.lit(0).alias("__side"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        r_tb,
         F.lit(None).cast(left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s")).schema["s"].dataType).alias("__l"),
         r_payload.alias("__r"),
     )
@@ -59,7 +72,7 @@ def asof_join(
     # rows sort after all right rows at the same ts via __side anyway
     l_tagged = left.select(
         F.col(by), F.col(on), F.lit(1).alias("__side"),
-        F.lit(0).cast("long").alias("__tb"),
+        l_tb,
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(right.select(r_payload.alias("s")).schema["s"].dataType).alias("__r"),
     )
@@ -91,9 +104,18 @@ def range_join(
 
     Bucketed: candidates come from an equi-join on (by, time-bucket),
     never the whole key group.
+
+    Timestamps convert to fractional epoch seconds as double — exact
+    to the microsecond (µs epochs stay under 2^53), so the interval
+    filter keeps sub-second precision; a long cast would truncate to
+    seconds and both drop and fabricate boundary pairs.
     """
-    lsec = F.col(left_ts).cast("long")
-    rsec = F.col(right_ts).cast("long")
+    if window_seconds <= 0:
+        # floor(x / 0) is NULL in Spark SQL — every bucket would be
+        # NULL and the join would silently return nothing
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
     l_b = left.select(
         F.col(by).alias("__by"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),

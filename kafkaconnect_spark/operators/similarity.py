@@ -43,6 +43,19 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row — with a clear error
+    for an empty corpus or a NULL leading vector instead of a bare
+    TypeError from ``len(None)``."""
+    row = embeddings.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim from '{vec_col}': corpus is empty "
+            "or its first vector is NULL — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -147,7 +160,7 @@ def lsh_ann_topk(
     standard recall lever when a near neighbor straddles one
     hyperplane; recall gain is asserted in test_ann_recall.py."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = _infer_dim(embeddings, vec_col)
     sig = hyperplane_signature(vec_col, num_planes, dim)
     corpus = embeddings.withColumn("__bucket", sig).withColumn(
         "__nv", l2_norm(F.col(vec_col))
@@ -238,7 +251,10 @@ def ivf_ann_topk(
 
     def _id_lit(cid) -> str:
         if isinstance(cid, str):
-            return "'" + cid.replace("'", "''") + "'"
+            # Spark's lexer has no doubled-quote escape — adjacent
+            # string literals CONCATENATE, so '' would silently corrupt
+            # ids; backslash-escape \ and ' instead
+            return "'" + cid.replace("\\", "\\\\").replace("'", "\\'") + "'"
         return repr(cid)
 
     # The whole centroid table is rendered into ONE SQL expression
@@ -302,8 +318,12 @@ def ivf_ann_topk(
     # no (query, neighbor) dedup needed: each corpus row lives in
     # exactly one cell and a query's probe cells are distinct, so a
     # pair can collide only once — a groupBy here would be a pure
-    # extra shuffle of the candidate set
-    scored = corpus.join(probes, "cell").where(
+    # extra shuffle of the candidate set.
+    # The probe side is tiny (queries × n_probe) and MUST broadcast:
+    # an equi-join on "cell" with only n_cells distinct values would
+    # otherwise shuffle the whole corpus into n_cells reducer
+    # partitions — a full-corpus exchange with extreme skew
+    scored = corpus.join(F.broadcast(probes), "cell").where(
         F.col(id_col) != F.col(query_id_col)
     ).select(
         F.col(query_id_col),
@@ -333,7 +353,7 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs by cosine ≥ τ, candidate-pruned by LSH
     bucket equi-join (corpus self-join never goes quadratic)."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = _infer_dim(embeddings, vec_col)
     sig = hyperplane_signature(vec_col, num_planes, dim)
     # distinct column names per side (not DataFrame aliases): the
     # name-resolved SQL expression inside the signature breaks under

@@ -54,10 +54,18 @@ def group_quantile_sketch(
         value_col, F.array(*[F.lit(q) for q in quantiles]), F.lit(accuracy)
     )
     out = df.groupBy(group_col).agg(qs.alias("__qs"))
+
+    def _pname(q: float) -> str:
+        # collision-safe: 0.975 → p97_5, not p98 (round() would collapse
+        # 0.975/0.98 into duplicate column names and mislabel 0.999 as
+        # the max)
+        s = f"{q * 100:.10f}".rstrip("0").rstrip(".")
+        return "p" + s.replace(".", "_")
+
+    names = [_pname(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantiles requested: {quantiles}")
     return out.select(
         group_col,
-        *[
-            F.col("__qs")[i].alias(f"p{round(q * 100)}")
-            for i, q in enumerate(quantiles)
-        ],
+        *[F.col("__qs")[i].alias(n) for i, n in enumerate(names)],
     )

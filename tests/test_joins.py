@@ -72,3 +72,58 @@ def test_range_join_no_duplicate_pairs_across_buckets(spark):
     )
     out = range_join(left, right, by="k", left_ts="ts", right_ts="ts", window_seconds=3600)
     assert out.count() == 1
+
+
+def test_asof_ignores_null_ts_right_rows(spark):
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), 100)], "sym int, ts timestamp, trade_id int"
+    )
+    quotes = spark.createDataFrame(
+        [(1, None, 9.9), (1, ts("2024-01-01 10:00:00"), 10.1)],
+        "sym int, ts timestamp, px double",
+    )
+    # NULL-ts quote must NOT become the match (Spark orders NULLs first
+    # in an ascending window — unguarded, it would sit at the head and
+    # match every trade); no quote at/before 09:00 → null
+    out = asof_join(trades, quotes, on="ts", by="sym").collect()
+    assert len(out) == 1 and out[0].px_right is None
+
+
+def test_asof_string_tiebreak_is_deterministic(spark):
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 100)], "sym int, ts timestamp, trade_id int"
+    )
+    quotes = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "qb", 1.0),
+         (1, ts("2024-01-01 10:00:00"), "qa", 2.0)],
+        "sym int, ts timestamp, quote_id string, px double",
+    )
+    # equal-ts ties order by the RAW string column ('qb' last wins) —
+    # a long cast would NULL both and make the winner partition-order-
+    # dependent
+    for _ in range(3):
+        out = asof_join(trades, quotes, on="ts", by="sym", tiebreak="quote_id").collect()
+        assert out[0].px_right == 1.0
+
+
+def test_range_join_subsecond_precision(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00.200"))], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00.700")),    # in (l, l+5] → match
+         (1, ts("2024-01-01 10:00:00.100")),    # before l → no
+         (1, ts("2024-01-01 10:00:05.900"))],   # > l+5 → no (second-truncated longs would wrongly include it)
+        "k int, rts timestamp",
+    )
+    out = range_join(left, right, by="k", left_ts="lts", right_ts="rts", window_seconds=5)
+    got = {r.rts_r for r in out.collect()}
+    assert got == {ts("2024-01-01 10:00:00.700")}
+
+
+def test_range_join_rejects_nonpositive_window(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], "k int, t timestamp")
+    with pytest.raises(ValueError):
+        range_join(df, df, by="k", left_ts="t", right_ts="t", window_seconds=0)

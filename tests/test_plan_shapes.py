@@ -228,3 +228,11 @@ def test_embedding_and_entropy_ops_are_narrow(spark):
     # token entropy: narrow map at scan speed
     p = pipeline.token_entropy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    # the probe side (queries × n_probe rows) must broadcast: a shuffle
+    # join on "cell" would repartition the whole corpus into n_cells
+    # reducer partitions
+    p = plan(spark, "similarity_ivf", mode="simple")
+    assert "BroadcastHashJoin" in p, p

@@ -60,3 +60,15 @@ def test_quantile_sketch_rank_error(spark, events):
         # slack for duplicate-value plateaus on small groups
         assert 0.5 - 0.02 <= rank_of(p50) and rank_of(p50 - 1e-9) <= 0.5 + 0.02
         assert 0.95 - 0.02 <= rank_of(p95) and rank_of(p95 - 1e-9) <= 0.95 + 0.02
+
+
+def test_quantile_column_names_are_collision_safe(spark):
+    from kafkaconnect_spark.operators.sketches import group_quantile_sketch
+
+    df = spark.createDataFrame([("a", float(i)) for i in range(100)], "g string, v double")
+    out = group_quantile_sketch(df, "g", "v", quantiles=(0.975, 0.98, 0.999))
+    assert out.columns == ["g", "p97_5", "p98", "p99_9"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        group_quantile_sketch(df, "g", "v", quantiles=(0.5, 0.5))
