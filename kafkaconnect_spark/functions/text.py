@@ -118,9 +118,17 @@ def fingerprint_md5(text: Column | str) -> Column:
 
 
 def hash64(c: Column, seed: int | str = 0) -> Column:
-    """Deterministic 32-bit-range hash shared with the DuckDB oracle:
-    first 8 hex chars of md5(seed:value) as a bigint. Used by minhash /
-    simhash so oracle SQL can replay them."""
+    """Deterministic 60-bit hash shared with the DuckDB oracle: first
+    15 hex chars of md5(seed:value) as a bigint (15 hex = 60 bits —
+    the widest prefix that fits a SIGNED bigint in both engines; 16
+    chars would overflow to NULL for half the space). Used for
+    splits, sampling, sharding, and decontamination shingle joins.
+
+    Width matters for the shingle joins: at 100 TB-corpus shingle
+    cardinalities (~10^9-10^10 distinct) a 32-bit prefix would be
+    nearly saturated and every test shingle would collide with SOME
+    train shingle — 60 bits keeps the collision expectation far below
+    one."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 15), 16, 10
     ).cast("bigint")

@@ -19,8 +19,8 @@ Five families, all shuffle-conscious:
 - **embedding cosine**: see operators/similarity.py — near-dup =
   cosine ≥ τ via the same LSH-bucketed join.
 
-Every hash is md5-derived (functions/text.hash64) so the DuckDB oracle
-replays results exactly — the correctness gate covers these, not just
+Every hash is md5-derived (same substring derivation the DuckDB oracle
+replays verbatim) — the correctness gate covers values, not just
 row counts.
 """
 
@@ -46,20 +46,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text_col: str, n: int = 3):
-    """Word n-gram shingle array (distinct). Pure SQL expression so the
-    oracle can mirror it: slide a window of n tokens."""
-    # NB: Spark's sequence(1, 0) yields a DEscending [1, 0], so short
-    # texts must short-circuit to an empty array explicitly.
-    return F.expr(
-        f"""
-        CASE WHEN size(split(trim({text_col}), '{SQL_SPLIT_RE}')) < {n} THEN array()
-        ELSE array_distinct(transform(
-            sequence(1, size(split(trim({text_col}), '{SQL_SPLIT_RE}')) - {n} + 1),
-            i -> array_join(slice(split(trim({text_col}), '{SQL_SPLIT_RE}'), i, {n}), ' ')
-        )) END
-        """
-    )
+def _check_banding(num_hashes: int, bands: int) -> None:
+    """bands must evenly divide the signature: rows-per-band of 0
+    (bands > num_hashes) makes EVERY band hash md5('') so all docs
+    collide pairwise — a silent O(n²) candidate blowup; a remainder
+    silently drops trailing hashes from every band."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be in [1, num_hashes] and divide "
+            f"num_hashes={num_hashes} evenly"
+        )
 
 
 def shingle_arrays(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -199,7 +195,7 @@ def minhash_signatures(
     explode + k-min-aggregations form shuffled every shingle)."""
     return _signatures_from_arrays(
         shingle_arrays(df, text_col, id_col, n), num_hashes, id_col
-    ).select(id_col, "sig")
+    )
 
 
 def _signatures_from_arrays(sharr: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
@@ -209,12 +205,12 @@ def _signatures_from_arrays(sharr: DataFrame, num_hashes: int, id_col: str) -> D
     so `array_min` runs over the hex substrings (cheap) and the hex→int
     conversion happens once per doc.
 
-    h_i = int(md5(f"{i//4}:" + shingle)[ (i%4)*8 : (i%4)*8+8 ], 16) —
-    h_0 matches functions.text.hash64(seed=0) exactly."""
+    h_i = int(md5(f"{i//4}:" + shingle)[ (i%4)*8 : (i%4)*8+8 ], 16)
+    (32-bit words — standard minhash value width; the oracle replays
+    the same md5-substring derivation)."""
     groups = (num_hashes + 3) // 4
     proj = sharr.select(
         F.col(id_col),
-        F.size("__sh").alias("sz"),
         *[
             F.expr(f"transform(__sh, s -> md5(concat('{g}:', s)))").alias(f"m{g}")
             for g in range(groups)
@@ -230,7 +226,7 @@ def _signatures_from_arrays(sharr: DataFrame, num_hashes: int, id_col: str) -> D
                 10,
             ).cast("bigint")
         )
-    return proj.select(F.col(id_col), F.array(*mins).alias("sig"), "sz")
+    return proj.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
 def _banded(sigs: DataFrame, bands: int, id_col: str) -> DataFrame:
@@ -284,6 +280,7 @@ def minhash_dedup_pairs(
     # 100 TB this is the persisted intermediate; MEMORY_AND_DISK spills
     # instead of OOMing). Only the band self-join and the verify
     # aggregation shuffle at all.
+    _check_banding(num_hashes, bands)
     from pyspark import StorageLevel
 
     sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -316,6 +313,7 @@ def minhash_dedup_pairs_between(
     band_hash, so each ingest batch joins against it with no corpus
     recompute; here both sides derive from DataFrames — the join
     shape is identical. Returns (id_new, id_corpus, jaccard)."""
+    _check_banding(num_hashes, bands)
     from pyspark import StorageLevel
 
     sh_new = shingle_arrays(new_df, text_col, id_col, n).persist(
@@ -334,7 +332,15 @@ def minhash_dedup_pairs_between(
         bands,
         id_col,
     ).withColumnRenamed(id_col, "id_corpus")
-    cands = b_new.join(b_cor, ["band", "band_hash"]).select("id_new", "id_corpus").distinct()
+    cands = (
+        b_new.join(b_cor, ["band", "band_hash"])
+        # a re-ingested doc present on BOTH sides is not a duplicate of
+        # itself — without this it reports (id, id, 1.0) and a
+        # keep-one policy would delete the only copy
+        .where(F.col("id_new") != F.col("id_corpus"))
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
     return _jaccard_verify(cands, sh_new, sh_cor, threshold, "id_new", "id_corpus", id_col)
 
 
@@ -358,6 +364,7 @@ def minhash_dedup_pairs_within(
     the scan/hash stages of ``minhash_dedup_pairs_between`` on two
     filtered reads of the same source. Returns (id_new, id_corpus,
     jaccard)."""
+    _check_banding(num_hashes, bands)
     from pyspark import StorageLevel
 
     sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -415,6 +422,7 @@ def duplicate_clusters(
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor = (
             edges.join(labels, edges.src == labels.node)
@@ -436,8 +444,18 @@ def duplicate_clusters(
         labels.unpersist()  # superseded round's checkpointed blocks
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # partially-propagated labels split one true component into
+        # several cluster_ids — silently returning them would make a
+        # keep-one-per-cluster step keep extra duplicate copies
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raise max_iters or "
+            "use duplicate_clusters_star (O(log n) rounds)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -553,6 +571,7 @@ def duplicate_clusters_star(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         # localCheckpoint truncates lineage each round — the star plans
         # reference the previous round's plan several times, which
@@ -570,7 +589,14 @@ def duplicate_clusters_star(
         edges.unpersist()  # superseded round's checkpointed blocks
         edges = new_edges
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iters} "
+            "rounds — raise max_iters (O(log n) rounds are expected, so "
+            "this indicates a pathological graph)"
+        )
     # star edges are (node → component min); the min labels itself
     labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     mins = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(

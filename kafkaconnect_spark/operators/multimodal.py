@@ -87,6 +87,15 @@ def extract_image_features(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
+                if row[binary_col] is None:
+                    # NULL blob (e.g. a CDC tombstone) → NULL features,
+                    # the same propagation a SQL oracle applies — never
+                    # fabricate pixels, never kill the job
+                    rows.append(
+                        {"doc_id": row[id_col], "mean_intensity": None,
+                         "byte_histogram": None}
+                    )
+                    continue
                 pixels = _decode_image_stub(row[binary_col])
                 hist = [0] * 16
                 for b in pixels:
@@ -124,7 +133,9 @@ def frame_sample(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                data = row[binary_col] or b""
+                if row[binary_col] is None:
+                    continue  # NULL blob → no frames (like explode(NULL))
+                data = row[binary_col]
                 for i, start in enumerate(range(0, len(data), every_n_bytes)):
                     rows.append(
                         {
@@ -163,8 +174,13 @@ def resize_image(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                data = bytes(row[binary_col] or b"")
-                resized = data[:target].ljust(target, b"\x00")
+                if row[binary_col] is None:
+                    # NULL in → NULL out (SQL propagation), never a
+                    # fabricated all-zero image with a plausible sha256
+                    resized = None
+                else:
+                    data = bytes(row[binary_col])
+                    resized = data[:target].ljust(target, b"\x00")
                 rows.append(
                     {"doc_id": row[id_col], "media": resized, "width": width, "height": height}
                 )

@@ -14,7 +14,7 @@ order-independent) → final double cast.
 Scale notes:
 - split/sample/redact/chunk are narrow maps (no shuffle): at 100 TB
   they run at parquet-scan speed with full column pruning.
-- decontamination shuffles on a 64-bit shingle hash, not the shingle
+- decontamination shuffles on a 60-bit shingle hash, not the shingle
   string — ~8× narrower shuffle rows; the train side is
   pre-distinct'd (map-side combine collapses repeats before the
   exchange).
@@ -134,7 +134,8 @@ def ngram_contamination(
 ) -> DataFrame:
     """Train→test decontamination report: for each test doc, how many
     of its distinct n-gram shingles also appear anywhere in the train
-    split. Join is on a 64-bit hash (narrow shuffle rows); the train
+    split. Join is on a 60-bit hash (narrow shuffle rows, collision
+    expectation far below one even at 10^10 distinct shingles); the train
     side is global-distinct first so the probe side joins against the
     minimal set."""
     te = _shingle_hashes(test, id_col, text_col, n, seed)
@@ -179,12 +180,22 @@ def pack_sequences(
     bins; a doc belongs to the bin where its first token lands.
     One window + one small agg; the window partitions by the stream
     key, so no global sort — at scale each language stream packs
-    independently (skewed streams can be sub-salted by date)."""
+    independently (skewed streams can be sub-salted by date).
+
+    ``order_col`` must be unique within a stream (doc ids are): the
+    frame is ROWS-based so the running sum advances one document at a
+    time — the default RANGE frame would give all peers at a tied
+    order value the same inclusive sum, assigning starts that no
+    physical concatenation can produce."""
     from pyspark.sql import Window
 
     from kafkaconnect_spark.functions.text import token_count
 
-    w = Window.partitionBy(part_col).orderBy(order_col)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     rows = df.select(part_col, order_col, token_count(text_col).alias("n_tok"))
     start = F.sum("n_tok").over(w) - F.col("n_tok")
     binned = rows.withColumn("bin_id", F.floor(start / budget))

@@ -35,11 +35,30 @@ def scd2_history(
     op_col: str = "op",
 ) -> DataFrame:
     """Build the SCD2 version table from (key, ts, seq, op, payload…)
-    change rows. Returns every input column plus
+    change rows. Returns every input column except ``op_col``, plus
     ``valid_from`` / ``valid_to`` / ``is_current``; delete ops close
-    intervals but emit no row."""
+    intervals but emit no row.
+
+    A NULL/unknown op is data corruption (a bad envelope unwrap), not
+    a delete: ``op != 'd'`` evaluates NULL for it, so it would silently
+    vanish while still closing the previous version's interval —
+    fail loudly instead."""
+    valid_ops = F.col(op_col).isin("c", "u", "d", "r")
+    checked = changes.withColumn(
+        op_col,
+        F.when(valid_ops, F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_history: invalid op for key "),
+                    F.col(key_col).cast("string"),
+                    F.lit(": "),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                )
+            )
+        ),
+    )
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(seq_col))
-    versioned = changes.withColumn("valid_from", F.col(ts_col)).withColumn(
+    versioned = checked.withColumn("valid_from", F.col(ts_col)).withColumn(
         "valid_to", F.lead(ts_col).over(w)
     )
     return (

@@ -1472,9 +1472,10 @@ FROM a
 # Phase E — training-data pipeline ops (operators/pipeline.py)
 # ===========================================================================
 
-# DuckDB replay of functions.text.hash64 (same md5-hex-prefix bigint)
+# DuckDB replay of functions.text.hash64 (same md5-hex-prefix bigint;
+# 15 hex chars = 60 bits, the widest signed-bigint-safe prefix)
 def _hash64_sql(expr: str, seed: str) -> str:
-    return f"('0x'||substr(md5('{seed}:'||{expr}),1,8))::BIGINT"
+    return f"('0x'||substr(md5('{seed}:'||{expr}),1,15))::BIGINT"
 
 
 _NTOK_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN 0

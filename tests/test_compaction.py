@@ -42,3 +42,21 @@ def test_compaction_refuses_in_place(spark, tmp_path):
     d = str(tmp_path / "d")
     with pytest.raises(ValueError):
         compact_parquet_dir(spark, d, d)
+
+
+def test_multimodal_null_media_propagates(spark):
+    from kafkaconnect_spark.operators.multimodal import (
+        extract_image_features,
+        frame_sample,
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, None)], "doc_id long, media binary"
+    )
+    rs = {r.doc_id: r for r in resize_image(df, width=2, height=2).collect()}
+    assert rs[1].media == b"abcd" and rs[2].media is None  # no fabricated zeros
+    fr = frame_sample(df, every_n_bytes=2).collect()
+    assert {r.doc_id for r in fr} == {1}  # NULL blob → no frames
+    ft = {r.doc_id: r for r in extract_image_features(df).collect()}
+    assert ft[2].mean_intensity is None and ft[2].byte_histogram is None

@@ -250,3 +250,36 @@ def test_quantize_and_projection_exclude_degenerate_vectors(spark):
     out = pipeline.random_projection(df, out_dims=2, dim=2).collect()
     assert {r.vec_id for r in out} == {1}
     assert all(r.value is not None for r in out)
+
+
+def test_pack_sequences_rows_frame_with_tied_order_values(spark):
+    # three docs in one stream, first two tied on order_col: the ROWS
+    # frame must advance the running sum one doc at a time, so some doc
+    # starts at offset 0 and bins stay physically packable (the default
+    # RANGE frame gave every peer the same inclusive sum)
+    df = spark.createDataFrame(
+        [(1, "en", " ".join(["w"] * 10)),
+         (1, "en", " ".join(["w"] * 20)),
+         (2, "en", " ".join(["w"] * 5))],
+        "ord int, lang string, text string",
+    )
+    out = pipeline.pack_sequences(df, part_col="lang", order_col="ord", budget=16).collect()
+    bins = {r.bin_id: r.n_tokens for r in out}
+    assert min(bins) == 0  # something starts in bin 0
+    assert sum(bins.values()) == 35
+
+
+def test_scd2_null_op_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from kafkaconnect_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "c", "a"), (1, 20, 2, None, "b")],
+        "key int, ts long, change_id int, op string, payload string",
+    )
+    with pytest.raises(Exception) as ei:
+        scd2_history(df).collect()
+    assert "invalid op" in str(ei.value)

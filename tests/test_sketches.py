@@ -72,3 +72,15 @@ def test_quantile_column_names_are_collision_safe(spark):
 
     with pytest.raises(ValueError):
         group_quantile_sketch(df, "g", "v", quantiles=(0.5, 0.5))
+
+
+def test_minhash_banding_validation():
+    import pytest
+
+    from kafkaconnect_spark.operators.dedup import _check_banding
+
+    _check_banding(16, 4)
+    with pytest.raises(ValueError):
+        _check_banding(4, 8)   # rows-per-band 0 → all docs collide
+    with pytest.raises(ValueError):
+        _check_banding(18, 4)  # remainder silently dropped
