@@ -32,8 +32,16 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (and bucket-sorted) table. Sorting
     within buckets lets the join skip its sort too (SortMergeJoin
-    reads pre-sorted runs)."""
-    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    reads pre-sorted runs).
+
+    The input is first repartitioned onto the bucket keys with
+    ``buckets`` partitions: writing straight from an N-partition
+    DataFrame emits up to N×buckets files (each task writes one file
+    per bucket it holds rows for) — the small-file explosion that
+    turns later bucketed scans into a metadata storm. repartition and
+    bucketBy share Murmur3 hashing, so this yields ~one file per
+    bucket."""
+    w = df.repartition(buckets, *[df[k] for k in keys]).write.mode("overwrite").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
     if path:

@@ -22,7 +22,22 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
-def dir_bytes(path: str) -> int:
+def dir_bytes(path: str, spark: SparkSession | None = None) -> int:
+    """Total parquet bytes under ``path``. Local paths use the local
+    filesystem; any scheme'd path (s3a://, hdfs://, gs://) goes
+    through the Hadoop FileSystem API — Path.rglob silently returns 0
+    for those, which would plan ONE output file and funnel a multi-TB
+    directory through a single task."""
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"dir_bytes needs a SparkSession for non-local path {path!r}"
+            )
+        jvm = spark._jvm
+        jsc = spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(hpath).getLength())
     return sum(
         f.stat().st_size for f in Path(path).rglob("*.parquet") if f.is_file()
     )
@@ -42,10 +57,13 @@ def compact_parquet_dir(
     Returns the number of output files planned. ``dst`` must differ
     from ``src`` (write-then-swap is the caller's move, so a failed
     compaction never corrupts the source)."""
-    if Path(src).resolve() == Path(dst).resolve():
+    if "://" not in src and "://" not in dst:
+        if Path(src).resolve() == Path(dst).resolve():
+            raise ValueError("compact to a new directory, then swap")
+    elif src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("compact to a new directory, then swap")
     df = spark.read.parquet(src)
-    n = plan_target_files(dir_bytes(src), target_file_mb)
+    n = plan_target_files(dir_bytes(src, spark), target_file_mb)
     shaped = _reshape(df, n)
     shaped.write.mode("overwrite").parquet(dst)
     return n

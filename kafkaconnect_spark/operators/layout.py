@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
+# characters Spark's ExternalCatalogUtils.escapePathName percent-encodes
+# in partition directory names (plus all control chars)
+_PART_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(i) for i in range(0x20)} | {chr(0x7F)}
+
+
+def _escape_part_value(v) -> str:
+    """Hive partition-path encoding of a partition VALUE — must match
+    what partitionBy writes, or the emptied-partition rewrite targets a
+    phantom directory (e.g. day=2024/01/01 nesting instead of
+    day=2024%2F01%2F01) and the real partition's deletes are undone."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    return "".join(f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in s)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -87,9 +103,15 @@ def merge_into_partitioned(
         if any(t is None for t in touched):
             part_filter = part_filter | F.col(partition_col).isNull()
         try:
-            existing = spark.read.parquet(path).where(part_filter)
+            # the try covers ONLY the read: an AnalysisException from the
+            # .where (e.g. partition_col missing after schema drift on an
+            # EXISTING dataset) must fail loudly, not masquerade as
+            # "first batch" and silently drop the un-updated rows
+            existing_all = spark.read.parquet(path)
         except AnalysisException:  # first batch: dataset doesn't exist yet
             existing = None
+        else:
+            existing = existing_all.where(part_filter)
 
         if delete_col is None:
             updates_flagged = updates.withColumn("__del", F.lit(False))
@@ -121,12 +143,11 @@ def merge_into_partitioned(
             .where((F.col("__rn") == 1) & (~F.col("__del")))
             .drop("__rn", "__del", "__src")
         )
-        # set the mode on the session that will EXECUTE the write: inside
-        # foreachBatch the batch DataFrame belongs to a cloned micro-batch
-        # session whose conf snapshot ignores later changes to the original
-        sess = merged.sparkSession
-        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the merged plan is executed twice (survivor collect + write) —
+        # persist so touched partitions are read and shuffled once
+        from pyspark import StorageLevel
+
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # survivors must be collected BEFORE the overwrite: the
             # merged plan reads the existing files, and re-executing it
@@ -138,6 +159,11 @@ def merge_into_partitioned(
             (
                 merged.repartition(F.col(partition_col))
                 .write.partitionBy(partition_col)
+                # per-WRITE option, not a session conf toggle: a shared
+                # session conf races when two merges run concurrently
+                # (one finally-restore flips the other's pending write
+                # back to static overwrite = delete the whole dataset)
+                .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
                 .parquet(path)
             )
@@ -151,9 +177,9 @@ def merge_into_partitioned(
                 # with an empty file of the partition's row schema
                 empty_rows = merged.drop(partition_col).limit(0).coalesce(1)
                 for t in emptied:
-                    part_dir = f"{partition_col}={t if t is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    part_dir = f"{partition_col}={_escape_part_value(t)}"
                     empty_rows.write.mode("overwrite").parquet(f"{path}/{part_dir}")
         finally:
-            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            merged.unpersist()
     finally:
         updates.unpersist()

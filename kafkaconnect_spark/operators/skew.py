@@ -31,14 +31,18 @@ def salted_agg(
     decomposition exactly (same result as a direct groupBy).
 
     ``sums``: {input_col: output_alias} summed per group. The salt is
-    deterministic (hash of the whole row's monotonic id would break
-    retries — use a stable row attribute via xxhash64 over all
-    columns), so recomputation under task retry lands rows in the same
-    bucket.
+    a per-partition round-robin counter (spark_partition_id +
+    monotonically_increasing_id), NOT a hash of the row's content: a
+    content hash sends identical/low-cardinality rows — precisely the
+    hot key's duplicates the salt exists to spread — into ONE bucket,
+    silently restoring the skew. The counter is deterministic given
+    the input partitioning, and the final merge makes the RESULT
+    independent of bucket assignment anyway (any partial→final
+    decomposition sums to the same totals).
     """
     sums = sums or {}
     salted = df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )
     partial_aggs = [F.sum(F.col(c)).alias(f"__p_{a}") for c, a in sums.items()]
     if count_alias:

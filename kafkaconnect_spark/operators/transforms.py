@@ -73,18 +73,22 @@ def extract_new_record_state(drop_tombstones: bool = False) -> Transform:
     - tombstone passthrough unless drop_tombstones
       (drop.tombstones="false" everywhere in the reference,
       실습수행/Debezium MySQL CDC Source Connector 실습 - 01.md:308)
-    """
+
+    drop_tombstones drops only PRE-EXISTING tombstones (value already
+    null before unwrap) — Connect semantics. Delete events (op='d')
+    always pass through as null-value delete signals; filtering after
+    the conversion would silently discard every DELETE, not just
+    tombstones."""
 
     def _apply(df: DataFrame) -> DataFrame:
-        out = df.withColumn(
+        if drop_tombstones:
+            df = df.where(F.col("value").isNotNull())
+        return df.withColumn(
             "value",
             F.when(F.col("value").isNull(), F.lit(None).cast(df.schema["value"].dataType["after"].dataType))
             .when(F.col("value.op") == "d", F.lit(None))
             .otherwise(F.col("value.after")),
         )
-        if drop_tombstones:
-            out = out.where(F.col("value").isNotNull())
-        return out
 
     return _apply
 
@@ -132,10 +136,22 @@ def timestamp_converter(
             return F.to_date(c, fmt) if fmt else F.to_date(c)
         if target_type == "string":
             return F.date_format(c, fmt or "yyyy-MM-dd'T'HH:mm:ss'Z'")
-        return F.unix_timestamp(c)  # unix
+        # unix: honor the declared parse format (without it a
+        # non-default string format parses to all-NULL); Connect's unix
+        # target is epoch MILLISECONDS, not seconds
+        parsed = (F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c))
+        return (parsed.cast("double") * 1000).cast("long")
 
     def _apply(df: DataFrame) -> DataFrame:
         struct_fields = [f.name for f in df.schema[target].dataType.fields]
+        if field not in struct_fields:
+            # Connect's TimestampConverter fails on an unknown field —
+            # a silent pass-through would hide a spec typo until the
+            # sink chokes on the unconverted type
+            raise SpecError(
+                f"TimestampConverter field '{field}' not in {target} "
+                f"fields {struct_fields}"
+            )
         replaced = [
             _convert(F.col(f"{target}.{name}")).alias(name) if name == field
             else F.col(f"{target}.{name}").alias(name)

@@ -85,9 +85,27 @@ def test_extract_new_record_state_drop_tombstones(spark):
         [(1, "a", "c"), (3, "c", "d")], "id int, v string, op string"
     )
     env = wrap_as_envelope(df, ["id", "v"], op_col="op", db="om", table="t")
-    keep = extract_new_record_state(drop_tombstones=False)(env)
-    drop = extract_new_record_state(drop_tombstones=True)(env)
-    assert keep.count() == 2 and drop.count() == 1
+    # add a PRE-EXISTING tombstone (value NULL before unwrap) — the only
+    # thing drop.tombstones may remove; the op='d' DELETE event must
+    # always pass through as a null-value delete signal (Connect
+    # semantics: filtering post-conversion would eat every DELETE)
+    tomb = env.limit(1).select(
+        *[
+            F.lit(None).cast(env.schema["value"].dataType).alias("value")
+            if c == "value"
+            else F.col(c)
+            for c in env.columns
+        ]
+    )
+    env3 = env.unionByName(tomb)
+    keep = extract_new_record_state(drop_tombstones=False)(env3)
+    drop = extract_new_record_state(drop_tombstones=True)(env3)
+    # keep: insert + delete-signal + tombstone = 3 rows, 2 of them null
+    assert keep.count() == 3
+    assert keep.where(F.col("value").isNull()).count() == 2
+    # drop: tombstone gone, delete SIGNAL retained
+    assert drop.count() == 2
+    assert drop.where(F.col("value").isNull()).count() == 1
 
 
 def test_json_serde_roundtrip_with_schema_wrapper(spark):
