@@ -39,7 +39,7 @@ import sys
 import time
 from pathlib import Path
 
-from kafkaconnect_spark.plans.spec import PipelineSpec
+from kafkaconnect_spark.plans.spec import PipelineSpec, SpecError
 
 
 def _connection_factory(url: str):
@@ -140,8 +140,14 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     if args.verb == "register":
-        spec = PipelineSpec.from_json(args.spec)
-        eng.register(spec)
+        try:
+            spec = PipelineSpec.from_json(args.spec)
+            eng.register(spec)
+        except SpecError as e:
+            # e.g. re-registering an existing name (update = delete +
+            # register) — a clean CLI error, not a Python traceback
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         print(json.dumps({"registered": spec.name, "kind": spec.kind}))
     elif args.verb == "show":
         print(json.dumps(eng.show(), indent=2))
@@ -172,13 +178,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"moved": moved}))
     elif args.verb == "run":
         names = [args.name] if args.name else list(eng.pipelines)
-        for n in names:
+        # honor pause/failure state: starting a PAUSED pipeline would
+        # violate the operator's pause, and the old pause+resume
+        # shutdown recompiled FAILED pipelines back to RUNNING, erasing
+        # the error before anyone could see it
+        started = [
+            n for n in names if eng.pipelines[n].state not in ("PAUSED", "FAILED")
+        ]
+        for n in started:
             eng.start(n)
         time.sleep(args.seconds)
-        for n in names:
-            eng.pause(n)
-            eng.resume(n)
-        print(json.dumps({"ran": names, "seconds": args.seconds}))
+        failed = {}
+        for n in started:
+            eng.stop(n)
+            p = eng.pipelines[n]
+            if p.state == "FAILED":
+                failed[n] = p.error
+        print(
+            json.dumps(
+                {
+                    "ran": started,
+                    "skipped": [n for n in names if n not in started],
+                    "failed": failed,
+                    "seconds": args.seconds,
+                }
+            )
+        )
+        _persist(eng, reg_dir)
+        return 1 if failed else 0
     elif args.verb == "show-topic":
         df = eng.transport.read_batch([args.topic])
         rows = df.orderBy("offset").limit(args.n).collect()

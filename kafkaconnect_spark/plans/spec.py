@@ -122,6 +122,17 @@ class PipelineSpec:
     # ---- validation ---------------------------------------------------
     def validate(self) -> None:
         cfg = self.config
+        # the name becomes a registry FILENAME (<name>.json) — path
+        # separators would write outside the registry dir or crash
+        # persistence after registration already reported success
+        if (
+            not self.name
+            or "/" in self.name
+            or "\\" in self.name
+            or ".." in self.name
+            or self.name in (".", "~")
+        ):
+            raise SpecError(f"invalid pipeline name {self.name!r}")
         if self.kind == "jdbc-source":
             mode = str(cfg.get("mode", ""))
             if mode not in VALID_JDBC_MODES:
@@ -144,7 +155,10 @@ class PipelineSpec:
             if not cfg.get("topics") and not cfg.get("topics.regex"):
                 raise SpecError("jdbc-sink requires topics or topics.regex")
             pk_mode = str(cfg.get("pk.mode", "none"))
-            if str(cfg.get("insert.mode", "insert")) == "upsert" and pk_mode == "none":
+            # default mirrors the ENGINE's default (upsert) — validating
+            # against a different default let a no-PK sink pass here and
+            # emit malformed ON CONFLICT () SQL at runtime
+            if str(cfg.get("insert.mode", "upsert")) == "upsert" and pk_mode == "none":
                 raise SpecError("insert.mode=upsert requires pk.mode != none")
             if _as_bool(cfg.get("delete.enabled", False)):
                 # reference rule: deletes need a record_key PK

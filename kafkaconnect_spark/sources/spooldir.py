@@ -41,6 +41,15 @@ def generate_schema(
     from the files currently present. ``format`` mirrors the SpoolDir
     plugin family (SpoolDirCsvSourceConnector exercised by the labs;
     SpoolDirJsonSourceConnector is the same contract over JSON lines)."""
+    if not list(Path(input_path).glob(pattern)):
+        # a clear error beats the raw PATH_NOT_FOUND AnalysisException:
+        # schema generation needs at least one file present (the
+        # engine caches the schema in the spec after first success, so
+        # archived files don't re-trigger inference on resume)
+        raise ValueError(
+            f"schema.generation: no files matching {pattern!r} in "
+            f"{input_path!r} — drop at least one file before registering"
+        )
     path = str(Path(input_path) / pattern)
     if format == "json":
         # corrupt lines present at inference time surface as a

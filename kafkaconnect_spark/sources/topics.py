@@ -75,55 +75,80 @@ class TopicTransport:
                 .save()
             )
             return
-        # file transport: per-topic dir; offsets = stored base + row_number
+        # file transport: per-topic dir; offsets = stored base + row_number.
+        # df's lineage can carry serde UDFs / transform chains — persist
+        # it so topic discovery + the per-topic filters read the cache
+        # instead of re-executing the whole plan per pass
+        df = df.persist()
+        try:
+            self._append_per_topic(df)
+        finally:
+            df.unpersist()
+
+    def _append_per_topic(self, df: DataFrame) -> None:
+        import fcntl
+
         topics = [r[0] for r in df.select("topic").distinct().collect()]
         for topic in topics:
             tdir = _topic_dir(self.servers, topic)
             tdir.mkdir(parents=True, exist_ok=True)
-            base = self._next_offset(tdir)
-            n_parts = self._partitions(tdir)
-            # keyed partition assignment like Kafka's default partitioner
-            # (hash(key) % partitions; null keys → partition 0). NB: the
-            # shim keeps ONE offset sequence per topic (Kafka has one per
-            # partition) — ordering consumers need (partition, offset).
-            part_expr = (
-                F.when(F.col("key").isNull(), F.lit(0))
-                .otherwise(F.pmod(F.xxhash64(F.col("key")), F.lit(n_parts)))
-                .cast("int")
-                if n_parts > 1
-                else F.lit(0)
-            )
-            part = df.where(F.col("topic") == topic)
-            w = (
-                part.withColumn(
-                    "offset",
-                    F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
-                    + F.lit(base - 1),
-                )
-                .withColumn("partition", part_expr)
-                .withColumn(
-                    "timestamp",
-                    F.col("timestamp") if "timestamp" in part.columns else F.current_timestamp(),
-                )
-                .select(
-                    F.col("key").cast("string"),
-                    F.col("value").cast("string"),
-                    "topic",
-                    "partition",
-                    "offset",
-                    "timestamp",
-                )
-            )
-            # one evaluation: the lineage includes serde UDFs/transform
-            # chains, and the offset accounting must match the rows
-            # actually written
-            w = w.persist()
+            # exclusive advisory lock for the offset read→write window:
+            # concurrent appenders (two started pipelines, two CLI
+            # processes) would otherwise both read base=N and assign
+            # duplicate offsets, then undercount next_offset
+            lock_f = open(tdir / ".lock", "w")
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
             try:
-                n = w.count()
-                w.coalesce(1).write.mode("append").parquet(str(tdir / "log"))
-                self._set_next_offset(tdir, base + n)
+                self._append_one_topic(df, topic, tdir)
             finally:
-                w.unpersist()
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
+                lock_f.close()
+
+    def _append_one_topic(self, df: DataFrame, topic: str, tdir: Path) -> None:
+        base = self._next_offset(tdir)
+        n_parts = self._partitions(tdir)
+        # keyed partition assignment like Kafka's default partitioner
+        # (hash(key) % partitions; null keys → partition 0). NB: the
+        # shim keeps ONE offset sequence per topic (Kafka has one per
+        # partition) — ordering consumers need (partition, offset).
+        part_expr = (
+            F.when(F.col("key").isNull(), F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(F.col("key")), F.lit(n_parts)))
+            .cast("int")
+            if n_parts > 1
+            else F.lit(0)
+        )
+        part = df.where(F.col("topic") == topic)
+        w = (
+            part.withColumn(
+                "offset",
+                F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+                + F.lit(base - 1),
+            )
+            .withColumn("partition", part_expr)
+            .withColumn(
+                "timestamp",
+                F.col("timestamp") if "timestamp" in part.columns else F.current_timestamp(),
+            )
+            .select(
+                F.col("key").cast("string"),
+                F.col("value").cast("string"),
+                "topic",
+                "partition",
+                "offset",
+                "timestamp",
+            )
+        )
+        # one evaluation: the lineage includes serde UDFs/transform
+        # chains, and the offset accounting must match the rows
+        # actually written
+        w = w.persist()
+        try:
+            n = w.count()
+            w.coalesce(1).write.mode("append").parquet(str(tdir / "log"))
+            self._set_next_offset(tdir, base + n)
+        finally:
+            w.unpersist()
 
     # ---- read ----------------------------------------------------------
     def read_stream(self, topics: list[str], starting_offsets: str = "earliest") -> DataFrame:

@@ -207,6 +207,10 @@ class Engine:
         p = self.pipelines[name]
         if p.run_one is None or name in self._threads:
             return
+        if p.state in ("PAUSED", "FAILED"):
+            # starting a paused pipeline would violate the operator's
+            # pause; a failed one needs an explicit restart/resume
+            return
         stop = threading.Event()
         interval = p.spec.poll_interval_ms / 1000.0
 
@@ -224,6 +228,18 @@ class Engine:
         self._stop_flags[name] = stop
         self._threads[name] = t
         t.start()
+
+    def stop(self, name: str) -> None:
+        """Stop background execution WITHOUT touching lifecycle state —
+        the CLI's bounded `run` verb uses this so a pipeline that
+        FAILED during the window stays FAILED with its error visible
+        (pause+resume would overwrite the state and recompile the
+        error away), and a PAUSED one stays PAUSED."""
+        p = self.pipelines[name]
+        self._stop_continuous(name)
+        if p.streaming_query is not None:
+            p.streaming_query.stop()
+            p.streaming_query = None
 
     def _stop_continuous(self, name: str) -> None:
         if name in self._threads:
@@ -426,7 +442,22 @@ class Engine:
         # pathGlobFilter is a glob — registration translates the common
         # suffix form, otherwise keeps *.csv.
         pattern = "*.csv"
-        schema = generate_schema(self.spark, input_path, pattern)
+        # schema is inferred ONCE (first successful registration) and
+        # cached in the spec, which the CLI registry persists: without
+        # the cache, rehydration re-infers on every CLI invocation and
+        # CRASHES once cleanSource=archive has moved the spool files —
+        # bricking even `show`/`delete` — and a resume could silently
+        # re-infer a different schema against the existing checkpoint.
+        cached = cfg.get("__inferred.schema")
+        if cached:
+            import json as _json
+
+            schema = T.StructType.fromJson(_json.loads(str(cached)))
+        else:
+            schema = generate_schema(self.spark, input_path, pattern)
+            import json as _json
+
+            cfg["__inferred.schema"] = _json.dumps(schema.jsonValue())
         chain = build_transform_chain(spec.transforms)
         halt = str(cfg.get("halt.on.error", "false")).lower() == "true"
         error_path = cfg.get("error.path")
