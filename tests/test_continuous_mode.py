@@ -72,3 +72,51 @@ def test_start_polls_continuously_and_pause_stops(spark, tmp_path):
         time.sleep(0.2)
     st = eng.status("cont_src")
     assert st["state"] == "FAILED" and "simulated source outage" in st["error"]
+
+
+def test_start_respects_paused_and_stop_preserves_failed(spark, tmp_path):
+    state = {"fail": False}
+
+    def resolver(t):
+        if state["fail"]:
+            raise RuntimeError("simulated outage")
+        return spark.createDataFrame([(1, "a")], "id int, name string")
+
+    eng = Engine(
+        spark,
+        servers=f"file://{tmp_path}/topics",
+        checkpoint_root=tmp_path / "ckpt",
+        table_resolver=resolver,
+    )
+    eng.register(
+        {
+            "name": "lc_src",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSourceConnector",
+                "connection.url": "jdbc:mysql://fake/om",
+                "topic.prefix": "lc_",
+                "table.whitelist": "t",
+                "mode": "incrementing",
+                "incrementing.column.name": "id",
+                "poll.interval.ms": 100,
+                "value.converter.schemas.enable": "false",
+            },
+        }
+    )
+    # paused pipelines must NOT start (the operator's pause wins)
+    eng.pause("lc_src")
+    eng.start("lc_src")
+    assert "lc_src" not in eng._threads
+    eng.resume("lc_src")
+
+    # a failure during the run must SURVIVE stop() — the old
+    # pause+resume shutdown recompiled the error away
+    state["fail"] = True
+    eng.start("lc_src")
+    deadline = time.time() + 30
+    while time.time() < deadline and eng.pipelines["lc_src"].state != "FAILED":
+        time.sleep(0.1)
+    assert eng.pipelines["lc_src"].state == "FAILED"
+    eng.stop("lc_src")
+    assert eng.pipelines["lc_src"].state == "FAILED"
+    assert "simulated outage" in (eng.pipelines["lc_src"].error or "")
