@@ -753,7 +753,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState-style sessionization)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # fractional epoch seconds as double — exact to the µs; a long cast
+    # would truncate to whole seconds and disagree with the oracle's
+    # epoch() (and with session_window) whenever a gap lands within
+    # ~1s of the 1800s boundary
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     with_start = ev.withColumn(
         "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
@@ -784,13 +788,16 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_WINDOW_ORACLE = """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events),
 s AS (SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+             -- event_id tiebreak: must replay the SAME total order the
+             -- is_new flags were computed under, or tied-ts rows can
+             -- accumulate into the wrong session
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
       FROM g)
 SELECT user_id, min(ts)::TIMESTAMP AS session_start,
        (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,

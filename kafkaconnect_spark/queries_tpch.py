@@ -22,7 +22,14 @@ from pyspark.sql import types as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # delegate to queries._t (lazy import — queries.py imports this
+    # module at its bottom) so the temporal normalization applied to
+    # ALL tables there (timestamp[ns]→µs, TIMESTAMP_NTZ cast) covers
+    # this catalog too; a bare read would silently return BIGINT date
+    # columns on a ns-encoded regeneration and filter every row out
+    from kafkaconnect_spark.queries import _t as _queries_t
+
+    return _queries_t(spark, sf_dir, name)
 
 
 def _rev_dec():
@@ -271,6 +278,11 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(_rev_dec()).alias("value_dec"))
     )
+    # two consumers (the broadcast total and the main plan) — persist
+    # so the lineitem scan+join+agg runs once, same pattern as q15
+    from pyspark import StorageLevel
+
+    per_nation = per_nation.persist(StorageLevel.MEMORY_AND_DISK)
     total = per_nation.agg(F.sum("value_dec").alias("total_dec"))
     return (
         per_nation.crossJoin(F.broadcast(total))
@@ -705,7 +717,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q9_ORACLE = """
 SELECT n_name AS nation,
-       year(o_orderdate) AS o_year,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
        (sum(round(l_extendedprice * (1 - l_discount)
                   - round(p_retailprice * 0.6, 4) * l_quantity,
                   4)::DECIMAL(22,4)))::DOUBLE AS sum_profit
