@@ -428,9 +428,10 @@ def decode_message(wire: bytes | None, registry_lookup) -> dict | None:
 # Spark integration — Arrow-batched pandas UDFs
 # ---------------------------------------------------------------------------
 
-def avro_serialize_udf(value_schema: T.StructType, avro_schema: dict, schema_id: int):
+def avro_serialize_udf(avro_schema: dict, schema_id: int):
     """Returns a pandas UDF struct→binary producing framed wire bytes.
-    The schema travels by closure (resolved once, driver-side)."""
+    The avro schema travels by closure (resolved once, driver-side) —
+    it alone drives encoding; no Spark-side schema is needed."""
     from pyspark.sql.functions import pandas_udf
 
     # struct input arrives as pd.DataFrame; the hint checker wants the

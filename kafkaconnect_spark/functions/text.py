@@ -53,7 +53,12 @@ def bpe_token_count(text: Column | str) -> Column:
 def punct_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     total = F.length(c)
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    # \p{L}\p{N} (Unicode letters/digits), NOT \w: Java's \w is
+    # ASCII-only, so 'café' / CJK text would count every non-ASCII
+    # letter as punctuation and quality-filter clean non-English prose
+    # as punctuation soup. RE2 (the DuckDB oracle) supports the same
+    # \p classes, so both engines agree.
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
     return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Any, Callable, Iterable, Iterator
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,9 +46,12 @@ ConnectionFactory = Callable[[], Any]  # returns a DB-API 2.0 connection
 def dedupe_last_per_key(
     df: DataFrame, pk_cols: list[Any], order_cols: list[Any]
 ) -> DataFrame:
-    """Keep the last record per key by ``order_cols`` (e.g. kafka
-    offset). One shuffle on the key."""
-    w = Window.partitionBy(*pk_cols).orderBy(*[F.col(str(c)).desc() for c in order_cols])
+    """Keep the last record per key by ``order_cols`` (names or Column
+    expressions; each is applied DESC). One shuffle on the key."""
+    order = [
+        (c if isinstance(c, Column) else F.col(str(c))).desc() for c in order_cols
+    ]
+    w = Window.partitionBy(*pk_cols).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -146,9 +149,17 @@ class JdbcSinkWriter:
                     (tbl, parts[-2]),
                 )
             else:
+                # filter to the CONNECTION's current schema/database —
+                # unfiltered, a same-named table in any other schema
+                # makes the target look present (with the wrong column
+                # set), skipping auto.create and masking drift
+                cur_schema = (
+                    "DATABASE()" if self.dialect.name == "mysql" else "current_schema()"
+                )
                 cur.execute(
-                    "SELECT column_name FROM information_schema.columns WHERE table_name = "
-                    + self.dialect.placeholder,
+                    "SELECT column_name FROM information_schema.columns "
+                    f"WHERE table_name = {self.dialect.placeholder} "
+                    f"AND table_schema = {cur_schema}",
                     (tbl,),
                 )
             cols = [r[0] for r in cur.fetchall()]
@@ -201,7 +212,15 @@ class JdbcSinkWriter:
 
         from pyspark import StorageLevel
 
-        order_cols = [c for c in ("offset", "timestamp") if c in records.columns] or None
+        # ordering: timestamp first, offset as tiebreak. Kafka offsets
+        # are comparable only WITHIN a partition — when one PK's records
+        # land on several partitions (keyless producer, repartitioned
+        # topic), a high-volume partition's stale offset 100000 would
+        # beat another partition's fresh offset 52. Record timestamps
+        # are the only cross-partition signal; within a partition
+        # log-append timestamps are non-decreasing in offset, so the
+        # offset tiebreak reproduces pure-offset ordering there.
+        order_cols = [c for c in ("timestamp", "offset") if c in records.columns] or None
         pk_key_cols = [F.col(f"key.{c}") for c in self.pk]
         if order_cols:
             records = dedupe_last_per_key(records, pk_key_cols, order_cols)
@@ -213,61 +232,63 @@ class JdbcSinkWriter:
             # then deleted regardless of intent). Preference is
             # deterministic: a value record beats a tombstone, ties
             # break on the value itself.
-            w = Window.partitionBy(*pk_key_cols).orderBy(
-                F.col("value").isNotNull().desc(), F.col("value").desc()
-            )
-            records = (
-                records.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
+            records = dedupe_last_per_key(
+                records,
+                pk_key_cols,
+                [F.col("value").isNotNull(), F.col("value")],
             )
         # both the upsert and the delete pass execute this frame —
         # persist so the dedupe shuffle runs once per batch
         records = records.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
 
-        n = self.num_writers
-        upserts = records.where(F.col("value").isNotNull()).select("value.*")
-        if n:
-            upserts = upserts.repartition(n, *[F.col(c) for c in self.pk])
-        value_cols = [f.name for f in value_type.fields]
-        sql = (
-            self.dialect.upsert_sql(self.table, value_cols, self.pk)
-            if self.insert_mode == "upsert"
-            else self.dialect.insert_sql(self.table, value_cols)
-        )
-        upserts.foreachPartition(
-            _PartitionWriter(sql, value_cols, self.connect, self.dialect.name == "sqlite")
-        )
-
-        if self.delete_enabled:
-            deletes = records.where(F.col("value").isNull()).select("key.*")
-            # parity with the reference's PK-less-delete probe
-            # (…PostgreSQL CDC….md:339-353): a tombstone whose key
-            # fields are NULL (source lacked REPLICA IDENTITY FULL /
-            # a PK) would DELETE nothing — surface it, don't no-op.
-            # raise_error fires executor-side DURING the delete pass:
-            # zero extra jobs on the hot path. Like Connect, the batch
-            # is not atomic — upserts may have applied before the
-            # failure — but PK-idempotent writes make retries safe.
-            err = (
-                f"tombstone with NULL key field(s) {self.pk} cannot be "
-                "applied — source table needs a PK or REPLICA IDENTITY FULL"
-            )
-            deletes = deletes.select(
-                *[
-                    F.when(
-                        F.col(c).isNull(),
-                        F.raise_error(F.lit(err)).cast(deletes.schema[c].dataType),
-                    )
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    for c in self.pk
-                ]
-            )
+            n = self.num_writers
+            upserts = records.where(F.col("value").isNotNull()).select("value.*")
             if n:
-                deletes = deletes.repartition(n, *[F.col(c) for c in self.pk])
-            del_sql = self.dialect.delete_sql(self.table, self.pk)
-            deletes.foreachPartition(
-                _PartitionWriter(del_sql, self.pk, self.connect, self.dialect.name == "sqlite")
+                upserts = upserts.repartition(n, *[F.col(c) for c in self.pk])
+            value_cols = [f.name for f in value_type.fields]
+            sql = (
+                self.dialect.upsert_sql(self.table, value_cols, self.pk)
+                if self.insert_mode == "upsert"
+                else self.dialect.insert_sql(self.table, value_cols)
             )
-        records.unpersist()
+            upserts.foreachPartition(
+                _PartitionWriter(sql, value_cols, self.connect, self.dialect.name == "sqlite")
+            )
+
+            if self.delete_enabled:
+                deletes = records.where(F.col("value").isNull()).select("key.*")
+                # parity with the reference's PK-less-delete probe
+                # (…PostgreSQL CDC….md:339-353): a tombstone whose key
+                # fields are NULL (source lacked REPLICA IDENTITY FULL /
+                # a PK) would DELETE nothing — surface it, don't no-op.
+                # raise_error fires executor-side DURING the delete pass:
+                # zero extra jobs on the hot path. Like Connect, the batch
+                # is not atomic — upserts may have applied before the
+                # failure — but PK-idempotent writes make retries safe.
+                err = (
+                    f"tombstone with NULL key field(s) {self.pk} cannot be "
+                    "applied — source table needs a PK or REPLICA IDENTITY FULL"
+                )
+                deletes = deletes.select(
+                    *[
+                        F.when(
+                            F.col(c).isNull(),
+                            F.raise_error(F.lit(err)).cast(deletes.schema[c].dataType),
+                        )
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        for c in self.pk
+                    ]
+                )
+                if n:
+                    deletes = deletes.repartition(n, *[F.col(c) for c in self.pk])
+                del_sql = self.dialect.delete_sql(self.table, self.pk)
+                deletes.foreachPartition(
+                    _PartitionWriter(del_sql, self.pk, self.connect, self.dialect.name == "sqlite")
+                )
+        finally:
+            # unpersist even when a write fails (e.g. the NULL-key
+            # tombstone probe raises) — a retried batch re-persists,
+            # and leaked blocks would accumulate per retry
+            records.unpersist()

@@ -370,7 +370,7 @@ def c3_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid = reg.register("events-value", avro)
     ev = _spread(_t(spark, sf_dir, "events"))
     rec = ev.select(F.struct("event_id", "event_type", "value").alias("v"))
-    wire = rec.select(avro_serialize_udf(sub, avro, sid)(F.col("v")).alias("raw"))
+    wire = rec.select(avro_serialize_udf(avro, sid)(F.col("v")).alias("raw"))
     back = wire.select(avro_deserialize_udf(sub, avro)(F.col("raw")).alias("v"))
     return back.select(
         F.col("v.event_id").alias("event_id"),
@@ -1324,7 +1324,7 @@ WITH m AS (
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          CASE WHEN length(text) = 0 THEN 0.0
-              ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
+              ELSE (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
          CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                    t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) * 1.0
@@ -1752,7 +1752,7 @@ WITH m AS (
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          CASE WHEN length(text) = 0 THEN 0.0
-              ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
+              ELSE (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
          CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                    t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) * 1.0

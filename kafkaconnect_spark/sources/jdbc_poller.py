@@ -198,7 +198,13 @@ class IncrementalPoller:
         )
         if self.mode == "bulk":
             return batch, offset
-        if self.ts_delay_ms and "timestamp" in self.mode:
+        if "timestamp" in self.mode:
+            # ALWAYS bound the poll window by now - delay (Connect does
+            # this unconditionally, delay or not): without the bound one
+            # future-stamped row (clock skew, app bug) advances the
+            # offset past it and the strict ts > resume predicate then
+            # silently drops all real traffic forever — bounded, the
+            # future row is simply deferred until the clock catches up
             batch = batch.where(
                 F.col(self.ts_col)
                 <= F.current_timestamp() - F.expr(f"INTERVAL {self.ts_delay_ms} MILLISECONDS")
@@ -308,7 +314,14 @@ def _predicate_sql(
 ) -> str:
     """The WHERE clause of the poll subquery — same semantics as
     ``incremental_predicate`` but rendered as ANSI SQL for the remote
-    database."""
+    database.
+
+    Timestamp modes carry an upper bound of ``CURRENT_TIMESTAMP``
+    (evaluated on the DATABASE's clock — the authoritative one for the
+    column being polled, exactly Connect's behavior): without it a
+    future-stamped row would advance the offset past all real traffic
+    and silently drop it forever."""
+    upper = f"{ts_col} <= CURRENT_TIMESTAMP"
     if mode == "bulk":
         return ""
     if mode == "incrementing":
@@ -317,17 +330,18 @@ def _predicate_sql(
         return f" WHERE {inc_col} > {int(offset.inc)}"
     if mode == "timestamp":
         if offset.ts is None:
-            return ""
-        return f" WHERE {ts_col} > TIMESTAMP '{offset.ts}'"
+            return f" WHERE {upper}"
+        return f" WHERE {ts_col} > TIMESTAMP '{offset.ts}' AND {upper}"
     if mode == "timestamp+incrementing":
         if offset.ts is None:
-            return ""
+            return f" WHERE {upper}"
         t = offset.ts
         if offset.inc is None:
             # same at-least-once boundary semantics as the Column path
-            return f" WHERE {ts_col} >= TIMESTAMP '{t}'"
+            return f" WHERE {ts_col} >= TIMESTAMP '{t}' AND {upper}"
         return (
-            f" WHERE {ts_col} > TIMESTAMP '{t}'"
-            f" OR ({ts_col} = TIMESTAMP '{t}' AND {inc_col} > {int(offset.inc)})"
+            f" WHERE ({ts_col} > TIMESTAMP '{t}'"
+            f" OR ({ts_col} = TIMESTAMP '{t}' AND {inc_col} > {int(offset.inc)}))"
+            f" AND {upper}"
         )
     raise ValueError(f"unknown mode {mode!r}")

@@ -282,7 +282,7 @@ class Engine:
             registry = SchemaRegistry(reg_path)
             avro = avro_schema_for(value_schema, "ConnectDefault")
             sid = registry.register(f"{topic}-value", avro)
-            ser_udf = avro_serialize_udf(value_schema, avro, sid)
+            ser_udf = avro_serialize_udf(avro, sid)
             de_udf = avro_deserialize_udf(value_schema, avro, expected_id=sid)
 
             # tombstones need guards on BOTH sides of the UDF boundary:

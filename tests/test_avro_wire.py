@@ -150,7 +150,7 @@ def test_spark_roundtrip_via_pandas_udf(spark):
         sub,
     )
     rec = df.select(F.struct(*df.columns).alias("value"))
-    ser = avro_serialize_udf(sub, avro, sid)
+    ser = avro_serialize_udf(avro, sid)
     wire = rec.select(ser(F.col("value")).alias("raw"))
     first = wire.first()[0]
     assert bytes(first)[0:1] == b"\x00"  # framed
@@ -178,7 +178,7 @@ def test_udf_roundtrip_array_column_and_id_check(spark):
     sid = reg.register("tagged-value", avro)
     df = spark.createDataFrame([(1, ["a", "b"]), (2, None)], sub)
     rec = df.select(F.struct(*df.columns).alias("value"))
-    ser = avro_serialize_udf(sub, avro, sid)
+    ser = avro_serialize_udf(avro, sid)
     wire = rec.select(ser(F.col("value")).alias("raw"))
     de = avro_deserialize_udf(sub, avro, expected_id=sid)
     back = wire.select(de(F.col("raw")).alias("value")).select("value.*")

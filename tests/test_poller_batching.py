@@ -206,3 +206,53 @@ def test_ts_inc_unknown_inc_includes_boundary(spark):
         "timestamp+incrementing", "inc", "ts", Offset(inc=None, ts="2024-01-01 10:00:00")
     )
     assert ">=" in sql
+
+
+def test_future_timestamp_row_is_deferred_not_offset_poisoning(spark, tmp_path):
+    """A future-stamped row (clock skew / app bug) must NOT advance the
+    timestamp offset past real traffic: every poll is bounded by
+    now - delay, so the future row is deferred and later real rows
+    still flow (Connect bounds its poll window the same way)."""
+    rows = {
+        "data": [
+            (1, "2024-01-01 00:00:00"),
+            (2, "2030-01-01 00:00:00"),  # future (vs the 2026 clock)
+        ]
+    }
+
+    def load(t):
+        return spark.createDataFrame(rows["data"], "id int, ts_s string").select(
+            "id", F.to_timestamp("ts_s").alias("upd")
+        )
+
+    eng = Engine(
+        spark,
+        servers=f"file://{tmp_path}/topics",
+        checkpoint_root=tmp_path / "ckpt",
+        table_resolver=load,
+    )
+    eng.register(
+        {
+            "name": "fut",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSourceConnector",
+                "connection.url": "jdbc:mysql://fake/om",
+                "topic.prefix": "f_",
+                "table.whitelist": "t",
+                "mode": "timestamp",
+                "timestamp.column.name": "upd",
+                "value.converter.schemas.enable": "false",
+            },
+        }
+    )
+    assert eng.run_once()["fut"] == 1  # only the past row; future deferred
+    # a new REAL row must still be picked up (the poisoned-offset bug
+    # would have advanced past 2030 and silently dropped it forever)
+    rows["data"] = rows["data"] + [(3, "2024-06-01 00:00:00")]
+    assert eng.run_once()["fut"] == 1
+    import json
+
+    ids = sorted(
+        json.loads(r.value)["id"] for r in eng.transport.read_batch(["f_t"]).collect()
+    )
+    assert ids == [1, 3]
