@@ -8,8 +8,10 @@ a ``foreachBatch`` function:
 
 1. **Last-write-wins dedupe within the batch** — one terminal action
    per key, via ``row_number() over (partition by pk order by
-   source-partition offset desc)``. Catalyst won't do this for us
-   (SURVEY §4); it's the one custom piece of sink logic.
+   timestamp desc, offset desc)`` (offsets are comparable only within
+   one source partition; the timestamp is the cross-partition signal
+   and the offset breaks ties within a partition). Catalyst won't do
+   this for us (SURVEY §4); it's the one custom piece of sink logic.
 2. **Split** on ``value IS NULL``: tombstone → DELETE set, else UPSERT
    set. Because of (1) the sets are disjoint per key, so apply order
    between the sets can't violate per-key ordering.
