@@ -81,8 +81,12 @@ def build_engine(worker_cfg: dict, spark=None):
         for f in sorted(reg_dir.glob("*.json")):
             doc = json.loads(f.read_text())
             p = eng.register(doc["spec"])
-            if doc.get("state") == "PAUSED":
-                p.state = "PAUSED"
+            # restore FAILED too (with its error): resurrecting it as
+            # RUNNING would let the next `run` silently restart it and
+            # erase the recorded failure one process boundary later
+            if doc.get("state") in ("PAUSED", "FAILED"):
+                p.state = doc["state"]
+                p.error = doc.get("error")
     return eng, reg_dir
 
 
@@ -96,6 +100,7 @@ def _persist(eng, reg_dir: Path) -> None:
                 {
                     "spec": {"name": p.spec.name, "config": p.spec.config},
                     "state": p.state,
+                    "error": p.error,
                 }
             )
         )

@@ -37,7 +37,16 @@ def dir_bytes(path: str, spark: SparkSession | None = None) -> int:
         jsc = spark._jsc
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-        return int(fs.getContentSummary(hpath).getLength())
+        # sum only *.parquet (like the local branch): getContentSummary
+        # counts _SUCCESS/.crc/_temporary too, inflating the planned
+        # file count and producing smaller-than-target output files
+        total = 0
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += int(st.getLen())
+        return total
     return sum(
         f.stat().st_size for f in Path(path).rglob("*.parquet") if f.is_file()
     )

@@ -27,7 +27,9 @@ def _escape_part_value(v) -> str:
     what partitionBy writes, or the emptied-partition rewrite targets a
     phantom directory (e.g. day=2024/01/01 nesting instead of
     day=2024%2F01%2F01) and the real partition's deletes are undone."""
-    if v is None:
+    if v is None or v == "":
+        # Spark writes BOTH null and empty-string values to the
+        # default partition directory
         return "__HIVE_DEFAULT_PARTITION__"
     s = str(v)
     return "".join(f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in s)

@@ -35,10 +35,13 @@ def salted_agg(
     monotonically_increasing_id), NOT a hash of the row's content: a
     content hash sends identical/low-cardinality rows — precisely the
     hot key's duplicates the salt exists to spread — into ONE bucket,
-    silently restoring the skew. The counter is deterministic given
-    the input partitioning, and the final merge makes the RESULT
-    independent of bucket assignment anyway (any partial→final
-    decomposition sums to the same totals).
+    silently restoring the skew. The RESULT is independent of bucket
+    assignment (any partial→final decomposition sums to the same
+    totals). Retry safety: the counter is position-dependent, so Spark
+    marks the expression nondeterministic and handles shuffle-fetch
+    failure by resubmitting the whole indeterminate stage rather than
+    individual tasks — never a silent double-count (the content-hash
+    alternative is per-task-retry-stable but defeats the operator).
     """
     sums = sums or {}
     salted = df.withColumn(

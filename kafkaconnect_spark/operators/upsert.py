@@ -214,17 +214,24 @@ class JdbcSinkWriter:
 
         from pyspark import StorageLevel
 
-        # ordering: timestamp first, offset as tiebreak. Kafka offsets
-        # are comparable only WITHIN a partition — when one PK's records
-        # land on several partitions (keyless producer, repartitioned
-        # topic), a high-volume partition's stale offset 100000 would
-        # beat another partition's fresh offset 52. Record timestamps
-        # are the only cross-partition signal; within a partition
-        # log-append timestamps are non-decreasing in offset, so the
-        # offset tiebreak reproduces pure-offset ordering there.
-        order_cols = [c for c in ("timestamp", "offset") if c in records.columns] or None
+        # ordering: Kafka offsets are authoritative WITHIN a source
+        # partition (CreateTime timestamps need not be monotone there —
+        # producer retries/clock steps reorder them), but offsets are
+        # NOT comparable across partitions (a hot partition's stale
+        # offset 100000 would beat another's fresh offset 52). So:
+        # phase 1 reduces per (key, source-partition) by offset — exact
+        # Connect semantics — and phase 2 picks among the per-partition
+        # winners by timestamp, the only cross-partition signal. For
+        # the common keyed-topic case (one partition per key) phase 2
+        # is a no-op and this is pure offset ordering.
         pk_key_cols = [F.col(f"key.{c}") for c in self.pk]
+        has_part = "partition" in records.columns
+        order_cols = [c for c in ("timestamp", "offset") if c in records.columns] or None
         if order_cols:
+            if has_part and "offset" in records.columns:
+                records = dedupe_last_per_key(
+                    records, pk_key_cols + [F.col("partition")], ["offset"]
+                )
             records = dedupe_last_per_key(records, pk_key_cols, order_cols)
         else:
             # no ordering metadata: still collapse to ONE record per

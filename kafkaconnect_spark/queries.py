@@ -60,9 +60,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
 
-    import pyarrow.parquet as pq  # driver-side, one footer read
-
     try:
+        import pyarrow.parquet as pq  # driver-side, one footer read
+
         arrow_schema = pq.read_schema(path)
         ns_cols = {
             f.name

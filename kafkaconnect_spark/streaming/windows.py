@@ -251,7 +251,9 @@ def running_user_stats_tws(events: DataFrame, ttl_ms: int | None = None) -> Data
             statefulProcessor=_Processor(),
             outputStructType=_USER_STATS_OUT,
             outputMode="Update",
-            timeMode="None",
+            # TTL state REQUIRES a time mode — Spark rejects
+            # ttlDurationMs under NoTime at query start
+            timeMode="ProcessingTime" if ttl_ms else "None",
         )
     )
 

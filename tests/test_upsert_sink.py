@@ -224,3 +224,36 @@ def test_tombstone_with_null_key_surfaces(spark, tmp_path):
     )
     with pytest.raises(Exception, match="REPLICA IDENTITY"):
         writer.process_batch(rows)
+
+
+def test_dedupe_partition_aware_ordering(spark, db):
+    """Offsets are authoritative within a source partition (CreateTime
+    timestamps may be non-monotone there); across partitions only the
+    timestamp can order. Two-phase dedupe must honor both."""
+    import datetime
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StructType([T.StructField("id", T.IntegerType())])),
+            T.StructField("value", VALUE_SCHEMA, True),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+    rows = [
+        # key 1, one partition, producer clock stepped back: the HIGHER
+        # offset (true latest) carries the LOWER timestamp and must win
+        ({"id": 1}, {"id": 1, "name": "old"}, 0, 100, ts("2024-01-01 10:00:05")),
+        ({"id": 1}, {"id": 1, "name": "new"}, 0, 101, ts("2024-01-01 10:00:04")),
+        # key 2, split across partitions: the fresh-timestamp record on
+        # the low-offset partition must beat the stale high-offset one
+        ({"id": 2}, {"id": 2, "name": "stale"}, 0, 100000, ts("2024-01-01 10:00:01")),
+        ({"id": 2}, {"id": 2, "name": "fresh"}, 3, 52, ts("2024-01-01 10:00:09")),
+    ]
+    w = writer(db)
+    w.process_batch(spark.createDataFrame(rows, schema))
+    assert table_rows(db) == [(1, "new"), (2, "fresh")]
