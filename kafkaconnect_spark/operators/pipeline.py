@@ -628,3 +628,30 @@ def random_projection(
         F.col("out_dim"),
         (F.col("__s").cast("double") / math.sqrt(out_dims)).alias("value"),
     )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 50,
+    id_col: str = "doc_id",
+    seed: str = "reservoir",
+) -> DataFrame:
+    """Fixed-SIZE sample per group (k docs per source — the data-mixing
+    primitive when ratios aren't enough): rank rows within each group
+    by a content-stable hash of the id and keep the k smallest.
+    Distributionally a uniform k-reservoir, but deterministic across
+    runs/retries/engines (rand() is neither) — the id tiebreak makes
+    the cut boundary a total order.
+
+    One keyed window shuffle (group_col); ranking never goes global.
+    Returns (group, id, sample_rank)."""
+    from pyspark.sql import Window
+
+    h = hash64(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(F.col(group_col), F.col(id_col), F.col("__rk").alias("sample_rank"))
+    )

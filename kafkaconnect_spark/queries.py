@@ -1531,6 +1531,24 @@ FROM documents GROUP BY lang
 """
 
 
+def sampling_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-source sample (50 docs/source): hash-rank
+    reservoir — deterministic, one keyed window."""
+    return pipeline.reservoir_sample(
+        _t(spark, sf_dir, "documents"), group_col="source", k=50
+    )
+
+
+RESERVOIR_ORACLE = rf"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_hash64_sql('doc_id', 'reservoir')}, doc_id) AS sample_rank
+  FROM documents)
+SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 50
+"""
+
+
 def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: 64-token windows every 48 tokens
     (16-token overlap) — context-window packing prep. Chunk content is
@@ -2149,6 +2167,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     # Phase E training-data pipeline
     "split_train_valid_test": QueryDef(split_train_valid_test, SPLIT_ORACLE),
     "sampling_stratified": QueryDef(sampling_stratified, SAMPLE_ORACLE),
+    "sampling_reservoir": QueryDef(sampling_reservoir, RESERVOIR_ORACLE),
     "docs_chunk_overlap": QueryDef(docs_chunk_overlap, CHUNK_ORACLE),
     "decontaminate_test_split": QueryDef(decontaminate_test_split, DECONTAM_ORACLE),
     "pii_redaction": QueryDef(pii_redaction, PII_ORACLE),

@@ -283,3 +283,20 @@ def test_scd2_null_op_fails_loudly(spark):
     with pytest.raises(Exception) as ei:
         scd2_history(df).collect()
     assert "invalid op" in str(ei.value)
+
+
+def test_reservoir_sample_fixed_size_and_deterministic(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(100)] + [
+        Row(doc_id=1000, source="tiny")  # group smaller than k
+    ]
+    df = spark.createDataFrame(rows)
+    a = pipeline.reservoir_sample(df, group_col="source", k=10).collect()
+    b = pipeline.reservoir_sample(df, group_col="source", k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    by_src = {}
+    for r in a:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    # exactly min(k, |group|) per group, ranks dense from 1
+    assert sorted(by_src["tiny"]) == [1]
+    for s in ("s0", "s1", "s2"):
+        assert sorted(by_src[s]) == list(range(1, 11))
