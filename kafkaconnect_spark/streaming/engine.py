@@ -102,19 +102,26 @@ class Engine:
             spec = PipelineSpec.from_json(spec)
         if spec.name in self.pipelines:
             raise SpecError(f"pipeline {spec.name!r} already registered")
+        claims: list[tuple[str, str]] = []
         if spec.kind == "jdbc-source":
             conn_url = str(spec.config.get("connection.url", ""))
-            for table in self._effective_tables(spec):
-                claim = (conn_url, table)
-                owner = self._claimed_tables.get(claim)
+            # snapshot the table list ONCE — with a catalog lister it
+            # can drift between calls, leaking claims
+            tables = self._effective_tables(spec)
+            for table in tables:
+                owner = self._claimed_tables.get((conn_url, table))
                 if owner:
                     raise SpecError(
                         f"table {table!r} already sourced by pipeline {owner!r} "
                         "(single-writer-per-table rule)"
                     )
-            for table in self._effective_tables(spec):
-                self._claimed_tables[(conn_url, table)] = spec.name
+            claims = [(conn_url, t) for t in tables]
+        # compile BEFORE recording claims: a failed compile must not
+        # leave orphaned claims no delete() can ever release
         pipeline = self._compile(spec)
+        for claim in claims:
+            self._claimed_tables[claim] = spec.name
+        pipeline.extras["claimed_tables"] = claims
         self.pipelines[spec.name] = pipeline
         return pipeline
 
@@ -139,8 +146,12 @@ class Engine:
         p = self.pipelines[name]
         if p.state != "PAUSED":
             return
-        self.pipelines[name] = self._compile(p.spec)
-        self.pipelines[name].state = "RUNNING"
+        fresh = self._compile(p.spec)
+        # carry the register-time claims across the recompile — delete()
+        # releases exactly these, and a fresh Pipeline would lose them
+        fresh.extras["claimed_tables"] = p.extras.get("claimed_tables", [])
+        fresh.state = "RUNNING"
+        self.pipelines[name] = fresh
 
     def restart(self, name: str) -> None:
         self.pause(name)
@@ -151,10 +162,10 @@ class Engine:
         self._stop_continuous(name)
         if p.streaming_query is not None:
             p.streaming_query.stop()
-        if p.spec.kind == "jdbc-source":
-            conn_url = str(p.spec.config.get("connection.url", ""))
-            for table in self._effective_tables(p.spec):
-                self._claimed_tables.pop((conn_url, table), None)
+        for claim in p.extras.get("claimed_tables", []):
+            # the claims recorded at register time, not a fresh catalog
+            # scan — the catalog can have drifted since
+            self._claimed_tables.pop(claim, None)
 
     def reset_offsets(self, name: str, table: str | None = None) -> None:
         """O2: offset reset — next run re-reads from the beginning
@@ -166,9 +177,14 @@ class Engine:
             raise RuntimeError("pause the pipeline before resetting offsets")
         store = p.extras.get("offset_store")
         if store is not None:
+            # poller pipelines: the OffsetStore IS the resume state and
+            # lives under the checkpoint dir — a blanket rmtree here
+            # would wipe EVERY table (defeating --table surgical reset)
+            # and delete the store's own directory out from under it
             store.reset(table)
+            return
         ckpt = self.checkpoint_root / name
-        if p.streaming_query is None and ckpt.exists():
+        if ckpt.exists():
             import shutil
 
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -317,7 +333,19 @@ class Engine:
 
     def _resolve_sink_schema(self, cfg: dict, topics: list[str]) -> T.StructType:
         """Sink value-schema resolution order: explicit DDL > Schema
-        Registry (Avro) > sample the topic's current JSON records."""
+        Registry (Avro) > sample the topic's current JSON records.
+
+        A sampled schema is CACHED in the spec (same pattern as the
+        spooldir `__inferred.schema`): the CLI registry persists the
+        spec, so rehydration doesn't re-run Spark sampling jobs per
+        invocation, doesn't brick every verb once the sampled topic is
+        later empty, and a resume can't silently re-sample a different
+        schema against the existing checkpoint."""
+        cached = cfg.get("__resolved.value.schema")
+        if cached:
+            import json as _json
+
+            return T.StructType.fromJson(_json.loads(str(cached)))
         ddl = cfg.get("value.schema.ddl")
         if ddl:
             return T._parse_datatype_string(str(ddl))
@@ -347,7 +375,9 @@ class Engine:
         ddl_str = self.spark.range(1).select(
             F.schema_of_json(F.lit(_json.dumps(payload)))
         ).collect()[0][0]
-        return T._parse_datatype_string(ddl_str)
+        schema = T._parse_datatype_string(ddl_str)
+        cfg["__resolved.value.schema"] = _json.dumps(schema.jsonValue())
+        return schema
 
     # ------------------------------------------------------------------
     # compilation: spec -> pipeline
@@ -401,14 +431,17 @@ class Engine:
                 tdf = self.table_resolver(table)
                 offset = store.get(table)
                 batch, new_offset = poller.poll(tdf, offset)
-                value_schema = batch.schema
-                serialize, _ = self._value_serde(
-                    cfg, value_schema, spec.topic_for_table(table)
-                )
                 records = batch.select(
                     F.struct(*[F.col(c).alias(c) for c in batch.columns]).alias("value")
                 ).withColumn("topic", F.lit(spec.topic_for_table(table)))
                 records = chain(records)
+                # serde resolves AFTER the SMT chain: transforms reshape
+                # the value struct, and a pre-chain schema would put a
+                # stale schema block (or Avro writer schema) on the wire
+                value_schema = records.schema["value"].dataType
+                serialize, _ = self._value_serde(
+                    cfg, value_schema, spec.topic_for_table(table)
+                )
                 wire = records.withColumn("value", serialize("value"))
                 if "key" in wire.columns:
                     key_type = wire.schema["key"].dataType
@@ -439,9 +472,23 @@ class Engine:
         topic = str(cfg["topic"])
         input_path = str(cfg["input.path"])
         # Connect's file pattern is a regex (^.*\.csv$); Spark's
-        # pathGlobFilter is a glob — registration translates the common
-        # suffix form, otherwise keeps *.csv.
-        pattern = "*.csv"
+        # file source wants a glob — translate the common suffix form,
+        # accept an explicit glob, and reject anything else loudly
+        # (silently ingesting *.csv when the spec says .txt reads the
+        # WRONG files).
+        import re as _re
+
+        raw = str(cfg.get("input.file.pattern", "^.*\\.csv$"))
+        m = _re.fullmatch(r"\^?\.\*\\\.(\w+)\$?", raw)
+        if m:
+            pattern = f"*.{m.group(1)}"
+        elif _re.fullmatch(r"\*\.\w+", raw):
+            pattern = raw
+        else:
+            raise SpecError(
+                f"unsupported input.file.pattern {raw!r} — use the "
+                "suffix regex form (^.*\\.ext$) or a glob (*.ext)"
+            )
         # schema is inferred ONCE (first successful registration) and
         # cached in the spec, which the CLI registry persists: without
         # the cache, rehydration re-infers on every CLI invocation and
@@ -482,8 +529,14 @@ class Engine:
                 F.struct(*[F.col(c).alias(c) for c in good.columns]).alias("value")
             ).withColumn("topic", F.lit(topic))
             records = chain(records)
+            # post-chain schema: SMTs may have reshaped the value struct
             wire = records.withColumn(
-                "value", json_serialize("value", schema, schemas_enable=schemas_enable)
+                "value",
+                json_serialize(
+                    "value",
+                    records.schema["value"].dataType,
+                    schemas_enable=schemas_enable,
+                ),
             )
             if "key" not in wire.columns:
                 wire = wire.withColumn("key", F.lit(None).cast("string"))
@@ -505,7 +558,22 @@ class Engine:
 
     def _compile_jdbc_sink(self, spec: PipelineSpec) -> Pipeline:
         cfg = spec.config
+        if "topics" not in cfg:
+            raise SpecError(
+                "jdbc-sink: topics.regex is not supported by this engine — "
+                "list the topics explicitly via `topics`"
+            )
         topics = [t.strip() for t in str(cfg["topics"]).split(",") if t.strip()]
+        if len(topics) > 1:
+            # ${topic} routing is resolved per PIPELINE, not per record:
+            # a multi-topic sink would funnel every topic into one table
+            # with one schema — register one sink per topic instead
+            # (the reference does exactly that: one sink config per
+            # table, connector_configs/mysql_jdbc_sink_*.json)
+            raise SpecError(
+                "jdbc-sink: one topic per sink pipeline — register "
+                f"{len(topics)} sinks for {topics}"
+            )
         url = str(cfg.get("connection.url", ""))
         dialect = dialect_for_url(url)
         factory = self.connection_factories.get(url)
@@ -668,8 +736,23 @@ class Engine:
         re-publish flat records — the 'source-side unwrap' shape of
         …실습 - 01.md:287-311."""
         cfg = spec.config
+        if not cfg.get("cdc.topic.pattern"):
+            raise SpecError(
+                "cdc-source ingest needs cdc.topic.pattern (comma list of "
+                "Debezium topics) — this engine ingests Debezium-format "
+                "topics; it cannot tail a binlog from database.hostname"
+            )
         in_topics = [t.strip() for t in str(cfg["cdc.topic.pattern"]).split(",")]
         chain = build_transform_chain(spec.transforms)
+        # a cdc ingest RE-PUBLISHES to the topic column; without a
+        # RegexRouter the records land back in the input topic and the
+        # next trigger re-ingests them — an unbounded feedback loop
+        if not any("RegexRouter" in t.type for t in spec.transforms):
+            raise SpecError(
+                "cdc-source ingest requires a RegexRouter transform to "
+                "rewrite the output topic — otherwise unwrapped records "
+                "feed back into the input topic forever"
+            )
         ddl = cfg.get("value.schema.ddl")
         if not ddl:
             raise SpecError("cdc-source ingest needs value.schema.ddl (row schema)")
