@@ -52,7 +52,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # path merely contains 'sf' (e.g. /mnt/sfdata)
+        sf = -1.0
 
     spark = get_spark("kafkaconnect-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,10 +75,10 @@ def main() -> None:
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
-            t0 = time.time()
+            t0 = time.perf_counter()  # monotonic — immune to clock steps
             df = QUERY_CATALOG[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

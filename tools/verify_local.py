@@ -18,6 +18,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# pin the process to UTC BEFORE any Spark/DuckDB work: PySpark
+# collects TimestampType as naive datetimes in the OS-local zone while
+# DuckDB returns the stored naive-UTC values — on a non-UTC machine
+# every timestamp comparison would false-FAIL
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
+
 import duckdb
 
 from kafkaconnect_spark.sql import TABLES  # single table inventory
@@ -43,17 +51,30 @@ def canon(v) -> str:
     if isinstance(v, decimal.Decimal):
         return repr(float(v))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        if v.tzinfo is not None:
+            # convert aware values to UTC before stripping — a bare
+            # strip would compare wall-clock digits across zones
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        # length-prefix elements: bare join is ambiguous when data
+        # contains the separator ( ['a,b'] vs ['a','b'] )
+        return "[" + ",".join(f"{len(c)}:{c}" for c in map(canon, v)) + "]"
     return str(v)
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    # length-prefixed cells: raw \x1f/\n joins are ambiguous when the
+    # DATA contains those bytes (text columns legally carry newlines),
+    # which could hash two different result sets identically — a false
+    # PASS in a correctness gate
+    lines = sorted(
+        "\x1f".join(f"{len(c)}#{c}" for c in (canon(r[i]) for i in order))
+        for r in rows
+    )
     h = hashlib.md5()
     for line in lines:
         h.update(line.encode())
@@ -78,6 +99,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not print "0 failures" having run nothing
+        print(f"error: unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -85,7 +111,6 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            spark_cols = sorted(df.columns)
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
