@@ -8,19 +8,60 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The real catalog lives in ``kafkaconnect_spark/queries.py`` — one
 entry per operator from SURVEY.md §2 plus the Phase-E training-data
 operators (dedup / similarity / text / multimodal).
+
+Ordering: the driver records a bounded prefix of ``queries()`` per
+round (r1 recorded exactly the first 50 of 95), so entries are
+ordered not-yet-driver-verified first — computed from the union of
+prior CORRECTNESS_r*.json rows — and already-verified last. Each
+round therefore converts the oldest unproven tail into driver rows
+instead of re-proving the same prefix.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
 from kafkaconnect_spark.queries import QUERY_CATALOG  # noqa: E402
+
+
+def _driver_covered() -> set[str]:
+    """Names with a green row in any prior round's CORRECTNESS file.
+
+    A query counts as covered only by the strongest check it can get:
+    hash_match for oracled queries, rows_match for rows-only ones.
+    Failed rows stay uncovered so they re-run at the front after a fix.
+    """
+    covered: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or name not in QUERY_CATALOG:
+                continue
+            if QUERY_CATALOG[name].oracle is None:
+                if row.get("rows_match"):
+                    covered.add(name)
+            elif row.get("hash_match"):
+                covered.add(name)
+    return covered
+
+
+def _ordered_names() -> list[str]:
+    covered = _driver_covered()
+    names = list(QUERY_CATALOG)
+    return [n for n in names if n not in covered] + [n for n in names if n in covered]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,13 +71,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / Phase E."""
-    return {name: qd.fn for name, qd in QUERY_CATALOG.items()}
+    """One entry per implemented operator from SURVEY.md §2 / Phase E,
+    not-yet-driver-verified entries first."""
+    return {name: QUERY_CATALOG[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query; omitted entries take the
     driver's weaker rows-only check."""
     return {
-        name: qd.oracle for name, qd in QUERY_CATALOG.items() if qd.oracle is not None
+        name: QUERY_CATALOG[name].oracle
+        for name in _ordered_names()
+        if QUERY_CATALOG[name].oracle is not None
     }

@@ -21,6 +21,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafkaconnect_spark.session import conf_bytes
+
 
 def dir_bytes(path: str, spark: SparkSession | None = None) -> int:
     """Total parquet bytes under ``path``. Local paths use the local
@@ -72,14 +74,24 @@ def compact_parquet_dir(
     elif src.rstrip("/") == dst.rstrip("/"):
         raise ValueError("compact to a new directory, then swap")
     df = spark.read.parquet(src)
-    n = plan_target_files(dir_bytes(src, spark), target_file_mb)
-    shaped = _reshape(df, n)
+    total = dir_bytes(src, spark)
+    n = plan_target_files(total, target_file_mb)
+    shaped = _reshape(df, n, total)
     shaped.write.mode("overwrite").parquet(dst)
     return n
 
 
-def _reshape(df: DataFrame, n: int) -> DataFrame:
-    current = df.rdd.getNumPartitions()
-    if current >= n:
+def _reshape(df: DataFrame, n: int, total_bytes: int) -> DataFrame:
+    """Estimate the scan's partition count from bytes on disk (a scan
+    yields at least ceil(bytes / maxPartitionBytes) splits; small-file
+    inputs yield more) instead of df.rdd.getNumPartitions(), which
+    forces plan analysis plus an RDD conversion. Underestimating only
+    matters in the current<n case, where coalesce would silently keep
+    current partitions — repartition handles that one."""
+    max_pb = conf_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_current = max(1, math.ceil(total_bytes / max_pb))
+    if est_current >= n:
         return df.coalesce(n)
     return df.repartition(n)

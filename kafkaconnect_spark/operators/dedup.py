@@ -46,6 +46,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _track_cached(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Record the persisted intermediates an entry point created while
+    building ``result``. The caller owns the cache lifetime: the
+    intermediates must stay persisted until ``result`` is materialized
+    (they feed both the candidate join and the verify tail), so the
+    entry points cannot unpersist eagerly. Long-lived sessions call
+    :func:`release_cached` after collecting/writing the result."""
+    result._kc_cached = cached  # type: ignore[attr-defined]
+    return result
+
+
+def release_cached(result: DataFrame) -> None:
+    """Unpersist the intermediates cached while building ``result``
+    (see _track_cached). Call AFTER the result has been materialized
+    (collect / write / count); a later re-computation of ``result``
+    still works — it just recomputes the intermediates."""
+    for cached in getattr(result, "_kc_cached", []):
+        cached.unpersist()
+
+
 def _check_banding(num_hashes: int, bands: int) -> None:
     """bands must evenly divide the signature: rows-per-band of 0
     (bands > num_hashes) makes EVERY band hash md5('') so all docs
@@ -122,7 +142,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via the shingle inverted index.
 
@@ -137,8 +157,11 @@ def ngram_jaccard_pairs(
     set sizes and intersections via the doc-level arrays, so reported
     Jaccard values for surviving pairs stay EXACT; only pairs whose
     every shared shingle is capped can be missed — at a df cap of
-    thousands those are boilerplate, not near-dups. Default None =
-    fully exact.
+    thousands those are boilerplate, not near-dups.
+
+    The cap DEFAULTS ON (10⁴): at corpus scale a df-10⁶ boilerplate
+    shingle alone contributes ~10¹² candidate rows, so fully-exact
+    mode is the opt-in (``max_doc_freq=None``), not the default.
     """
     from pyspark import StorageLevel
 
@@ -163,7 +186,10 @@ def ngram_jaccard_pairs(
             )
             .distinct()
         )
-        return _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col)
+        return _track_cached(
+            _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col),
+            [sharr],
+        )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -172,12 +198,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    return _track_cached(
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        [sharr],
     )
 
 
@@ -291,7 +318,10 @@ def minhash_dedup_pairs(
     # inverted-index join + count aggregation would shuffle every
     # shingle of every candidate doc; _jaccard_verify ships each set
     # once and computes Jaccard narrowly.
-    return _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col)
+    return _track_cached(
+        _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col),
+        [sharr],
+    )
 
 
 def minhash_dedup_pairs_between(
@@ -341,7 +371,10 @@ def minhash_dedup_pairs_between(
         .select("id_new", "id_corpus")
         .distinct()
     )
-    return _jaccard_verify(cands, sh_new, sh_cor, threshold, "id_new", "id_corpus", id_col)
+    return _track_cached(
+        _jaccard_verify(cands, sh_new, sh_cor, threshold, "id_new", "id_corpus", id_col),
+        [sh_new, sh_cor],
+    )
 
 
 def minhash_dedup_pairs_within(
@@ -378,19 +411,36 @@ def minhash_dedup_pairs_within(
     b_new = banded.where(is_new).withColumnRenamed(id_col, "id_new")
     b_cor = banded.where(~is_new).withColumnRenamed(id_col, "id_corpus")
     cands = b_new.join(b_cor, ["band", "band_hash"]).select("id_new", "id_corpus").distinct()
-    return _jaccard_verify(
-        cands,
-        sharr.where(is_new),
-        sharr.where(~is_new),
-        threshold,
-        "id_new",
-        "id_corpus",
-        id_col,
+    return _track_cached(
+        _jaccard_verify(
+            cands,
+            sharr.where(is_new),
+            sharr.where(~is_new),
+            threshold,
+            "id_new",
+            "id_corpus",
+            id_col,
+        ),
+        [sharr, banded],
     )
 
 
+def _make_ckpt(spark, checkpoint_dir: str | None):
+    """Round-truncation strategy for the iterative CC loops: reliable
+    ``checkpoint()`` when a directory is provided (cluster mode —
+    survives executor loss), ``localCheckpoint()`` otherwise."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint()
+
+
 def duplicate_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → (doc_id,
     cluster_id = min id in component). The keep-one-per-cluster step a
@@ -402,25 +452,30 @@ def duplicate_clusters(
     driver-side graph); dup-pair components are tiny chains/cliques so
     diameter is small. At extreme scale swap in the alternating
     large-star/small-star variant — same loop skeleton.
+
+    ``checkpoint_dir``: when given, rounds truncate lineage with
+    RELIABLE ``checkpoint()`` into that directory (survives executor
+    loss — the cluster mode); when None, ``localCheckpoint`` (executor-
+    local blocks, fine for local/test runs but a lost executor kills
+    the job's cached rounds).
     """
     from pyspark import StorageLevel
 
+    ckpt = _make_ckpt(pairs.sparkSession, checkpoint_dir)
     # persist the edge list (cuts pair-generation out of every
-    # iteration); each round's labels are localCheckpoint'ed — the
-    # label plan references the previous round's plan more than once,
-    # so without lineage TRUNCATION (persist alone doesn't truncate)
-    # the logical plan grows exponentially with iterations and
-    # analysis itself OOMs on high-diameter graphs. On a cluster with
-    # a checkpoint dir, swap for reliable checkpoint().
+    # iteration); each round's labels are checkpointed — the label
+    # plan references the previous round's plan more than once, so
+    # without lineage TRUNCATION (persist alone doesn't truncate) the
+    # logical plan grows exponentially with iterations and analysis
+    # itself OOMs on high-diameter graphs.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iters):
@@ -428,11 +483,10 @@ def duplicate_clusters(
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -526,7 +580,11 @@ def simhash_near_dup_pairs(
 
 
 def duplicate_clusters_star(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond" —
@@ -539,7 +597,12 @@ def duplicate_clusters_star(
     equal neighbors (and itself) at that min. At fixpoint the edge set
     is exactly (node → component-min) stars. Each half-round is one
     groupBy + one join, all keyed — no driver-side graph.
+
+    ``checkpoint_dir``: reliable ``checkpoint()`` per round when given
+    (cluster mode); ``localCheckpoint`` otherwise (see
+    duplicate_clusters).
     """
+    ckpt = _make_ckpt(pairs.sparkSession, checkpoint_dir)
 
     def bidirect(e: DataFrame) -> DataFrame:
         return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -565,18 +628,17 @@ def duplicate_clusters_star(
         )
         return to_min.where(F.col("u") != F.col("v")).distinct()
 
-    edges = (
+    edges = ckpt(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iters):
-        # localCheckpoint truncates lineage each round — the star plans
+        # checkpointing truncates lineage each round — the star plans
         # reference the previous round's plan several times, which
         # would otherwise grow the logical plan exponentially
-        new_edges = small_star(large_star(edges)).localCheckpoint()
+        new_edges = ckpt(small_star(large_star(edges)))
         # fixpoint when the (canonical, distinct) edge sets match
         changed = (
             new_edges.unionByName(edges)

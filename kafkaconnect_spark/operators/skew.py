@@ -26,27 +26,40 @@ def salted_agg(
     count_alias: str | None = "n",
     salt_buckets: int = 16,
     salt_col: str = "__salt",
+    salt_from: str | None = None,
 ) -> DataFrame:
     """groupBy(keys) with salting: sums/counts survive the two-phase
     decomposition exactly (same result as a direct groupBy).
 
-    ``sums``: {input_col: output_alias} summed per group. The salt is
-    a per-partition round-robin counter (spark_partition_id +
-    monotonically_increasing_id), NOT a hash of the row's content: a
-    content hash sends identical/low-cardinality rows — precisely the
-    hot key's duplicates the salt exists to spread — into ONE bucket,
-    silently restoring the skew. The RESULT is independent of bucket
-    assignment (any partial→final decomposition sums to the same
-    totals). Retry safety: the counter is position-dependent, so Spark
-    marks the expression nondeterministic and handles shuffle-fetch
-    failure by resubmitting the whole indeterminate stage rather than
-    individual tasks — never a silent double-count (the content-hash
-    alternative is per-task-retry-stable but defeats the operator).
+    ``sums``: {input_col: output_alias} summed per group.
+
+    Salt choice (``salt_from``):
+
+    - When the input has a unique (or near-unique) row id column, pass
+      it as ``salt_from``: salt = pmod(xxhash64(id), buckets) is
+      DETERMINISTIC per row, so any task retry reproduces the same
+      bucket assignment — safe even when ``df`` sits downstream of a
+      shuffle. Uniqueness matters: hashing a low-cardinality content
+      column would send the hot key's identical rows into ONE bucket,
+      silently restoring the skew this operator exists to remove.
+    - Without ``salt_from``, the salt falls back to a positional
+      counter (monotonically_increasing_id). That spreads any input,
+      but is only retry-safe when ``df`` is a DETERMINISTIC SCAN
+      (file/table read with no upstream shuffle): Spark's
+      indeterminate-stage resubmission does not cover SQL map stages,
+      so a partial retry downstream of a shuffle could reassign rows
+      to different buckets mid-aggregate and double-count or drop.
+      Callers feeding shuffled input must provide ``salt_from``.
+
+    The RESULT is independent of bucket assignment either way (any
+    partial→final decomposition sums to the same totals).
     """
     sums = sums or {}
-    salted = df.withColumn(
-        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
-    )
+    if salt_from is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    salted = df.withColumn(salt_col, salt)
     partial_aggs = [F.sum(F.col(c)).alias(f"__p_{a}") for c, a in sums.items()]
     if count_alias:
         partial_aggs.append(F.count(F.lit(1)).alias(f"__p_{count_alias}"))

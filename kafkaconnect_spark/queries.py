@@ -18,6 +18,8 @@ Determinism rules shared by both sides:
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Callable, NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,6 +36,7 @@ from kafkaconnect_spark.operators.transforms import (
     timestamp_converter,
     value_to_key,
 )
+from kafkaconnect_spark.session import conf_bytes
 from kafkaconnect_spark.sources.jdbc_poller import Offset, incremental_predicate
 
 
@@ -42,7 +45,9 @@ class QueryDef(NamedTuple):
     oracle: str | None  # DuckDB SQL, or None → rows-only check
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read a driver testdata table, normalizing every temporal column
     to TimestampType. The generator has already switched encodings
     once (timestamp[ns] → naive timestamp[us]); this handles both for
@@ -55,11 +60,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - naive timestamp[us] (TIMESTAMP_NTZ on Spark ≥3.5, which
       watermarking rejects): cast to TimestampType; the session tz is
       pinned UTC so the instant mapping is identity and matches
-      DuckDB's naive timestamps."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+      DuckDB's naive timestamps.
 
+    ``spread=True`` additionally repartitions small scans up to
+    defaultParallelism before a compute-heavy narrow stage (per-row
+    hashing, serde, Arrow UDFs): the driver's testdata ships one row
+    group per parquet file, so scans arrive single-partition and a
+    heavy map stage would run on one core. The decision is made from
+    the file size on disk vs spark.sql.files.maxPartitionBytes —
+    never from the physical plan (no .rdd touch, no analysis) — so at
+    cluster scale, where the input spans many split units, it is a
+    no-op branch."""
+    path = f"{sf_dir}/{name}.parquet"
     try:
         import pyarrow.parquet as pq  # driver-side, one footer read
 
@@ -69,8 +81,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             for f in arrow_schema
             if str(f.type).startswith("timestamp[ns")
         }
-    except Exception:  # non-local path (cluster deploy) — no ns testdata there
-        ns_cols = set()
+        footer_ok = True
+    except Exception:  # no pyarrow / non-posix path (cluster deploy)
+        ns_cols, footer_ok = set(), False
+    # nanosAsLong only when the footer inspection worked: if pyarrow is
+    # missing we can't know which bigints are disguised timestamps, so
+    # let Spark's reader reject a timestamp[ns] file loudly instead of
+    # silently reading it as bigint and filtering every temporal row.
+    spark.conf.set(
+        "spark.sql.legacy.parquet.nanosAsLong", "true" if footer_ok else "false"
+    )
+    df = spark.read.parquet(path)
     for c, t in df.dtypes:
         if c in ns_cols and t == "bigint":
             # integer division: `/` would go through double and round
@@ -78,20 +99,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    if spread:
+        df = _spread(df, path)
     return df
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure at least defaultParallelism partitions before a
-    compute-heavy narrow stage (per-row hashing, serde, Arrow UDFs).
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return os.path.getsize(path)
 
-    The driver's testdata ships one row group per parquet file, so
-    scans arrive single-partition and a heavy map stage would run on
-    one core; at cluster scale inputs already have >= cores partitions
-    and this is a no-op (the conditional avoids paying an always-on
-    shuffle of the full input)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+
+def _spread(df: DataFrame, path: str) -> DataFrame:
+    """Repartition a just-read scan up to defaultParallelism when the
+    source is too small to split (see _t docstring). Sized from the
+    bytes on disk: a scan yields ~ceil(bytes / maxPartitionBytes)
+    input partitions, so anything under one split unit per core gets
+    spread before the heavy narrow stage that follows."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        src_bytes = _path_bytes(path)
+    except OSError:  # non-posix storage (s3a://…) — trust the scan split
+        return df
+    max_pb = conf_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_partitions = max(1, math.ceil(src_bytes / max_pb))
+    if est_partitions < target:
         return df.repartition(target)
     return df
 
@@ -302,7 +342,7 @@ def c1_json_schema_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: JsonConverter schemas.enable=true round-trip — serialize
     {"schema":…,"payload":…}, parse back, values must survive
     (wrapper shape: 실습수행/JDBC Sink Connector 실습.md:349)."""
-    ev = _spread(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events", spread=True)
     rec = ev.select(F.struct("event_id", "event_type", "value", "props").alias("value"))
     wire = rec.select(
         json_serialize("value", _EVENT_VALUE_SCHEMA, schemas_enable=True).alias("raw")
@@ -368,7 +408,7 @@ def c3_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     avro = avro_schema_for(sub, "events")
     reg = SchemaRegistry()
     sid = reg.register("events-value", avro)
-    ev = _spread(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events", spread=True)
     rec = ev.select(F.struct("event_id", "event_type", "value").alias("v"))
     wire = rec.select(avro_serialize_udf(avro, sid)(F.col("v")).alias("raw"))
     back = wire.select(avro_deserialize_udf(sub, avro)(F.col("raw")).alias("v"))
@@ -704,11 +744,12 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v2", F.round(F.col("value"), 2).cast(T.DecimalType(18, 2))
     )
     out = salted_agg(
-        ev.select("event_type", "v2"),
+        ev.select("event_type", "v2", "event_id"),
         keys=["event_type"],
         sums={"v2": "sum_value"},
         count_alias="n_events",
         salt_buckets=16,
+        salt_from="event_id",  # deterministic, retry-safe salt
     )
     return out.select(
         "event_type", F.col("sum_value").cast("double").alias("sum_value"), "n_events"
@@ -966,7 +1007,7 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full minhash→band→bucket-join→verify pipeline (16 hashes, 4
     bands of 4 — LSH S-curve threshold ≈ 0.55)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
 
 
@@ -1082,7 +1123,7 @@ SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dedup.simhash(docs, bits=32)
 
 
@@ -1104,7 +1145,7 @@ SELECT doc_id, ({_SIMHASH_VALUE}) AS simhash FROM bs
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucket-pruned (threshold tuned to
     the synthetic corpus where max cosine ≈ 0.46)."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     return similarity.embedding_near_dup_pairs(emb, threshold=0.3, num_planes=4, dim=64)
 
 
@@ -1141,7 +1182,7 @@ WHERE round(list_dot_product(a.v, b.v) /
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 10 query vectors — the exact
     baseline every ANN variant is measured against."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1164,7 +1205,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-5: hyperplane signature equi-join + exact
     re-rank — the sub-linear scale path."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1191,7 +1232,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic centroids (lowest-id vectors),
     1-cell corpus assignment, 2-probe query search — the inverted-file
     scale path next to the hyperplane-LSH one."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1309,7 +1350,7 @@ LIMIT 100
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
@@ -1338,7 +1379,7 @@ FROM m
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
 
 
@@ -1659,7 +1700,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization (scale = max|v|/127)
     with reconstruction-error report — narrow per-row folds, no
     shuffle."""
-    return pipeline.quantize_int8(_spread(_t(spark, sf_dir, "embeddings")))
+    return pipeline.quantize_int8(_t(spark, sf_dir, "embeddings", spread=True))
 
 
 QUANT_ORACLE = """
@@ -1682,7 +1723,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived ±1 matrix folded into the row expression (no join, no
     shuffle)."""
     return pipeline.random_projection(
-        _spread(_t(spark, sf_dir, "embeddings")), out_dims=16, dim=64
+        _t(spark, sf_dir, "embeddings", spread=True), out_dims=16, dim=64
     )
 
 
@@ -1896,7 +1937,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     column vs the stopword-vote prediction — the eval loop a pipeline
     runs on any heuristic classifier. One tiny aggregation over the
     narrow per-row predictor."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return (
         docs.select("lang", TX.lang_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")

@@ -17,10 +17,27 @@ gracefully on local[N]:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SIZE_SUFFIX = {"": 1, "b": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+
+
+def conf_bytes(raw: str) -> int:
+    """Parse a Spark byte-size conf value — SparkConf accepts
+    "134217728", "128m", "128mb", "1g", … (JavaUtils.byteStringAs)."""
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", raw.strip().lower())
+    if not m:
+        raise ValueError(f"unparseable byte size: {raw!r}")
+    unit = m.group(2)
+    if unit.endswith("b"):
+        unit = unit[:-1] or "b"
+    if unit not in _SIZE_SUFFIX:
+        raise ValueError(f"unparseable byte size: {raw!r}")
+    return int(m.group(1)) * _SIZE_SUFFIX[unit]
 
 
 def get_spark(

@@ -47,6 +47,20 @@ def test_cliques_and_isolated_pair(spark):
     assert labels[900] == labels[901] == 900
 
 
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """checkpoint_dir (reliable checkpoint, cluster mode) must produce
+    the identical labeling as the localCheckpoint default."""
+    rows = [Row(id_a=i, id_b=i + 1) for i in range(12)]  # one 13-node chain
+    rows += [Row(id_a=50, id_b=51), Row(id_a=51, id_b=52)]
+    df = spark.createDataFrame(rows)
+    for fn in (dedup.duplicate_clusters, dedup.duplicate_clusters_star):
+        local = sorted(map(tuple, fn(df).collect()))
+        reliable = sorted(
+            map(tuple, fn(df, checkpoint_dir=str(tmp_path / fn.__name__)).collect())
+        )
+        assert local == reliable and len(local) == 16
+
+
 def test_ngram_df_cap_keeps_exact_jaccard(spark):
     # 30 docs all share one boilerplate shingle run; two true near-dups
     base = "alpha beta gamma"
@@ -62,9 +76,39 @@ def test_ngram_df_cap_keeps_exact_jaccard(spark):
     }
     exact = {
         (r.id_a, r.id_b): r.jaccard
-        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=None).collect()
     }
     # the true near-dup pair survives the cap with the EXACT jaccard
     assert (100, 101) in capped and capped[(100, 101)] == exact[(100, 101)]
     # boilerplate-only links (jaccard < threshold anyway here) absent
     assert all(k[0] == 100 or exact.get(k) is not None for k in capped)
+
+
+def test_ngram_cap_defaults_on_and_prunes_hot_join(spark):
+    """The pipeline-facing default is CAPPED (opt-in to fully exact):
+    the candidate join must carry the hot-shingle anti-join, and with
+    a tiny cap the hot shingle's quadratic links vanish while true
+    near-dup pairs keep exact values (same fixture as above)."""
+    base = "alpha beta gamma"
+    rows = [Row(doc_id=i, text=f"{base} filler{i} mid{i} tail{i}") for i in range(30)]
+    rows += [
+        Row(doc_id=100, text="x y z w v u t"),
+        Row(doc_id=101, text="x y z w v u q"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    default_plan = dedup.ngram_jaccard_pairs(df, threshold=0.5)._jdf.queryExecution().toString()
+    assert "LeftAnti" in default_plan  # hot-shingle pruning in the default plan
+    exact_plan = (
+        dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=None)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "LeftAnti" not in exact_plan  # fully-exact opt-in skips it
+
+    # with the cap low enough to catch the df-30 boilerplate shingles,
+    # the candidate join is free of the hot key: only the true pair joins
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=10)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert got == {(100, 101): 0.666667}  # 4 shared / 6 union shingles, exact
+    dedup.release_cached(capped)
