@@ -8,6 +8,7 @@ driver-side collect). Metric = total wall seconds across queries.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -82,17 +83,56 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    vs_prev = _vs_prev(timings, total, sf)
+    if vs_prev is not None:
+        out["vs_prev"] = vs_prev
+    print(json.dumps(out))
+
+
+def _vs_prev(
+    timings: dict[str, float], total: float, sf: float
+) -> dict | None:
+    """Per-query delta vs the most recent BENCH_r{N}.json (same sf):
+    the regression guard the per-round judge reads. A query at >2× its
+    previous time is flagged; flags never fail the bench (the driver
+    must still record a metric) but land in the JSON for the judge."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    prev = None
+    for path in reversed(prev_files):
+        try:
+            with open(path) as fh:
+                cand = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        # the driver wraps bench stdout under "parsed" (outer keys:
+        # n/rc/cpus/sf/tail); a raw bench.py line has queries top-level
+        inner = cand.get("parsed") if isinstance(cand.get("parsed"), dict) else cand
+        if cand.get("sf", inner.get("sf")) == sf and inner.get("queries"):
+            prev = inner
+            prev_name = os.path.basename(path)
+            break
+    if prev is None:
+        return None
+    ratios = {
+        name: round(timings[name] / prev["queries"][name], 2)
+        for name in timings
+        if prev["queries"].get(name)
+    }
+    flagged = sorted(n for n, r in ratios.items() if r > 2.0)
+    return {
+        "baseline": prev_name,
+        "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
+        "ratios": ratios,
+        "regressions_over_2x": flagged,
+    }
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -64,16 +65,17 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
     )
 
 
-def _decode_image_stub(data: bytes) -> "list[int]":
+def _decode_image_stub(data: bytes) -> np.ndarray:
     """STUB decoder — deterministic fake standing in for PIL/libvips.
 
-    Real deployments replace this with an actual decoder; everything
-    around it (Arrow batching, schema, partitioning) is production
-    shape. The fake 'pixels' are just the raw bytes.
+    Real deployments replace this with an actual decoder returning a
+    pixel ndarray; everything around it (Arrow batching, schema,
+    partitioning, vectorized feature math) is production shape. The
+    fake 'pixels' are just the raw bytes viewed as uint8.
     """
     if data is None:
         raise NotImplementedError("tombstone media blob — no decode")
-    return list(data)
+    return np.frombuffer(data, dtype=np.uint8)
 
 
 def extract_image_features(
@@ -81,33 +83,40 @@ def extract_image_features(
 ) -> DataFrame:
     """mapInPandas feature extraction: mean intensity + 16-bin byte
     histogram per blob. Arrow-batched; one Python process per task,
-    zero driver involvement."""
+    zero driver involvement. The per-blob math is numpy (frombuffer +
+    bincount) and the output frame is built column-wise, so a real
+    decoder drops into _decode_image_stub at full speed."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                if row[binary_col] is None:
+            means: list[float | None] = []
+            hists: list[list[int] | None] = []
+            for data in pdf[binary_col]:
+                if data is None:
                     # NULL blob (e.g. a CDC tombstone) → NULL features,
                     # the same propagation a SQL oracle applies — never
                     # fabricate pixels, never kill the job
-                    rows.append(
-                        {"doc_id": row[id_col], "mean_intensity": None,
-                         "byte_histogram": None}
-                    )
+                    means.append(None)
+                    hists.append(None)
                     continue
-                pixels = _decode_image_stub(row[binary_col])
-                hist = [0] * 16
-                for b in pixels:
-                    hist[b >> 4] += 1
-                rows.append(
-                    {
-                        "doc_id": row[id_col],
-                        "mean_intensity": (sum(pixels) / len(pixels)) if pixels else None,
-                        "byte_histogram": hist,
-                    }
+                pixels = _decode_image_stub(data)
+                if pixels.size == 0:
+                    means.append(None)
+                    hists.append([0] * 16)
+                    continue
+                # int64 sum then one division: bit-identical to the
+                # exact integer mean (counts < 2^53 stay exact)
+                means.append(float(pixels.sum(dtype=np.int64)) / pixels.size)
+                hists.append(
+                    np.bincount(pixels >> 4, minlength=16).astype(np.int64).tolist()
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "mean_intensity", "byte_histogram"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "mean_intensity": pd.Series(means, dtype="object"),
+                    "byte_histogram": pd.Series(hists, dtype="object"),
+                }
+            )
 
     return df.select(id_col, binary_col).mapInPandas(compute, IMAGE_FEATURES_SCHEMA)
 
@@ -131,20 +140,26 @@ def frame_sample(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                if row[binary_col] is None:
+            ids: list = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, data in zip(pdf[id_col], pdf[binary_col]):
+                if data is None:
                     continue  # NULL blob → no frames (like explode(NULL))
-                data = row[binary_col]
-                for i, start in enumerate(range(0, len(data), every_n_bytes)):
-                    rows.append(
-                        {
-                            "doc_id": row[id_col],
-                            "frame_index": i,
-                            "frame": bytes(data[start : start + every_n_bytes]),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame"])
+                chunks = [
+                    bytes(data[start : start + every_n_bytes])
+                    for start in range(0, len(data), every_n_bytes)
+                ]
+                ids.extend([doc_id] * len(chunks))
+                idxs.extend(range(len(chunks)))
+                frames.extend(chunks)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
 
     return df.select(id_col, binary_col).mapInPandas(sample, out_schema)
 
@@ -172,19 +187,21 @@ def resize_image(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                if row[binary_col] is None:
-                    # NULL in → NULL out (SQL propagation), never a
-                    # fabricated all-zero image with a plausible sha256
-                    resized = None
-                else:
-                    data = bytes(row[binary_col])
-                    resized = data[:target].ljust(target, b"\x00")
-                rows.append(
-                    {"doc_id": row[id_col], "media": resized, "width": width, "height": height}
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "media", "width", "height"])
+            # NULL in → NULL out (SQL propagation), never a fabricated
+            # all-zero image with a plausible sha256
+            resized = [
+                None if data is None else bytes(data)[:target].ljust(target, b"\x00")
+                for data in pdf[binary_col]
+            ]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "media": pd.Series(resized, dtype="object"),
+                    "width": pd.Series([width] * n, dtype="int32"),
+                    "height": pd.Series([height] * n, dtype="int32"),
+                }
+            )
 
     return df.select(id_col, binary_col).mapInPandas(resize, out_schema)
 
