@@ -233,6 +233,107 @@ UNION ALL SELECT 'mysql_om_lineitem', count(*) FROM lineitem
 """
 
 
+def s6_spooldir_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: SpoolDir CSV lifecycle as one batch-queryable shape —
+    header + schema generation + PERMISSIVE parse + error routing
+    (connector_configs/spooldir_source.json:5-14, 실습수행/Spool Dir
+    Source Connector 실습.md:29-110).
+
+    The spool directory is a deterministic fixture derived from the
+    events table (every 5th event_id, value column; rows where
+    event_id % 37 == 0 are written with an unparseable value — the
+    corrupt-line drop). The CLEAN file is present at registration, so
+    schema generation infers (bigint, string, double) exactly as the
+    reference's schema.generation.enabled does; the corrupt file
+    arrives afterwards, like a later drop. The REAL streaming path
+    runs (generate_schema → read_spooldir_stream → availableNow →
+    split_errors); the returned frame is per-type good-row counts +
+    decimal-exact value sums + the global corrupt-routed count.
+
+    Driver-side work is fixture construction only (bounded: ~2k rows
+    written once per invocation into a fresh temp dir); parsing is
+    distributed."""
+    import shutil
+    import tempfile
+
+    from kafkaconnect_spark.sources.spooldir import (
+        generate_schema,
+        read_spooldir_stream,
+        split_errors,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select("event_id", "event_type", "value")
+        .collect()  # fixture construction — bounded, not the data plane
+    )
+    spool = tempfile.mkdtemp(prefix="kc_s6_spool_")
+    finished = tempfile.mkdtemp(prefix="kc_s6_done_")
+    try:
+        header = "event_id,event_type,value"
+        clean = [
+            f"{r.event_id},{r.event_type},{r.value!r}"
+            for r in rows
+            if r.event_id % 37 != 0
+        ]
+        with open(f"{spool}/batch1.csv", "w") as fh:
+            fh.write("\n".join([header] + clean) + "\n")
+        # schema generation sees only the clean registration-time file
+        schema = generate_schema(spark, spool, "*.csv")
+        corrupt = [
+            f"{r.event_id},{r.event_type},notanumber"
+            for r in rows
+            if r.event_id % 37 == 0
+        ]
+        with open(f"{spool}/batch2.csv", "w") as fh:
+            fh.write("\n".join([header] + corrupt) + "\n")
+
+        stream = read_spooldir_stream(
+            spark, spool, schema, finished_path=finished, pattern="*.csv"
+        )
+        sink = f"s6_spool_{os.path.basename(spool)}"
+        (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        good, bad = split_errors(spark.table(sink))
+        n_corrupt = bad.agg(F.count(F.lit(1)).alias("n_corrupt"))
+        out = (
+            good.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_good"),
+                F.sum(
+                    F.round(F.col("value"), 7).cast(T.DecimalType(20, 7))
+                ).cast("double").alias("sum_value"),
+            )
+            .crossJoin(F.broadcast(n_corrupt))  # 1-row global denominator
+        )
+        # materialize before the temp spool dir disappears
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+        shutil.rmtree(finished, ignore_errors=True)
+
+
+S6_ORACLE = """
+WITH src AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+),
+bad AS (SELECT count(*) AS n_corrupt FROM src WHERE event_id % 37 = 0)
+SELECT event_type,
+       count(*) AS n_good,
+       CAST(SUM(CAST(round(value, 7) AS DECIMAL(20,7))) AS DOUBLE) AS sum_value,
+       (SELECT n_corrupt FROM bad) AS n_corrupt
+FROM src WHERE event_id % 37 <> 0
+GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # §2.4 transforms (T1–T5)
 # ===========================================================================
@@ -2150,6 +2251,7 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "s3_jdbc_ts_incrementing": QueryDef(s3_jdbc_ts_incrementing, S3_ORACLE),
     "s4_jdbc_bulk": QueryDef(s4_jdbc_bulk, S4_ORACLE),
     "s5_topic_routing": QueryDef(s5_topic_routing, S5_ORACLE),
+    "s6_spooldir_parse": QueryDef(s6_spooldir_parse, S6_ORACLE),
     # §2.4 transforms
     "t1_t2_smt_key_chain": QueryDef(t1_t2_smt_key_chain, T1_ORACLE),
     "t3_unwrap_envelope": QueryDef(t3_unwrap_envelope, T3_ORACLE),
