@@ -208,6 +208,119 @@ def ngram_jaccard_pairs(
     )
 
 
+def span_dup_stats(
+    df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicated-span fraction per doc — the window-granular
+    approximation of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    public): a doc's k-token windows (stride 1, md5-fingerprinted,
+    SET semantics per doc) are "duplicated" when they occur in ≥ 2
+    distinct docs corpus-wide. Returns (id, n_spans, n_dup_spans,
+    dup_frac) for docs with ≥ k tokens; dup_frac is int/int IEEE
+    division — bit-identical in any engine.
+
+    Scale shape: one explode over distinct windows, one groupBy on the
+    md5 window hash (uniform — no hot keys by construction), and a
+    semi-join back keyed on the same hash. The dup-window side is
+    pre-aggregated (one row per distinct window), so the join never
+    goes quadratic in doc count; corpus-wide cost is O(total tokens).
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE).alias("toks")
+    )
+    spans = toks.where(F.size("toks") >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1), "
+                    f"i -> md5(array_join(slice(toks, i, {k}), ' ')))"
+                )
+            )
+        ).alias("span"),
+    )
+    dup_spans = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    flagged = spans.join(dup_spans, "span", "left_semi")
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    dups = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        totals.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_spans",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            (
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """Asymmetric containment C(A→B) = |A∩B| / |A| over shingle sets —
+    catches a short doc quoted inside a long one, which symmetric
+    Jaccard dilutes below any useful threshold. Returns ORDERED pairs
+    (id_a, id_b, containment): containment of A's shingles in B, both
+    directions emitted, a ≠ b.
+
+    Candidates come from the same capped shingle inverted index as
+    ngram_jaccard_pairs (hot shingles above ``max_doc_freq`` are
+    pruned from the JOIN but still count in the exact verify), then
+    the pair is verified with exact set intersection on the doc-level
+    arrays. Same two-shuffle scale shape as the Jaccard path.
+    """
+    from pyspark import StorageLevel
+
+    sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    joinable = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    cands = (
+        joinable.alias("a")
+        .join(joinable.alias("b"), on="shingle")
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sharr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sharr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    out = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size("__sh_a"), 6
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return _track_cached(out, [sharr])
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,

@@ -336,6 +336,53 @@ def balance_sources(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source-mixture weights — the multilingual /
+    multi-source sampling scheme (p_s ∝ count_s^alpha; alpha<1 upsamples
+    the tail, alpha=1 is proportional, alpha=0 uniform; the standard
+    mixture rule from multilingual pretraining, e.g. XLM-R, public).
+    Returns (source, n_docs, weight, expected_docs): weight sums to 1;
+    expected_docs = weight × corpus size is what a sampler draws per
+    epoch.
+
+    Float parity: pow is transcendental, so each count^alpha is rounded
+    to 7 decimals and summed as DECIMAL (order-independent, exact);
+    weight = exact_decimal / exact_decimal in IEEE doubles, then a
+    final non-boundary round(6). Scale shape: |sources| rows after a
+    map-side-combined count — the heavy input never shuffles more than
+    a partial-agg exchange, and the denominator is a broadcast 1-row
+    cross join.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w7 = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))), 7).cast(
+        T.DecimalType(20, 7)
+    )
+    weighted = counts.select(F.col(source_col), "n_docs", w7.alias("__w"))
+    denom = weighted.agg(
+        F.sum("__w").alias("__dw"), F.sum("n_docs").alias("__total")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(denom))  # 1-row global denominator
+        .select(
+            F.col(source_col),
+            "n_docs",
+            F.round(
+                F.col("__w").cast("double") / F.col("__dw").cast("double"), 6
+            ).alias("weight"),
+            F.round(
+                F.col("__w").cast("double")
+                / F.col("__dw").cast("double")
+                * F.col("__total").cast("double"),
+                4,
+            ).alias("expected_docs"),
+        )
+    )
+
+
 def shard_assignment(
     df: DataFrame, id_col: str = "doc_id", shards: int = 64, seed: str = "shard"
 ) -> DataFrame:

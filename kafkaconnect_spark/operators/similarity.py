@@ -208,32 +208,20 @@ def lsh_ann_topk(
     )
 
 
-def ivf_ann_topk(
+def _ivf_index(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_cells: int = 8,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF (inverted-file) ANN: partition the corpus into cells around
-    centroids, search only the query's ``n_probe`` nearest cells.
-
-    Centroids are chosen deterministically (the ``n_cells`` lowest-id
-    vectors) instead of k-means so any engine — including the DuckDB
-    oracle — reproduces the exact same index; swap in k-means|| for
-    real recall tuning, the plan shape is identical.
-
-    Scale shape: the centroid table is tiny, so it is collected once
-    (the index-build step) and folded into per-row expressions — cell
-    assignment is a NARROW argmax over n_cells struct comparisons, the
-    corpus never shuffles for it (the window-rank formulation would
-    shuffle 100 TB just to pick each row's nearest of ~thousands of
-    cells). Centroid norms are precomputed driver-side with the exact
-    accumulation order of ``l2_norm`` so results stay bit-identical.
-    """
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared IVF index build: deterministic centroids (the n_cells
+    lowest-id vectors), folded driver-side into ONE SQL expression
+    (per-element F.lit would cost thousands of py4j round-trips), and
+    the cell-assigned corpus. Returns (corpus, norm_sql,
+    cell_scores_sql): corpus carries (id, vec, __nv, cell) with the
+    assignment computed NARROWLY (argmax over n_cells struct
+    comparisons — no shuffle); the SQL builders let callers score
+    further vectors (IVF probes) against the same folded centroids."""
     import math
 
     cent_rows = (
@@ -257,12 +245,10 @@ def ivf_ann_topk(
             return "'" + cid.replace("\\", "\\\\").replace("'", "\\'") + "'"
         return repr(cid)
 
-    # The whole centroid table is rendered into ONE SQL expression
-    # string (float literals via repr → string-cast, exact roundtrip):
-    # building it with per-element F.lit would cost thousands of py4j
-    # round-trips in plan construction alone. cent_rows arrive sorted
-    # by cent_id, so the list index doubles as the cent_id-ascending
-    # tie-break (negidx desc == cent_id asc) — works for string ids too.
+    # Float literals via repr → string-cast: exact roundtrip.
+    # cent_rows arrive sorted by cent_id, so the list index doubles as
+    # the cent_id-ascending tie-break (negidx desc == cent_id asc) —
+    # works for string ids too.
     cells_sql = ",".join(
         "named_struct('negidx', {neg}, 'cent_id', {cid}, "
         "'cnorm', cast('{cn!r}' as double), 'cvec', array({vs}))".format(
@@ -290,8 +276,8 @@ def ivf_ann_topk(
             "'negidx', c.negidx, 'cent_id', c.cent_id))"
         )
 
-    # the norm bound for cell assignment rides along into the final
-    # re-rank — cosine there needs only the dot product per candidate
+    # the norm bound for cell assignment rides along into downstream
+    # scoring — cosine there needs only the dot product per candidate
     corpus = embeddings.select(
         F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("__nv")
     ).select(
@@ -299,6 +285,38 @@ def ivf_ann_topk(
         F.col(vec_col),
         F.col("__nv"),
         F.expr(f"array_max({cell_scores_sql(vec_col)}).cent_id").alias("cell"),
+    )
+    return corpus, norm_sql, cell_scores_sql
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into cells around
+    centroids, search only the query's ``n_probe`` nearest cells.
+
+    Centroids are chosen deterministically (the ``n_cells`` lowest-id
+    vectors) instead of k-means so any engine — including the DuckDB
+    oracle — reproduces the exact same index; swap in k-means|| for
+    real recall tuning, the plan shape is identical.
+
+    Scale shape: the centroid table is tiny, so it is collected once
+    (the index-build step) and folded into per-row expressions — cell
+    assignment is a NARROW argmax over n_cells struct comparisons, the
+    corpus never shuffles for it (the window-rank formulation would
+    shuffle 100 TB just to pick each row's nearest of ~thousands of
+    cells). Centroid norms are precomputed driver-side with the exact
+    accumulation order of ``l2_norm`` so results stay bit-identical.
+    """
+    corpus, norm_sql, cell_scores_sql = _ivf_index(
+        embeddings, n_cells, id_col, vec_col
     )
     probes = queries.select(
         F.col(query_id_col),
@@ -339,6 +357,62 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    cluster the corpus, then prune near-duplicates WITHIN each cluster
+    only. Returns (id, cell, pruned): pruned = true iff a lower-id
+    vector in the same cell has cosine ≥ threshold (keep-min-id, the
+    repo-wide deterministic winner rule).
+
+    Scale shape: this is the trick that makes embedding dedup linear —
+    the pairwise comparison is an equi-join on ``cell``, never an
+    all-pairs product; with n_cells sized ~√n the per-cell work is
+    bounded and the join key is the (balanced, k-means-shaped) cluster
+    id. Cell assignment itself is the narrow folded-centroid argmax
+    from _ivf_index (no shuffle). Centroids here are deterministic
+    lowest-id vectors so any engine replays the exact clustering; swap
+    k-means|| in for real deployments — the plan shape is identical.
+    """
+    corpus, _, _ = _ivf_index(embeddings, n_cells, id_col, vec_col)
+    a = corpus.select(
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nv").alias("__na"),
+    )
+    b = corpus.select(
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nv").alias("__nb"),
+    )
+    pruned_ids = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(
+        pruned_ids.withColumn("__p", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.coalesce(F.col("__p"), F.lit(False)).alias("pruned"),
     )
 
 

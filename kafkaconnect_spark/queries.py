@@ -2240,6 +2240,92 @@ FROM h
 """
 
 
+def dedup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-granular exact-substring dedup: per-doc fraction of
+    20-token windows occurring in ≥2 docs corpus-wide
+    (operators/dedup.span_dup_stats)."""
+    return dedup.span_dup_stats(_t(spark, sf_dir, "documents"), k=20)
+
+
+SPAN_DUP_ORACLE = r"""
+WITH spans AS (
+  SELECT doc_id, unnest(list_distinct([md5(array_to_string(toks[i:i+19], ' '))
+      FOR i IN range(1, len(toks) - 18)])) AS span
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+  WHERE len(toks) >= 20),
+dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+totals AS (SELECT doc_id, count(*) n_spans FROM spans GROUP BY doc_id),
+dups AS (SELECT doc_id, count(*) n_dup FROM spans JOIN dup USING (span) GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans,
+       coalesce(d.n_dup, 0) AS n_dup_spans,
+       coalesce(d.n_dup, 0) / t.n_spans AS dup_frac
+FROM totals t LEFT JOIN dups d USING (doc_id)
+"""
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| ≥ 0.4 over ordered
+    pairs — catches short-doc-quoted-in-long-doc near-dups Jaccard
+    dilutes (operators/dedup.containment_pairs)."""
+    return dedup.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.4)
+
+
+CONTAINMENT_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter / sa.sz, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+WHERE round(inter / sa.sz, 6) >= 0.4
+"""
+
+
+def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: 8-cell deterministic clustering, within-cell cosine ≥
+    0.3 prunes the higher id (operators/similarity.semdedup_prune)."""
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    return similarity.semdedup_prune(emb, threshold=0.3, n_cells=8)
+
+
+SEMDEDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v ORDER BY vec_id LIMIT 8),
+cells AS (
+  SELECT vec_id, vec, cent_id AS cell FROM (
+    SELECT v.vec_id, v.vec, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.vec', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1),
+pruned AS (
+  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND {_COS.format(a='a.vec', b='b.vec')} >= 0.3)
+SELECT c.vec_id, c.cell, (p.vec_id IS NOT NULL) AS pruned
+FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+"""
+
+
+def sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source-mixture weights — the
+    multilingual sampling rule (operators/pipeline.temperature_weights)."""
+    return pipeline.temperature_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+TEMPERATURE_ORACLE = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT source, n_docs,
+             CAST(round(pow(n_docs, 0.5), 7) AS DECIMAL(20,7)) AS w7 FROM c),
+d AS (SELECT SUM(w7) AS dw, SUM(n_docs) AS total FROM w)
+SELECT source, n_docs,
+       round(CAST(w7 AS DOUBLE) / CAST(dw AS DOUBLE), 6) AS weight,
+       round(CAST(w7 AS DOUBLE) / CAST(dw AS DOUBLE) * CAST(total AS DOUBLE), 4)
+         AS expected_docs
+FROM w CROSS JOIN d
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -2328,6 +2414,10 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "events_cardinality_sketch": QueryDef(events_cardinality_sketch, None),
     "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
     "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
+    "dedup_span_frac": QueryDef(dedup_span_frac, SPAN_DUP_ORACLE),
+    "dedup_containment": QueryDef(dedup_containment, CONTAINMENT_ORACLE),
+    "similarity_semdedup": QueryDef(similarity_semdedup, SEMDEDUP_ORACLE),
+    "sampling_temperature": QueryDef(sampling_temperature, TEMPERATURE_ORACLE),
     # streaming batch twins
     "events_dedup_redelivery": QueryDef(events_dedup_redelivery, DEDUP_REDELIVERY_ORACLE),
     "events_enrich_dimension": QueryDef(events_enrich_dimension, ENRICH_ORACLE),

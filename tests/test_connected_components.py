@@ -112,3 +112,58 @@ def test_ngram_cap_defaults_on_and_prunes_hot_join(spark):
     got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
     assert got == {(100, 101): 0.666667}  # 4 shared / 6 union shingles, exact
     dedup.release_cached(capped)
+
+
+def test_span_dup_stats_flags_shared_windows(spark):
+    # docs 1 and 2 share a 25-token run; doc 3 is disjoint; doc 4 too short
+    shared = " ".join(f"s{i}" for i in range(25))
+    rows = [
+        Row(doc_id=1, text=shared + " u1 u2 u3 u4 u5"),
+        Row(doc_id=2, text="v1 v2 v3 v4 v5 " + shared),
+        Row(doc_id=3, text=" ".join(f"x{i}" for i in range(30))),
+        Row(doc_id=4, text="too short"),
+    ]
+    out = {r.doc_id: r for r in dedup.span_dup_stats(
+        spark.createDataFrame(rows), k=20
+    ).collect()}
+    assert 4 not in out  # < k tokens → no windows
+    assert out[3].n_dup_spans == 0 and out[3].dup_frac == 0.0
+    # 25-token shared run → 6 shared 20-windows; each doc has 11 windows
+    assert out[1].n_spans == out[2].n_spans == 11
+    assert out[1].n_dup_spans == out[2].n_dup_spans == 6
+    assert abs(out[1].dup_frac - 6 / 11) < 1e-12
+
+
+def test_containment_is_asymmetric(spark):
+    # doc 2 fully contains doc 1; Jaccard is diluted but containment
+    # of 1-in-2 is 1.0 while 2-in-1 is small
+    quote = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        Row(doc_id=1, text=quote),
+        Row(doc_id=2, text=quote + " " + " ".join(f"f{i}" for i in range(40))),
+    ]
+    out = {(r.id_a, r.id_b): r.containment for r in dedup.containment_pairs(
+        spark.createDataFrame(rows), threshold=0.0
+    ).collect()}
+    assert out[(1, 2)] == 1.0  # all of doc 1's shingles are in doc 2
+    assert out[(2, 1)] < 0.2   # doc 2 is mostly novel
+
+
+def test_semdedup_prunes_higher_id_within_cell(spark):
+    from kafkaconnect_spark.operators import similarity
+
+    # two exact-duplicate vector groups + singletons; duplicates must
+    # prune the higher ids, lowest id survives as representative
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=5, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=6, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=7, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    out = {r.vec_id: r for r in similarity.semdedup_prune(
+        spark.createDataFrame(rows), threshold=0.99, n_cells=2
+    ).collect()}
+    assert not out[0].pruned and not out[1].pruned  # lowest ids kept
+    assert out[5].pruned and out[6].pruned          # exact dups pruned
+    assert not out[7].pruned                        # unique direction kept

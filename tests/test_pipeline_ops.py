@@ -300,3 +300,29 @@ def test_reservoir_sample_fixed_size_and_deterministic(spark):
     assert sorted(by_src["tiny"]) == [1]
     for s in ("s0", "s1", "s2"):
         assert sorted(by_src[s]) == list(range(1, 11))
+
+
+def test_temperature_weights_sum_to_one_and_upsample_tail(spark):
+    rows = [Row(doc_id=i, source="big") for i in range(90)] + [
+        Row(doc_id=100 + i, source="small") for i in range(10)
+    ]
+    out = {r.source: r for r in pipeline.temperature_weights(
+        spark.createDataFrame(rows), alpha=0.5
+    ).collect()}
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-6
+    # alpha=0.5 upsamples the tail: small's weight share (0.25) beats
+    # its count share (0.10)
+    assert out["small"].weight > 0.10
+    assert abs(out["small"].weight - (10 ** 0.5) / (90 ** 0.5 + 10 ** 0.5)) < 1e-5
+    assert abs(out["big"].expected_docs + out["small"].expected_docs - 100) < 1e-2
+
+
+def test_temperature_alpha_extremes(spark):
+    rows = [Row(doc_id=i, source="a") for i in range(80)] + [
+        Row(doc_id=100 + i, source="b") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    prop = {r.source: r.weight for r in pipeline.temperature_weights(df, alpha=1.0).collect()}
+    assert abs(prop["a"] - 0.8) < 1e-6  # alpha=1 → proportional
+    uni = {r.source: r.weight for r in pipeline.temperature_weights(df, alpha=0.0).collect()}
+    assert abs(uni["a"] - 0.5) < 1e-6  # alpha=0 → uniform
