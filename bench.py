@@ -47,6 +47,10 @@ HEADLINE = [
     "embedding_quantize_int8",
     "embedding_random_projection",
     "text_token_entropy",
+    "dedup_span_frac",
+    "dedup_containment",
+    "similarity_semdedup",
+    "sampling_temperature",
 ]
 
 

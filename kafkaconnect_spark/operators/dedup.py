@@ -166,38 +166,9 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     # set sizes read off the persisted doc-level arrays — no aggregation
     sizes = sharr.select(F.col(id_col), F.size("__sh").alias("sz"))
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        cands = (
-            joinable.alias("a")
-            .join(joinable.alias("b"), on="shingle")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-            )
-            .distinct()
-        )
-        return _track_cached(
-            _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col),
-            [sharr],
-        )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _pair_intersections(sharr, max_doc_freq, id_col)
     return _track_cached(
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -205,6 +176,67 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
         [sharr],
+    )
+
+
+def _pair_intersections(
+    sharr: DataFrame, max_doc_freq: int | None, id_col: str
+) -> DataFrame:
+    """(id_a, id_b, inter) for unordered candidate pairs (id_a < id_b)
+    sharing at least one non-hot shingle; ``inter`` is the EXACT
+    shared-shingle count either way.
+
+    This is the count-based verify: shared shingles are COUNTED at the
+    candidate join (one map-side-combined groupBy on the pair — no
+    per-pair array shipping, no distinct-then-rejoin). Hot shingles
+    excluded from the join by ``max_doc_freq`` are added back exactly
+    via a per-doc hot-shingle set (tiny: ≤ |hot| entries per doc,
+    broadcast-built), so capping changes CANDIDATES only — never the
+    reported intersection of a surviving pair."""
+    sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    if max_doc_freq is None:
+        joinable = sh
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    inter = (
+        joinable.alias("a")
+        .join(joinable.alias("b"), on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if max_doc_freq is None:
+        return inter
+    empty = F.array().cast("array<string>")
+    hot_by_doc = (
+        sh.join(F.broadcast(hot), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__hot"))
+    )
+    ha = hot_by_doc.select(F.col(id_col).alias("id_a"), F.col("__hot").alias("__hot_a"))
+    hb = hot_by_doc.select(F.col(id_col).alias("id_b"), F.col("__hot").alias("__hot_b"))
+    return (
+        inter.join(ha, "id_a", "left")
+        .join(hb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("__hot_a"), empty),
+                        F.coalesce(F.col("__hot_b"), empty),
+                    )
+                )
+            ).alias("inter"),
+        )
     )
 
 
@@ -277,46 +309,44 @@ def containment_pairs(
     directions emitted, a ≠ b.
 
     Candidates come from the same capped shingle inverted index as
-    ngram_jaccard_pairs (hot shingles above ``max_doc_freq`` are
-    pruned from the JOIN but still count in the exact verify), then
-    the pair is verified with exact set intersection on the doc-level
-    arrays. Same two-shuffle scale shape as the Jaccard path.
+    ngram_jaccard_pairs, with the same count-based exact verify
+    (_pair_intersections: hot shingles above ``max_doc_freq`` are
+    pruned from the JOIN but corrected back into the intersection).
+    Each unordered pair is verified ONCE; both ordered directions are
+    emitted from that single intersection.
     """
     from pyspark import StorageLevel
 
     sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
-    joinable = sh
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    cands = (
-        joinable.alias("a")
-        .join(joinable.alias("b"), on="shingle")
-        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    a = sharr.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sharr.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    sizes = sharr.select(F.col(id_col), F.size("__sh").alias("sz"))
+    inter = _pair_intersections(sharr, max_doc_freq, id_col)
     out = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size("__sh_a"), 6
-            ),
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
         )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("id_a"),
+                        F.col("id_b").alias("id_b"),
+                        F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("id_a"),
+                        F.col("id_a").alias("id_b"),
+                        F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+                    ),
+                )
+            ).alias("__pair")
+        )
+        .select("__pair.id_a", "__pair.id_b", "__pair.containment")
         .where(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
     )
     return _track_cached(out, [sharr])
 

@@ -236,3 +236,36 @@ def test_ivf_probe_join_is_broadcast(spark):
     # reducer partitions
     p = plan(spark, "similarity_ivf", mode="simple")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_semdedup_joins_on_cell_no_cartesian(spark):
+    # within-cell prune must be an equi-join on the cell id — an
+    # all-pairs product would be quadratic in corpus size
+    p = plan(spark, "similarity_semdedup", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "cell" in p
+    # cell assignment is folded literals, narrow — no Python eval
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_span_dup_join_is_preaggregated_semi(spark):
+    # the dup-window side is pre-aggregated (one row per distinct
+    # window) and joined semi — never a doc×doc product
+    p = plan(spark, "dedup_span_frac", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, p
+
+
+def test_containment_candidates_carry_hot_shingle_cap(spark):
+    # default max_doc_freq must prune hot shingles from the candidate
+    # join (broadcast anti-join), like the Jaccard path
+    p = plan(spark, "dedup_containment", mode="simple")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_temperature_weights_denominator_broadcasts(spark):
+    # the 1-row global denominator joins via broadcast nested loop —
+    # never a shuffled exchange of the per-source aggregates
+    p = plan(spark, "sampling_temperature", mode="simple")
+    assert "BroadcastNestedLoopJoin" in p, p
