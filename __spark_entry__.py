@@ -58,10 +58,29 @@ def _driver_covered() -> set[str]:
     return covered
 
 
+# Queries added AFTER this round's 50-entry priority prefix was fixed.
+# The driver records a bounded prefix (50 in r1), so a brand-new query
+# must not displace an older still-unproven one out of the window;
+# deferred names sort after the unproven block and clear naturally
+# once the older block gains rows (they then front-run the next round
+# as ordinary uncovered entries).
+_DEFER_NEW = {
+    "docs_bigram_topk",
+    "embedding_norm_outliers",
+    "events_sliding_window",
+    "events_anomaly_zscore",
+}
+
+
 def _ordered_names() -> list[str]:
     covered = _driver_covered()
     names = list(QUERY_CATALOG)
-    return [n for n in names if n not in covered] + [n for n in names if n in covered]
+    uncovered = [n for n in names if n not in covered]
+    return (
+        [n for n in uncovered if n not in _DEFER_NEW]
+        + [n for n in uncovered if n in _DEFER_NEW]
+        + [n for n in names if n in covered]
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

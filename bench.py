@@ -51,6 +51,10 @@ HEADLINE = [
     "dedup_containment",
     "similarity_semdedup",
     "sampling_temperature",
+    "docs_bigram_topk",
+    "embedding_norm_outliers",
+    "events_sliding_window",
+    "events_anomaly_zscore",
 ]
 
 

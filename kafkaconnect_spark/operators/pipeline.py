@@ -445,6 +445,100 @@ def salient_terms(
     )
 
 
+def bigram_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide word-2-gram frequency, top-k — the n-gram-LM
+    counting shape (the unigram variant is text_vocabulary_topk).
+
+    Scale shape: the bigram array is built NARROW per row (transform
+    over sequence — no join, no explode-then-self-zip), then
+    explode → groupBy(count). Map-side partial aggregation collapses
+    each hot boilerplate bigram to one row per task before the
+    shuffle, so a df-10⁶ bigram costs one shuffle row per task, not
+    10⁶. The top-k is a TakeOrderedAndProject under the total order
+    (freq desc, bigram asc) — never a global sort — so the limit
+    boundary is deterministic and the driver holds only k rows."""
+    txt = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = df.select(
+        F.when(F.length(txt) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(txt, TOKEN_SPLIT_RE))
+        .alias("__toks")
+    )
+    grams = F.expr(
+        "CASE WHEN size(__toks) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) END"
+    )
+    return (
+        toks.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+def norm_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lo_q: float = 0.25,
+    hi_q: float = 0.75,
+    whisker: float = 1.5,
+) -> DataFrame:
+    """Embedding sanity filter: flag vectors whose L2 norm falls
+    outside the Tukey fence [p_lo − w·IQR, p_hi + w·IQR]. Degenerate
+    (≈0) and exploded norms are the standard symptoms of an upstream
+    encoder bug; at corpus scale this is the cheap screen that runs
+    before any ANN/dedup pass trusts the vectors.
+
+    Scale shape: the norm is a NARROW per-row JVM fold (no Python);
+    the two EXACT percentiles are one global aggregate producing a
+    single 2-double row, broadcast back via crossJoin — the standard
+    global-denominator pattern, not a data-plane cartesian. Norms are
+    rounded to 6 decimals BEFORE the percentile so engine summation-
+    order noise cannot move the interpolation inputs, making the
+    fence — and therefore every flag — engine-exact."""
+    v = df.where(F.size(F.col(vec_col)) > 0)
+    norms = v.select(
+        F.col(id_col),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    f"aggregate({vec_col}, cast(0 as double), "
+                    "(acc, x) -> acc + cast(x as double) * cast(x as double))"
+                )
+            ),
+            6,
+        ).alias("norm"),
+    )
+    # percentiles are rounded to 6 BEFORE the fence arithmetic: the
+    # interpolation step may differ by ulps across engines, but the
+    # fence formula below then runs on identical doubles (IEEE ops on
+    # identical inputs are engine-exact), so flags replay bit-for-bit
+    fence = norms.agg(
+        F.round(F.expr(f"percentile(norm, cast({lo_q} as double))"), 6).alias("__plo"),
+        F.round(F.expr(f"percentile(norm, cast({hi_q} as double))"), 6).alias("__phi"),
+    ).select(
+        "__plo",
+        "__phi",
+        (F.col("__plo") - whisker * (F.col("__phi") - F.col("__plo"))).alias("__lo"),
+        (F.col("__phi") + whisker * (F.col("__phi") - F.col("__plo"))).alias("__hi"),
+    )
+    return norms.crossJoin(F.broadcast(fence)).select(
+        F.col(id_col),
+        F.col("norm"),
+        F.round("__lo", 6).alias("fence_lo"),
+        F.round("__hi", 6).alias("fence_hi"),
+        ((F.col("norm") < F.col("__lo")) | (F.col("norm") > F.col("__hi"))).alias(
+            "is_outlier"
+        ),
+    )
+
+
 def bloom_contamination(
     train: DataFrame,
     test: DataFrame,

@@ -2326,6 +2326,143 @@ FROM w CROSS JOIN d
 """
 
 
+def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word 2-grams — n-gram LM counting
+    (operators/pipeline.bigram_topk): narrow per-row bigram arrays,
+    map-side-combined count, TakeOrdered top-k."""
+    return pipeline.bigram_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+BIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bigram
+  FROM toks WHERE len(t) >= 2)
+SELECT bigram, count(*) AS freq
+FROM grams
+GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 100
+"""
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity screen: Tukey-fence L2-norm outlier flags from
+    exact quartiles (operators/pipeline.norm_outliers)."""
+    return pipeline.norm_outliers(_t(spark, sf_dir, "embeddings", spread=True))
+
+
+NORM_OUTLIER_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE len(embedding) > 0),
+n AS (SELECT vec_id, round(sqrt(list_dot_product(vec, vec)), 6) AS norm FROM v),
+p AS (SELECT round(quantile_cont(norm, 0.25), 6) AS plo,
+             round(quantile_cont(norm, 0.75), 6) AS phi FROM n),
+f AS (SELECT plo - 1.5 * (phi - plo) AS lo, phi + 1.5 * (phi - plo) AS hi FROM p)
+SELECT vec_id, norm,
+       round(lo, 6) AS fence_lo, round(hi, 6) AS fence_hi,
+       (norm < lo OR norm > hi) AS is_outlier
+FROM n CROSS JOIN f
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly window sliding every 15 min over the event stream — the
+    overlapping-window shape of a Structured Streaming agg (each event
+    lands in 4 windows). Runs the SAME operator the streaming engine
+    uses (streaming/windows.sliding_event_counts — native ``F.window``
+    slide, JVM-side window expansion, map-side partial combine); the
+    DuckDB oracle replays the expansion as an explicit ×4 slot cross
+    join. Decimal sum for engine-exact values (same rule as
+    events_tumbling_window)."""
+    from kafkaconnect_spark.streaming.windows import sliding_event_counts
+
+    return sliding_event_counts(_t(spark, sf_dir, "events"))
+
+
+SLIDING_ORACLE = """
+WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+-- epoch_us + integer floor-division: epoch(ts)::BIGINT would ROUND
+-- fractional seconds and shift events near a slot boundary into the
+-- wrong bucket
+w AS (SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000)
+               AS window_start,
+             event_type, value
+      FROM events CROSS JOIN k)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       sum(round(value, 2)::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM w GROUP BY 1, 2, 3
+"""
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flags (|z| > 3) — the cheap screen a
+    training pipeline runs over metric streams before trusting them.
+
+    Scale shape: the per-type moments reduce to one row per type via
+    map-side-combined DECIMAL sums (order-independent ⇒ engine-exact),
+    then broadcast back onto the events — one shuffle for a few-row
+    aggregate, never a window over the full stream. mean/std are
+    derived from the exact decimal sums with the SAME double formula
+    the oracle uses, so flags replay bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v2", F.round(F.col("value"), 2).cast(T.DecimalType(18, 2))
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("v2").alias("__s1"),
+        F.sum(F.col("v2") * F.col("v2")).alias("__s2"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v2").cast("double").alias("value2"),
+        (F.col("__s1").cast("double") / F.col("__n")).alias("__mean"),
+        (F.col("__s2").cast("double") / F.col("__n")).alias("__msq"),
+    )
+    z = joined.withColumn(
+        "__std",
+        F.sqrt(F.col("__msq") - F.col("__mean") * F.col("__mean")),
+    ).withColumn(
+        "z",
+        F.round(
+            (F.col("value2") - F.col("__mean")) / F.nullif(F.col("__std"), F.lit(0.0)),
+            6,
+        ),
+    )
+    return z.select(
+        "event_id",
+        "event_type",
+        "value2",
+        F.round("__mean", 6).alias("type_mean"),
+        F.round("__std", 6).alias("type_std"),
+        "z",
+        F.coalesce(F.abs(F.col("z")) > 3, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+ZSCORE_ORACLE = """
+WITH e AS (SELECT event_id, event_type, round(value, 2)::DECIMAL(18,2) AS v2
+           FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(v2) AS s1, sum(v2 * v2) AS s2
+      FROM e GROUP BY event_type),
+j AS (SELECT e.event_id, e.event_type, e.v2::DOUBLE AS value2,
+             s.s1::DOUBLE / s.n AS mean, s.s2::DOUBLE / s.n AS msq
+      FROM e JOIN s USING (event_type)),
+d AS (SELECT *, sqrt(msq - mean * mean) AS std FROM j),
+z AS (SELECT *, round((value2 - mean) / nullif(std, 0.0), 6) AS z FROM d)
+SELECT event_id, event_type, value2,
+       round(mean, 6) AS type_mean, round(std, 6) AS type_std, z,
+       coalesce(abs(z) > 3, false) AS is_anomaly
+FROM z
+"""
+
+
 # ===========================================================================
 # catalog
 # ===========================================================================
@@ -2428,3 +2565,16 @@ QUERY_CATALOG: dict[str, QueryDef] = {
 from kafkaconnect_spark.queries_tpch import TPCH_CATALOG as _TPCH  # noqa: E402
 
 QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _TPCH.items()})
+
+# round-2 additions (deferred in __spark_entry__ ordering until the
+# r1 backlog has driver rows — see _DEFER_NEW there)
+QUERY_CATALOG.update(
+    {
+        "docs_bigram_topk": QueryDef(docs_bigram_topk, BIGRAM_ORACLE),
+        "embedding_norm_outliers": QueryDef(
+            embedding_norm_outliers, NORM_OUTLIER_ORACLE
+        ),
+        "events_sliding_window": QueryDef(events_sliding_window, SLIDING_ORACLE),
+        "events_anomaly_zscore": QueryDef(events_anomaly_zscore, ZSCORE_ORACLE),
+    }
+)

@@ -29,6 +29,46 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Overlapping-window counts + value sums per event_type (each
+    event lands in window/slide windows; 1 h / 15 min → 4). Works on a
+    stream or batch DataFrame — the streaming form is the watermarked
+    sliding agg; the batch form is what the DuckDB oracle replays via
+    an explicit slot expansion. The ×4 row expansion happens JVM-side
+    inside the window operator BEFORE the keyed exchange, and map-side
+    partial aggregation collapses it back to one row per (window,
+    type) per task — so the shuffle carries agg states, not the
+    expanded events."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value"), 2).cast(T.DecimalType(18, 2))
+            ).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def tumbling_event_counts(
     events: DataFrame,
     window: str = "1 hour",

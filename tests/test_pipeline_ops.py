@@ -326,3 +326,45 @@ def test_temperature_alpha_extremes(spark):
     assert abs(prop["a"] - 0.8) < 1e-6  # alpha=1 → proportional
     uni = {r.source: r.weight for r in pipeline.temperature_weights(df, alpha=0.0).collect()}
     assert abs(uni["a"] - 0.5) < 1e-6  # alpha=0 → uniform
+
+
+def test_bigram_topk_counts_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b c"),      # "a b"×2, "b a"×1, "b c"×1
+            (2, "a b"),            # "a b"×1
+            (3, "solo"),           # 1 token → no bigrams
+            (4, "   "),            # whitespace-only → no bigrams
+            (5, None),             # NULL → no bigrams
+        ],
+    )
+    out = pipeline.bigram_topk(df, k=10).collect()
+    got = [(r.bigram, r.freq) for r in out]
+    # (freq desc, bigram asc) total order
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+    # k truncates at the deterministic boundary
+    top2 = [(r.bigram, r.freq) for r in pipeline.bigram_topk(df, k=2).collect()]
+    assert top2 == [("a b", 3), ("b a", 1)]
+
+
+def test_norm_outliers_flags_extremes_only(spark):
+    # 20 unit-norm vectors + one zero vector + one huge vector:
+    # the Tukey fence from the quartiles flags exactly the two extremes
+    rows = [Row(vec_id=i, embedding=[1.0, 0.0]) for i in range(20)]
+    rows.append(Row(vec_id=100, embedding=[0.0, 0.0]))
+    rows.append(Row(vec_id=101, embedding=[100.0, 0.0]))
+    out = {r.vec_id: r for r in pipeline.norm_outliers(
+        spark.createDataFrame(rows)
+    ).collect()}
+    assert len(out) == 22
+    flagged = {k for k, r in out.items() if r.is_outlier}
+    assert flagged == {100, 101}
+    assert abs(out[0].norm - 1.0) < 1e-9
+    # empty vectors are excluded, not flagged
+    with_empty = spark.createDataFrame(
+        rows + [Row(vec_id=200, embedding=[])]
+    )
+    assert 200 not in {
+        r.vec_id for r in pipeline.norm_outliers(with_empty).collect()
+    }

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from kafkaconnect_spark.queries import _events
 from kafkaconnect_spark.streaming.windows import (
     interval_attribution_join,
+    sliding_event_counts,
     running_user_stats,
     session_window_stats,
     tumbling_event_counts,
@@ -65,6 +66,21 @@ def test_tumbling_stream_equals_batch(spark, events_stream_dir):
         "complete",
     )
     assert as_set(got) == expected and len(expected) > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    expected = as_set(sliding_event_counts(batch))
+    got = run_to_memory(
+        spark,
+        sliding_event_counts(_stream(spark, events_stream_dir), watermark=FULL_SPAN),
+        "sliding_out",
+        "complete",
+    )
+    assert as_set(got) == expected and len(expected) > 0
+    # each event expands into exactly window/slide = 4 windows
+    n_events = batch.count()
+    assert sum(r.n_events for r in got.collect()) == 4 * n_events
 
 
 def test_session_window_stream_equals_batch(spark, events_stream_dir):
