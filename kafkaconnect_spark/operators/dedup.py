@@ -252,46 +252,53 @@ def span_dup_stats(
     dup_frac) for docs with ≥ k tokens; dup_frac is int/int IEEE
     division — bit-identical in any engine.
 
-    Scale shape: one explode over distinct windows, one groupBy on the
-    md5 window hash (uniform — no hot keys by construction), and a
-    semi-join back keyed on the same hash. The dup-window side is
-    pre-aggregated (one row per distinct window), so the join never
-    goes quadratic in doc count; corpus-wide cost is O(total tokens).
+    Scale shape: the md5-window explode (the expensive narrow stage —
+    k-token joins + hashes per window) runs ONCE and is persisted
+    (spillable); corpus df counts come from one groupBy on the md5
+    window hash (uniform — no hot keys by construction) and are
+    joined back on that same hash; both per-doc counts then come from
+    a SINGLE groupBy(id) (n_spans = count, n_dup = conditional sum) —
+    no semi-join, no second id-shuffle, no totals⋈dups join. The
+    df-count side is pre-aggregated (one row per distinct window), so
+    the join never goes quadratic in doc count; corpus-wide cost is
+    O(total tokens). Callers own the cache lifetime (release_cached).
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE).alias("toks")
     )
-    spans = toks.where(F.size("toks") >= k).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {k} + 1), "
-                    f"i -> md5(array_join(slice(toks, i, {k}), ' ')))"
+    spans = (
+        toks.where(F.size("toks") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {k} + 1), "
+                        f"i -> md5(array_join(slice(toks, i, {k}), ' ')))"
+                    )
                 )
-            )
-        ).alias("span"),
+            ).alias("span"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dup_spans = (
-        spans.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("span")
-    )
-    flagged = spans.join(dup_spans, "span", "left_semi")
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    dups = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    return (
-        totals.join(dups, id_col, "left")
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("__n_docs"))
+    out = (
+        spans.join(counts, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__n_docs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
         .select(
             F.col(id_col),
             "n_spans",
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
-            (
-                F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans")
-            ).alias("dup_frac"),
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_frac"),
         )
     )
+    return _track_cached(out, [spans])
 
 
 def containment_pairs(

@@ -248,12 +248,15 @@ def test_semdedup_joins_on_cell_no_cartesian(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_span_dup_join_is_preaggregated_semi(spark):
-    # the dup-window side is pre-aggregated (one row per distinct
-    # window) and joined semi — never a doc×doc product
+def test_span_dup_single_pass_over_persisted_spans(spark):
+    # the md5-window explode runs once (persisted + reused for the
+    # df-count join), the join is keyed on the window hash — never a
+    # doc×doc product — and both per-doc counts come from one groupBy
     p = plan(spark, "dedup_span_frac", mode="simple")
     assert "CartesianProduct" not in p, p
-    assert "LeftSemi" in p, p
+    # both consumers (df-count build side + per-doc probe side) read
+    # the cache — the md5 explode is never recomputed from the scan
+    assert p.count("InMemoryTableScan") >= 2, p
 
 
 def test_containment_candidates_carry_hot_shingle_cap(spark):
@@ -269,3 +272,36 @@ def test_temperature_weights_denominator_broadcasts(spark):
     # never a shuffled exchange of the per-source aggregates
     p = plan(spark, "sampling_temperature", mode="simple")
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_bigram_topk_is_takeordered_jvm_only(spark):
+    # top-k is a TakeOrdered (driver holds k rows), never a global
+    # sort; the bigram build is JVM-side (no Python eval)
+    p = plan(spark, "docs_bigram_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_norm_outliers_fence_broadcasts(spark):
+    # the 1-row fence joins via broadcast nested loop — the norms are
+    # never shuffled against the percentile aggregate
+    p = plan(spark, "embedding_norm_outliers", mode="simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_zscore_stats_broadcast_back(spark):
+    # per-type moments are a few rows — they broadcast onto events,
+    # never a shuffled sort-merge join of the full stream
+    p = plan(spark, "events_anomaly_zscore", mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_sliding_window_no_python_no_cartesian(spark):
+    # the x4 window expansion happens inside the JVM window operator
+    # with map-side partial aggregation — no explode-join, no Python
+    p = plan(spark, "events_sliding_window")
+    assert "partial_count" in p or "HashAggregate" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
