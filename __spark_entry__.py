@@ -69,6 +69,7 @@ _DEFER_NEW = {
     "embedding_norm_outliers",
     "events_sliding_window",
     "events_anomaly_zscore",
+    "multimodal_decode_stats",
 }
 
 

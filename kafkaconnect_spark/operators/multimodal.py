@@ -2,12 +2,15 @@
 
 Per the north star: media travels as a ``binary`` column with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched Pandas UDFs over ``mapInPandas``. The decode step is
-STUBBED (this container has no image/audio libraries): a clearly-marked
-deterministic fake stands in so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested. Swap
-``_decode_image_stub`` for PIL/torchvision in a real deployment; the
-plan shape does not change.
+as Arrow-batched Pandas UDFs over ``mapInPandas``. Decode is REAL for
+the formats pure numpy can handle — binary PPM (P6) and uncompressed
+24-bit BMP (``decode_ppm`` / ``decode_bmp``: header parse, row
+padding, bottom-up order, BGR→RGB) — feeding real per-channel stats
+(``decode_image_stats``) and real nearest-neighbor resampling
+(``resize_decoded``). Compressed formats (png/jpeg) raise
+``NotImplementedError``: that path needs PIL/libvips, absent from
+this container by design; ``_decode_image_stub`` remains as the
+clearly-marked fake for plumbing tests that don't care about pixels.
 
 Scale notes: media rows are large — ``spark.sql.files.maxPartitionBytes``
 sizes scan partitions; mapInPandas streams Arrow batches so a partition
@@ -63,6 +66,91 @@ def attach_media_meta(df: DataFrame, binary_col: str = "media") -> DataFrame:
             F.lower(F.sha2(F.col(binary_col), 256)).alias("sha256"),
         ),
     )
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Magic-byte format sniff for the formats this module can decode
+    without external libraries. Returns None for anything else
+    (compressed formats — png/jpeg — need a real codec library)."""
+    if data is None or len(data) < 2:
+        return None
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6, maxval ≤ 255): pure numpy,
+    no external libraries. Returns an (H, W, 3) uint8 array.
+
+    P6 grammar: 'P6' <ws> width <ws> height <ws> maxval <single ws>
+    followed by raw RGB triples; '#' comments allowed in the header."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    # header tokenizer: whitespace-separated ints, '#…\n' comments
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated ppm header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit ppm needs byte-pair handling")
+    n = w * h * 3
+    pixels = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return pixels.reshape(h, w, 3)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER):
+    pure numpy. Handles the 4-byte row padding and bottom-up row
+    order; returns (H, W, 3) uint8 in RGB order (BMP stores BGR)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a bmp")
+    pixel_offset = int.from_bytes(data[10:14], "little")
+    header_size = int.from_bytes(data[14:18], "little")
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER bmp")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit bmp")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    raw = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * h, offset=pixel_offset
+    ).reshape(h, row_bytes)
+    bgr = raw[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]  # bottom-up storage → top-down array
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch to the REAL pure-numpy decoders (P6 ppm, uncompressed
+    24-bit bmp). Compressed formats raise NotImplementedError — that
+    path needs PIL/libvips, absent from this container by design."""
+    fmt = sniff_format(data)
+    if fmt == "ppm":
+        return decode_ppm(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    raise NotImplementedError(f"no codec for format={fmt!r}")
 
 
 def _decode_image_stub(data: bytes) -> np.ndarray:
@@ -204,6 +292,151 @@ def resize_image(
             )
 
     return df.select(id_col, binary_col).mapInPandas(resize, out_schema)
+
+
+DECODED_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_stats(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL decode → per-channel stats for the formats the pure-numpy
+    codecs handle (P6 ppm, uncompressed 24-bit bmp); rows in any other
+    format get NULL stats (the honest 'codec unavailable' signal, not
+    fabricated pixels). mapInPandas / Arrow-batched, decode + channel
+    means all numpy — one Python worker per task, no driver loop.
+
+    Channel means are exact-integer sums divided ONCE (uint8 counts
+    stay < 2^53, both operands exact, IEEE division correctly rounded)
+    — bit-identical in any engine, no rounding needed."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, widths, heights = [], [], []
+            means: list[list[float | None]] = [[], [], []]
+            for data in pdf[binary_col]:
+                fmt = sniff_format(data) if data is not None else None
+                if fmt is None:
+                    fmts.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    for c in range(3):
+                        means[c].append(None)
+                    continue
+                arr = decode_image(data)
+                h, w, _ = arr.shape
+                fmts.append(fmt)
+                widths.append(w)
+                heights.append(h)
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                for c in range(3):
+                    means[c].append(float(sums[c]) / (w * h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "format": pd.Series(fmts, dtype="object"),
+                    "width": pd.Series(widths, dtype="object"),
+                    "height": pd.Series(heights, dtype="object"),
+                    "mean_r": pd.Series(means[0], dtype="object"),
+                    "mean_g": pd.Series(means[1], dtype="object"),
+                    "mean_b": pd.Series(means[2], dtype="object"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(compute, DECODED_STATS_SCHEMA)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary P6 bytes."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def resize_decoded(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    binary_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL resize: decode (pure-numpy codecs) → nearest-neighbor
+    resample via integer index maps → re-encode as P6. This is actual
+    image math, not plumbing: the sample grid is the standard
+    floor((i + 0.5) * src / dst) pixel-center mapping. Undecodable
+    formats pass through as NULL."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[bytes | None] = []
+            for data in pdf[binary_col]:
+                if data is None or sniff_format(data) is None:
+                    out.append(None)
+                    continue
+                arr = decode_image(data)
+                sh, sw, _ = arr.shape
+                rows = np.minimum(
+                    ((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1
+                )
+                cols = np.minimum(
+                    ((np.arange(width) + 0.5) * sw / width).astype(np.int64), sw - 1
+                )
+                out.append(encode_ppm(arr[rows][:, cols]))
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "media": pd.Series(out, dtype="object"),
+                    "width": pd.Series([width] * n, dtype="int32"),
+                    "height": pd.Series([height] * n, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(resize, out_schema)
+
+
+PPM_FIXTURE_WIDTH = 16  # pixels per row → 48 pixel bytes per row
+
+
+def make_fake_ppm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Test fixture: a VALID P6 image per row whose pixel bytes are the
+    ASCII-stripped text, zero-padded to full rows of 16 RGB pixels —
+    so the REAL ppm decoder runs against driver testdata and every
+    decoded stat is replayable from the text bytes by a SQL oracle.
+    Built entirely JVM-side (concat/encode/rpad)."""
+    row_bytes = PPM_FIXTURE_WIDTH * 3
+    ascii_txt = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"[^\x00-\x7F]", ""
+    )
+    n = F.length(ascii_txt)
+    h = F.greatest(F.lit(1), F.ceil(n / F.lit(row_bytes))).cast("int")
+    header = F.concat(
+        F.lit("P6\n16 "), h.cast("string"), F.lit("\n255\n")
+    )
+    padded = F.rpad(ascii_txt, h * row_bytes, "\x00")
+    return df.select(
+        F.col(id_col),
+        F.encode(F.concat(header, padded), "UTF-8").alias("media"),
+    )
 
 
 def make_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1617,6 +1617,46 @@ FROM a
 """
 
 
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the value-hash gate: each doc's text
+    becomes a VALID binary P6 ppm (16-px rows, zero-padded —
+    make_fake_ppm, JVM-side), the pure-numpy ppm decoder parses the
+    header and pixel plane, and per-channel means come out as exact
+    int/int divisions the oracle replays from the text bytes. Proves
+    the decoder, the Arrow round-trip, and the header math — not just
+    plumbing."""
+    from kafkaconnect_spark.operators.multimodal import (
+        decode_image_stats,
+        make_fake_ppm,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return decode_image_stats(make_fake_ppm(docs))
+
+
+MM_DECODE_ORACLE = r"""
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS t
+           FROM documents),
+d AS (SELECT doc_id, t, strlen(t) AS n,
+             greatest(1, (strlen(t) + 47) // 48)::INT AS h
+      FROM a),
+s AS (SELECT doc_id, h,
+             coalesce(list_sum([ascii(t[i]) FOR i IN range(1, n + 1)
+                                IF (i - 1) % 3 = 0]), 0) AS s_r,
+             coalesce(list_sum([ascii(t[i]) FOR i IN range(1, n + 1)
+                                IF (i - 1) % 3 = 1]), 0) AS s_g,
+             coalesce(list_sum([ascii(t[i]) FOR i IN range(1, n + 1)
+                                IF (i - 1) % 3 = 2]), 0) AS s_b
+      FROM d)
+SELECT doc_id, 'ppm' AS format, 16 AS width, h AS height,
+       s_r / (16.0 * h) AS mean_r,
+       s_g / (16.0 * h) AS mean_g,
+       s_b / (16.0 * h) AS mean_b
+FROM s
+"""
+
+
 # ===========================================================================
 # Phase E — training-data pipeline ops (operators/pipeline.py)
 # ===========================================================================
@@ -2576,5 +2616,6 @@ QUERY_CATALOG.update(
         ),
         "events_sliding_window": QueryDef(events_sliding_window, SLIDING_ORACLE),
         "events_anomaly_zscore": QueryDef(events_anomaly_zscore, ZSCORE_ORACLE),
+        "multimodal_decode_stats": QueryDef(multimodal_decode_stats, MM_DECODE_ORACLE),
     }
 )

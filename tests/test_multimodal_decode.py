@@ -1,0 +1,128 @@
+"""Pure-numpy image codecs (ppm/bmp) + decoded-array operators —
+golden-byte tests that prove real pixel math, not plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from kafkaconnect_spark.operators.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_image_stats,
+    decode_ppm,
+    encode_ppm,
+    resize_decoded,
+    sniff_format,
+)
+
+
+def _ppm(arr: np.ndarray) -> bytes:
+    return encode_ppm(arr)
+
+
+def _bmp24(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER) used
+    only as a test fixture — includes the 4-byte row padding and the
+    bottom-up row order real files use."""
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        bgr = arr[r, :, ::-1].tobytes()
+        rows.append(bgr + b"\x00" * (row_bytes - len(bgr)))
+    pixel_data = b"".join(rows)
+    height_field = -h if top_down else h
+    header = (
+        b"BM"
+        + (54 + len(pixel_data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+        + w.to_bytes(4, "little")
+        + height_field.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pixel_data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixel_data
+
+
+def _rand_img(h, w, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    img = _rand_img(5, 3)
+    assert np.array_equal(decode_ppm(_ppm(img)), img)
+    # header comments and multi-whitespace are legal P6
+    with_comment = b"P6\n# a comment\n3  5\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+
+
+def test_bmp_bottom_up_padding_and_bgr():
+    img = _rand_img(3, 3)  # w=3 → 9 bytes/row → 3 pad bytes
+    assert np.array_equal(decode_bmp(_bmp24(img)), img)
+    assert np.array_equal(decode_bmp(_bmp24(img, top_down=True)), img)
+
+
+def test_decode_dispatch_and_unknown_formats():
+    img = _rand_img(2, 2)
+    assert sniff_format(_ppm(img)) == "ppm"
+    assert sniff_format(_bmp24(img)) == "bmp"
+    assert sniff_format(b"\x89PNG\r\n") is None
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_stats_exact_means_and_null_for_unknown(spark):
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[:, :, 0] = 10  # R plane constant
+    img[0, 0, 1] = 40  # one green pixel
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, media=bytearray(_ppm(img))),
+            Row(doc_id=2, media=bytearray(_bmp24(img))),
+            Row(doc_id=3, media=bytearray(b"\x89PNG not decodable")),
+            Row(doc_id=4, media=None),
+        ]
+    )
+    out = {r.doc_id: r for r in decode_image_stats(df).collect()}
+    for i, fmt in ((1, "ppm"), (2, "bmp")):
+        assert out[i].format == fmt
+        assert (out[i].width, out[i].height) == (2, 2)
+        assert out[i].mean_r == 10.0
+        assert out[i].mean_g == 10.0  # 40/4
+        assert out[i].mean_b == 0.0
+    for i in (3, 4):
+        assert out[i].format is None and out[i].mean_r is None
+
+
+def test_resize_nearest_neighbor_exact(spark):
+    # 4x4 quadrant image → 2x2 must pick one pixel per quadrant
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, 2:] = 50
+    img[2:, :2] = 100
+    img[2:, 2:] = 200
+    df = spark.createDataFrame([Row(doc_id=1, media=bytearray(_ppm(img)))])
+    out = resize_decoded(df, width=2, height=2).collect()[0]
+    got = decode_ppm(bytes(out.media))
+    expect = np.array(
+        [[[0, 0, 0], [50, 50, 50]], [[100, 100, 100], [200, 200, 200]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, expect)
+    # upscale: every source pixel appears, dims exact
+    up = resize_decoded(df, width=8, height=8).collect()[0]
+    arr = decode_ppm(bytes(up.media))
+    assert arr.shape == (8, 8, 3)
+    # 2x upscale replicates each source pixel into a 2x2 block
+    assert np.array_equal(arr[::2, ::2], img)
+    # undecodable rows pass through as NULL
+    bad = spark.createDataFrame([Row(doc_id=9, media=bytearray(b"??"))])
+    assert resize_decoded(bad, 2, 2).collect()[0].media is None
