@@ -70,6 +70,7 @@ _DEFER_NEW = {
     "events_sliding_window",
     "events_anomaly_zscore",
     "multimodal_decode_stats",
+    "multimodal_audio_stats",
 }
 
 

@@ -1657,6 +1657,37 @@ FROM s
 """
 
 
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL wav decode under the value-hash gate: each doc's text
+    becomes a VALID PCM-16 mono RIFF/WAVE blob (samples = an affine
+    map of the text bytes — make_fake_wav), the pure-numpy wav decoder
+    walks the chunk list, and duration/peak/RMS come out as exact
+    integer folds with one IEEE division the oracle replays from the
+    text."""
+    from kafkaconnect_spark.operators.multimodal import audio_stats, make_fake_wav
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return audio_stats(make_fake_wav(docs))
+
+
+MM_AUDIO_ORACLE = r"""
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS t
+           FROM documents),
+d AS (SELECT doc_id, t, strlen(t) AS n FROM a),
+s AS (SELECT doc_id,
+             CASE WHEN n = 0 THEN [0]
+                  ELSE [ascii(t[i]) * 256 - 16384
+                        FOR i IN range(1, n + 1)] END AS sm
+      FROM d)
+SELECT doc_id, 8000 AS sample_rate, len(sm)::BIGINT AS n_frames,
+       (len(sm) * 1000) / 8000.0 AS duration_ms,
+       list_max(list_transform(sm, x -> abs(x)))::INT AS peak,
+       sqrt(list_sum(list_transform(sm, x -> x * x)) / len(sm)) AS rms
+FROM s
+"""
+
+
 # ===========================================================================
 # Phase E — training-data pipeline ops (operators/pipeline.py)
 # ===========================================================================
@@ -2617,5 +2648,6 @@ QUERY_CATALOG.update(
         "events_sliding_window": QueryDef(events_sliding_window, SLIDING_ORACLE),
         "events_anomaly_zscore": QueryDef(events_anomaly_zscore, ZSCORE_ORACLE),
         "multimodal_decode_stats": QueryDef(multimodal_decode_stats, MM_DECODE_ORACLE),
+        "multimodal_audio_stats": QueryDef(multimodal_audio_stats, MM_AUDIO_ORACLE),
     }
 )

@@ -126,3 +126,54 @@ def test_resize_nearest_neighbor_exact(spark):
     # undecodable rows pass through as NULL
     bad = spark.createDataFrame([Row(doc_id=9, media=bytearray(b"??"))])
     assert resize_decoded(bad, 2, 2).collect()[0].media is None
+
+
+def _wav16(samples: np.ndarray, rate: int = 8000, channels: int = 1,
+           extra_chunk: bool = False) -> bytes:
+    pcm = samples.astype("<i2").tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2 * channels).to_bytes(4, "little")
+        + (2 * channels).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    # a LIST chunk before data — the decoder must skip unknown chunks
+    lst = (b"LIST" + (5).to_bytes(4, "little") + b"INFOX" + b"\x00") if extra_chunk else b""
+    datac = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    if len(pcm) & 1:
+        datac += b"\x00"
+    body = b"WAVE" + fmt + lst + datac
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_roundtrip_chunk_walk_and_stereo():
+    from kafkaconnect_spark.operators.multimodal import decode_wav
+
+    mono = np.array([0, 1000, -2000, 32767, -32768], dtype=np.int16)
+    out, rate = decode_wav(_wav16(mono, extra_chunk=True))
+    assert rate == 8000 and out.shape == (5, 1)
+    assert np.array_equal(out.ravel(), mono)
+    stereo = np.array([[100, -100], [200, -200]], dtype=np.int16)
+    out2, _ = decode_wav(_wav16(stereo.ravel(), channels=2))
+    assert out2.shape == (2, 2) and np.array_equal(out2, stereo)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI something")
+
+
+def test_audio_stats_exact_and_null_for_nonwav(spark):
+    from kafkaconnect_spark.operators.multimodal import audio_stats
+
+    samples = np.array([3, -4, 0], dtype=np.int16)  # rms = sqrt(25/3)
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, media=bytearray(_wav16(samples))),
+            Row(doc_id=2, media=bytearray(b"not audio")),
+            Row(doc_id=3, media=None),
+        ]
+    )
+    out = {r.doc_id: r for r in audio_stats(df).collect()}
+    r = out[1]
+    assert (r.sample_rate, r.n_frames, r.peak) == (8000, 3, 4)
+    assert r.duration_ms == 3000 / 8000.0
+    assert r.rms == float(np.sqrt(25.0 / 3))
+    assert out[2].sample_rate is None and out[3].rms is None
