@@ -71,6 +71,7 @@ _DEFER_NEW = {
     "events_anomaly_zscore",
     "multimodal_decode_stats",
     "multimodal_audio_stats",
+    "t6_smt_standard_chain",
 }
 
 

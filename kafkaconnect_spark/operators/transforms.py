@@ -169,6 +169,247 @@ def timestamp_converter(
 
 
 # ---------------------------------------------------------------------------
+# standard-set SMTs beyond the reference's T1–T5 (org.apache.kafka.connect
+# .transforms.*): the reference labs never configure these, but they are
+# the transforms every production Connect deployment reaches for — a user
+# switching to this engine keeps them. All are narrow Column rebuilds of
+# the value struct, tombstone-preserving (null struct in → null out),
+# matching Connect's null-record pass-through.
+# ---------------------------------------------------------------------------
+
+
+def _rebuild_struct(df: DataFrame, target: str, cols: list[Column]) -> DataFrame:
+    """Replace a struct column, preserving tombstones (null in → null
+    out — Connect SMTs pass null records through untouched)."""
+    return df.withColumn(
+        target,
+        F.when(F.col(target).isNull(), F.lit(None)).otherwise(F.struct(*cols)),
+    )
+
+
+def _struct_fields(df: DataFrame, target: str) -> list[str]:
+    return [f.name for f in df.schema[target].dataType.fields]
+
+
+def insert_field(
+    static_field: str | None = None,
+    static_value: str | None = None,
+    topic_field: str | None = None,
+    timestamp_field: str | None = None,
+    target: str = "value",
+) -> Transform:
+    """InsertField$Value: append static / topic / record-timestamp
+    metadata fields to the value struct."""
+    if not any((static_field, topic_field, timestamp_field)):
+        raise SpecError("InsertField requires a field to insert")
+    if static_field is not None and static_value is None:
+        raise SpecError("InsertField static.field requires static.value")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        names = _struct_fields(df, target)
+        cols = [F.col(f"{target}.{n}").alias(n) for n in names]
+        if static_field:
+            cols.append(F.lit(static_value).alias(static_field))
+        if topic_field:
+            cols.append(F.col("topic").alias(topic_field))
+        if timestamp_field:
+            if "timestamp" not in df.columns:
+                raise SpecError(
+                    "InsertField timestamp.field needs a record timestamp column"
+                )
+            cols.append(F.col("timestamp").alias(timestamp_field))
+        return _rebuild_struct(df, target, cols)
+
+    return _apply
+
+
+def replace_field(
+    renames: dict[str, str] | None = None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    target: str = "value",
+) -> Transform:
+    """ReplaceField$Value: drop (exclude) / keep-only (include) /
+    rename fields. Connect applies the include/exclude filter first,
+    then renames."""
+    renames = renames or {}
+
+    def _apply(df: DataFrame) -> DataFrame:
+        names = _struct_fields(df, target)
+        kept = [
+            n
+            for n in names
+            if (not include or n in include) and (not exclude or n not in exclude)
+        ]
+        if not kept:
+            raise SpecError("ReplaceField removed every field")
+        cols = [F.col(f"{target}.{n}").alias(renames.get(n, n)) for n in kept]
+        return _rebuild_struct(df, target, cols)
+
+    return _apply
+
+
+def mask_field(
+    fields: list[str], replacement: str | None = None, target: str = "value"
+) -> Transform:
+    """MaskField$Value: null out (or replace with a literal coerced to
+    the field's type) the named fields — the PII-redaction SMT."""
+    if not fields:
+        raise SpecError("MaskField requires fields")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        names = _struct_fields(df, target)
+        missing = set(fields) - set(names)
+        if missing:
+            raise SpecError(f"MaskField unknown fields {sorted(missing)}")
+        dtypes = {f.name: f.dataType for f in df.schema[target].dataType.fields}
+        cols = []
+        for n in names:
+            if n in fields:
+                masked = (
+                    F.lit(None) if replacement is None else F.lit(replacement)
+                ).cast(dtypes[n])
+                cols.append(masked.alias(n))
+            else:
+                cols.append(F.col(f"{target}.{n}").alias(n))
+        return _rebuild_struct(df, target, cols)
+
+    return _apply
+
+
+_CAST_TYPES = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float32": "float",
+    "float64": "double",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def cast_fields(spec: dict[str, str], target: str = "value") -> Transform:
+    """Cast$Value with a field spec ("f1:int32,f2:string"): per-field
+    type coercion using Connect's type vocabulary."""
+    bad = {t for t in spec.values() if t not in _CAST_TYPES}
+    if bad:
+        raise SpecError(f"Cast unknown types {sorted(bad)}; valid: {sorted(_CAST_TYPES)}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        names = _struct_fields(df, target)
+        missing = set(spec) - set(names)
+        if missing:
+            raise SpecError(f"Cast unknown fields {sorted(missing)}")
+        cols = [
+            (
+                F.col(f"{target}.{n}").cast(_CAST_TYPES[spec[n]]) if n in spec
+                else F.col(f"{target}.{n}")
+            ).alias(n)
+            for n in names
+        ]
+        return _rebuild_struct(df, target, cols)
+
+    return _apply
+
+
+def hoist_field(field: str, target: str = "value") -> Transform:
+    """HoistField$Value: wrap the current value (scalar or struct)
+    as the single field of a new struct."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            target,
+            F.when(F.col(target).isNull(), F.lit(None)).otherwise(
+                F.struct(F.col(target).alias(field))
+            ),
+        )
+
+    return _apply
+
+
+def flatten_value(delimiter: str = ".", target: str = "value") -> Transform:
+    """Flatten$Value: recursively flatten nested structs, joining path
+    segments with ``delimiter`` (Connect's default '.')."""
+    from pyspark.sql import types as T
+
+    def _cols(dtype: "T.StructType", path: str, prefix: str) -> list[Column]:
+        out: list[Column] = []
+        for f in dtype.fields:
+            p = f"{path}.`{f.name}`"
+            name = f"{prefix}{delimiter}{f.name}" if prefix else f.name
+            if isinstance(f.dataType, T.StructType):
+                out.extend(_cols(f.dataType, p, name))
+            else:
+                out.append(F.expr(p).alias(name))
+        return out
+
+    def _apply(df: DataFrame) -> DataFrame:
+        dtype = df.schema[target].dataType
+        return _rebuild_struct(df, target, _cols(dtype, target, ""))
+
+    return _apply
+
+
+def timestamp_router(
+    topic_format: str = "${topic}-${timestamp}",
+    ts_format: str = "yyyyMMdd",
+) -> Transform:
+    """TimestampRouter: rewrite the topic from the record timestamp —
+    the time-partitioned-sink-table router."""
+
+    def _apply(df: DataFrame) -> DataFrame:
+        if "timestamp" not in df.columns:
+            raise SpecError("TimestampRouter needs a record timestamp column")
+        ts_str = F.date_format(F.col("timestamp"), ts_format)
+        parts: list[Column] = []
+        rest = topic_format
+        while rest:
+            nxt = min(
+                (i for i in (rest.find("${topic}"), rest.find("${timestamp}")) if i >= 0),
+                default=-1,
+            )
+            if nxt < 0:
+                parts.append(F.lit(rest))
+                break
+            if nxt > 0:
+                parts.append(F.lit(rest[:nxt]))
+                rest = rest[nxt:]
+            if rest.startswith("${topic}"):
+                parts.append(F.col("topic"))
+                rest = rest[len("${topic}"):]
+            else:
+                parts.append(ts_str)
+                rest = rest[len("${timestamp}"):]
+        return df.withColumn("topic", F.concat(*parts))
+
+    return _apply
+
+
+def filter_records(
+    predicate: str, pattern: str | None = None, negate: bool = False
+) -> Transform:
+    """Filter + predicate (Connect's predicates API): DROP records the
+    predicate matches (negate inverts). Supported predicates:
+    TopicNameMatches(pattern — anchored, java Pattern.matches
+    semantics) and RecordIsTombstone."""
+    if predicate == "TopicNameMatches":
+        if not pattern:
+            raise SpecError("TopicNameMatches requires pattern")
+        cond = F.col("topic").rlike(f"^(?:{pattern})$")
+    elif predicate == "RecordIsTombstone":
+        cond = F.col("value").isNull()
+    else:
+        raise SpecError(f"unknown predicate {predicate!r}")
+    drop = ~cond if negate else cond
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.where(~drop)
+
+    return _apply
+
+
+# ---------------------------------------------------------------------------
 # registry: Connect SMT class name -> builder(params) -> Transform
 # ---------------------------------------------------------------------------
 
@@ -246,6 +487,70 @@ def _build_python_function(p: dict[str, str]) -> Transform:
     return builder(p)
 
 
+def _csv(p: dict[str, str], key: str) -> list[str]:
+    return [f.strip() for f in p.get(key, "").split(",") if f.strip()]
+
+
+def _build_insert_field(p: dict[str, str]) -> Transform:
+    return insert_field(
+        static_field=p.get("static.field"),
+        static_value=p.get("static.value"),
+        topic_field=p.get("topic.field"),
+        timestamp_field=p.get("timestamp.field"),
+    )
+
+
+def _build_replace_field(p: dict[str, str]) -> Transform:
+    renames = {}
+    for pair in _csv(p, "renames"):
+        if ":" not in pair:
+            raise SpecError(f"ReplaceField renames entry {pair!r} needs from:to")
+        src, dst = pair.split(":", 1)
+        renames[src.strip()] = dst.strip()
+    return replace_field(
+        renames=renames,
+        include=_csv(p, "include") or None,
+        exclude=_csv(p, "exclude") or None,
+    )
+
+
+def _build_mask_field(p: dict[str, str]) -> Transform:
+    return mask_field(_csv(p, "fields"), replacement=p.get("replacement"))
+
+
+def _build_cast(p: dict[str, str]) -> Transform:
+    spec = {}
+    for pair in _csv(p, "spec"):
+        if ":" not in pair:
+            raise SpecError(f"Cast spec entry {pair!r} needs field:type")
+        fld, typ = pair.split(":", 1)
+        spec[fld.strip()] = typ.strip()
+    return cast_fields(spec)
+
+
+def _build_hoist(p: dict[str, str]) -> Transform:
+    return hoist_field(p["field"])
+
+
+def _build_flatten(p: dict[str, str]) -> Transform:
+    return flatten_value(delimiter=p.get("delimiter", "."))
+
+
+def _build_ts_router(p: dict[str, str]) -> Transform:
+    return timestamp_router(
+        topic_format=p.get("topic.format", "${topic}-${timestamp}"),
+        ts_format=p.get("timestamp.format", "yyyyMMdd"),
+    )
+
+
+def _build_filter(p: dict[str, str]) -> Transform:
+    return filter_records(
+        predicate=p.get("predicate", ""),
+        pattern=p.get("pattern"),
+        negate=str(p.get("negate", "false")).lower() == "true",
+    )
+
+
 TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
     "ValueToKey": _build_value_to_key,
     "ExtractField$Key": _build_extract_key,
@@ -254,6 +559,15 @@ TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
     "RegexRouter": _build_router,
     "TimestampConverter$Value": _build_ts_converter,
     "PythonFunction": _build_python_function,
+    # standard Connect set beyond the reference's labs
+    "InsertField$Value": _build_insert_field,
+    "ReplaceField$Value": _build_replace_field,
+    "MaskField$Value": _build_mask_field,
+    "Cast$Value": _build_cast,
+    "HoistField$Value": _build_hoist,
+    "Flatten$Value": _build_flatten,
+    "TimestampRouter": _build_ts_router,
+    "Filter": _build_filter,
 }
 
 

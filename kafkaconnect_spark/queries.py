@@ -425,6 +425,62 @@ FROM events WHERE event_id < 200
 """
 
 
+def t6_smt_standard_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-set SMTs beyond the reference labs, chained Connect-
+    style: HoistField$Value → Flatten$Value('_') → Cast$Value
+    (int64→int32) → MaskField$Value (PII null-out) → InsertField$Value
+    (static + topic metadata) → ReplaceField$Value (renames) → Filter
+    (TopicNameMatches drop). Every step is a narrow Column rebuild —
+    one scan, zero shuffles, zero Python."""
+    from kafkaconnect_spark.operators.transforms import (
+        cast_fields,
+        filter_records,
+        flatten_value,
+        hoist_field,
+        insert_field,
+        mask_field,
+        replace_field,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rec = ev.select(
+        F.struct("event_id", "user_id", "event_type", "props").alias("value"),
+        F.concat(F.lit("om."), F.col("event_type")).alias("topic"),
+    )
+    rec = hoist_field("payload")(rec)
+    rec = flatten_value("_")(rec)
+    rec = cast_fields({"payload_user_id": "int32"})(rec)
+    rec = mask_field(["payload_props"])(rec)
+    rec = insert_field(
+        static_field="src", static_value="om", topic_field="src_topic"
+    )(rec)
+    rec = replace_field(
+        renames={
+            "payload_event_id": "event_id",
+            "payload_user_id": "user_id",
+            "payload_event_type": "etype",
+            "payload_props": "props",
+        }
+    )(rec)
+    rec = filter_records("TopicNameMatches", r"om\.(click|view)")(rec)
+    return rec.select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("value.user_id").alias("user_id"),
+        F.col("value.etype").alias("etype"),
+        F.col("value.props").alias("props"),
+        F.col("value.src").alias("src"),
+        F.col("value.src_topic").alias("src_topic"),
+    )
+
+
+T6_ORACLE = """
+SELECT event_id, user_id::INT AS user_id, event_type AS etype,
+       NULL::VARCHAR AS props, 'om' AS src,
+       'om.' || event_type AS src_topic
+FROM events WHERE event_type NOT IN ('click', 'view')
+"""
+
+
 # ===========================================================================
 # §2.5 converters (C1/C2) — serde round-trips
 # ===========================================================================
@@ -2649,5 +2705,6 @@ QUERY_CATALOG.update(
         "events_anomaly_zscore": QueryDef(events_anomaly_zscore, ZSCORE_ORACLE),
         "multimodal_decode_stats": QueryDef(multimodal_decode_stats, MM_DECODE_ORACLE),
         "multimodal_audio_stats": QueryDef(multimodal_audio_stats, MM_AUDIO_ORACLE),
+        "t6_smt_standard_chain": QueryDef(t6_smt_standard_chain, T6_ORACLE),
     }
 )

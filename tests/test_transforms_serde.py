@@ -194,3 +194,98 @@ def test_python_transform_unregistered_fails():
         build_transform_chain(
             [TransformSpec("c", "kafkaconnect_spark.PythonFunction", {"function": "nope"})]
         )
+
+
+# ---------------------------------------------------------------------------
+# standard-set SMTs (beyond the reference labs)
+# ---------------------------------------------------------------------------
+
+
+def _rec(spark, rows, topic="t"):
+    df = spark.createDataFrame(rows, "id INT, name STRING, score DOUBLE")
+    return df.select(F.struct("id", "name", "score").alias("value"), F.lit(topic).alias("topic"))
+
+
+def test_insert_replace_mask_cast_chain(spark):
+    from kafkaconnect_spark.operators.transforms import (
+        cast_fields, insert_field, mask_field, replace_field,
+    )
+
+    rec = _rec(spark, [(1, "alice", 1.5)], topic="orders")
+    rec = insert_field(static_field="env", static_value="prod", topic_field="src")(rec)
+    rec = mask_field(["name"])(rec)
+    rec = cast_fields({"score": "string", "id": "int64"})(rec)
+    rec = replace_field(renames={"id": "order_id"}, exclude=["score"])(rec)
+    row = rec.collect()[0]
+    assert row.value.asDict() == {
+        "order_id": 1, "name": None, "env": "prod", "src": "orders"
+    }
+    # schema: id was widened to int64, then renamed
+    assert dict(rec.schema["value"].dataType.fields[0].__dict__)["name"] == "order_id"
+
+
+def test_mask_with_typed_replacement_and_unknown_field(spark):
+    import pytest
+    from kafkaconnect_spark.operators.transforms import mask_field
+    from kafkaconnect_spark.plans.spec import SpecError
+
+    rec = _rec(spark, [(1, "bob", 2.0)])
+    out = mask_field(["score"], replacement="0")(rec).collect()[0]
+    assert out.value.score == 0.0  # literal coerced to the field type
+    with pytest.raises(SpecError):
+        mask_field(["nope"])(rec).collect()
+
+
+def test_hoist_flatten_roundtrip_and_tombstones(spark):
+    from kafkaconnect_spark.operators.transforms import flatten_value, hoist_field
+
+    df = spark.createDataFrame([(1, "x")], "id INT, name STRING")
+    rec = df.select(F.struct("id", "name").alias("value"))
+    # add a tombstone row
+    tomb = rec.withColumn("value", F.lit(None).cast(rec.schema["value"].dataType)).limit(1)
+    rec = rec.unionByName(tomb)
+    hoisted = hoist_field("payload")(rec)
+    flat = flatten_value("_")(hoisted)
+    rows = flat.collect()
+    live = [r for r in rows if r.value is not None][0]
+    assert live.value.asDict() == {"payload_id": 1, "payload_name": "x"}
+    assert any(r.value is None for r in rows)  # tombstone preserved
+
+
+def test_timestamp_router_and_filter(spark):
+    from kafkaconnect_spark.operators.transforms import filter_records, timestamp_router
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-03-05 10:00:00")], "id INT, name STRING, ts STRING"
+    ).select(
+        F.struct("id", "name").alias("value"),
+        F.lit("orders").alias("topic"),
+        F.to_timestamp("ts").alias("timestamp"),
+    )
+    routed = timestamp_router("${topic}-${timestamp}", "yyyyMMdd")(df)
+    assert routed.collect()[0].topic == "orders-20240305"
+    # Filter drops matching topics (anchored match); negate keeps
+    # only matches. Applied pre-routing where topic == "orders".
+    assert filter_records("TopicNameMatches", "orders")(df).count() == 0
+    assert filter_records("TopicNameMatches", "orders")(routed).count() == 1  # anchored
+    assert filter_records("TopicNameMatches", "orders.*", negate=True)(routed).count() == 1
+    # RecordIsTombstone drops null-value records
+    tomb = df.withColumn("value", F.lit(None).cast(df.schema["value"].dataType))
+    both = df.unionByName(tomb)
+    assert filter_records("RecordIsTombstone")(both).count() == 1
+
+
+def test_standard_smts_via_registry_chain(spark):
+    chain = build_transform_chain(
+        [
+            TransformSpec("wrap", "org.apache.kafka.connect.transforms.HoistField$Value", {"field": "p"}),
+            TransformSpec("flat", "org.apache.kafka.connect.transforms.Flatten$Value", {"delimiter": "_"}),
+            TransformSpec("cast", "org.apache.kafka.connect.transforms.Cast$Value", {"spec": "p_id:string"}),
+            TransformSpec("mask", "org.apache.kafka.connect.transforms.MaskField$Value", {"fields": "p_name"}),
+            TransformSpec("ins", "org.apache.kafka.connect.transforms.InsertField$Value", {"static.field": "v", "static.value": "1"}),
+            TransformSpec("ren", "org.apache.kafka.connect.transforms.ReplaceField$Value", {"renames": "p_id:id"}),
+        ]
+    )
+    rec = _rec(spark, [(7, "zoe", 3.5)])
+    row = chain(rec).collect()[0]
+    assert row.value.asDict() == {"id": "7", "p_name": None, "p_score": 3.5, "v": "1"}
