@@ -55,6 +55,9 @@ HEADLINE = [
     "embedding_norm_outliers",
     "events_sliding_window",
     "events_anomaly_zscore",
+    "multimodal_decode_stats",
+    "multimodal_audio_stats",
+    "t6_smt_standard_chain",
 ]
 
 

@@ -177,3 +177,47 @@ def test_audio_stats_exact_and_null_for_nonwav(spark):
     assert r.duration_ms == 3000 / 8000.0
     assert r.rms == float(np.sqrt(25.0 / 3))
     assert out[2].sample_rate is None and out[3].rms is None
+
+
+# ---------------------------------------------------------------------------
+# property tests: any image/audio roundtrips the codecs exactly
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 16), w=st.integers(1, 16), seed=st.integers(0, 2**31 - 1)
+    )
+    def test_ppm_bmp_roundtrip_any_dims(h, w, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(decode_ppm(_ppm(img)), img)
+        assert np.array_equal(decode_bmp(_bmp24(img)), img)
+        assert np.array_equal(decode_bmp(_bmp24(img, top_down=True)), img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 64),
+        channels=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_any_samples(n, channels, rate, seed):
+        from kafkaconnect_spark.operators.multimodal import decode_wav
+
+        samples = np.random.RandomState(seed).randint(
+            -32768, 32768, size=n * channels, dtype=np.int32
+        ).astype(np.int16)
+        out, got_rate = decode_wav(_wav16(samples, rate=rate, channels=channels))
+        assert got_rate == rate and out.shape == (n, channels)
+        assert np.array_equal(out.ravel(), samples)
