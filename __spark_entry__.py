@@ -72,6 +72,7 @@ _DEFER_NEW = {
     "multimodal_decode_stats",
     "multimodal_audio_stats",
     "t6_smt_standard_chain",
+    "multimodal_video_frames",
 }
 
 

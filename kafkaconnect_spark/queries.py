@@ -1744,6 +1744,40 @@ FROM s
 """
 
 
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling under the value-hash gate: each doc's
+    text becomes a VALID minimal AVI of 4×4 24-bit DIB frames
+    (make_fake_avi), the pure-numpy container parser walks the RIFF
+    tree (hdrl→strf dims, movi→00db payloads, bottom-up BGR rows),
+    and every 2nd frame's P6 sha256 comes out — replayable from the
+    text bytes by the oracle."""
+    from kafkaconnect_spark.operators.multimodal import (
+        extract_video_frames,
+        make_fake_avi,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return extract_video_frames(make_fake_avi(docs), every_n=2)
+
+
+MM_VIDEO_ORACLE = r"""
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS t
+           FROM documents),
+d AS (SELECT doc_id, t,
+             greatest(1, (strlen(t) + 47) // 48)::INT AS nf
+      FROM a),
+f AS (SELECT doc_id, t,
+             unnest([i FOR i IN range(0, nf) IF i % 2 = 0]) AS i
+      FROM d)
+SELECT doc_id, i::INT AS frame_index, 4 AS width, 4 AS height,
+       sha256('P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) ||
+              rpad(substr(t, (i * 48 + 1)::INT, 48), 48, chr(0)))
+         AS frame_sha256
+FROM f
+"""
+
+
 # ===========================================================================
 # Phase E — training-data pipeline ops (operators/pipeline.py)
 # ===========================================================================
@@ -2706,5 +2740,6 @@ QUERY_CATALOG.update(
         "multimodal_decode_stats": QueryDef(multimodal_decode_stats, MM_DECODE_ORACLE),
         "multimodal_audio_stats": QueryDef(multimodal_audio_stats, MM_AUDIO_ORACLE),
         "t6_smt_standard_chain": QueryDef(t6_smt_standard_chain, T6_ORACLE),
+        "multimodal_video_frames": QueryDef(multimodal_video_frames, MM_VIDEO_ORACLE),
     }
 )

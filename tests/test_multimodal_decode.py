@@ -221,3 +221,46 @@ if HAVE_HYPOTHESIS:
         out, got_rate = decode_wav(_wav16(samples, rate=rate, channels=channels))
         assert got_rate == rate and out.shape == (n, channels)
         assert np.array_equal(out.ravel(), samples)
+
+
+def test_avi_container_walk_and_frame_decode(spark):
+    from kafkaconnect_spark.operators.multimodal import (
+        decode_avi_frames,
+        extract_video_frames,
+        make_fake_avi,
+    )
+
+    # build via the fixture from known text: 96 ascii bytes = 2 frames
+    text = "".join(chr(32 + (i % 90)) for i in range(96))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    blob = bytes(make_fake_avi(df).collect()[0].media)
+    frames, w, h = decode_avi_frames(blob)
+    assert (w, h, len(frames)) == (4, 4, 2)
+    # frame pixels are exactly the text bytes, row-major RGB
+    expect0 = np.frombuffer(text[:48].encode(), dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(frames[0], expect0)
+    # sampling every 2nd frame over 5 frames → indices 0, 2, 4
+    long_text = "x" * (5 * 48)
+    df5 = spark.createDataFrame([Row(doc_id=2, text=long_text)])
+    out = extract_video_frames(make_fake_avi(df5), every_n=2).collect()
+    assert sorted(r.frame_index for r in out) == [0, 2, 4]
+    assert all((r.width, r.height) == (4, 4) for r in out)
+    # all-identical frames hash identically
+    assert len({r.frame_sha256 for r in out}) == 1
+    # non-avi rows emit no frames
+    bad = spark.createDataFrame([Row(doc_id=9, media=bytearray(b"nope"))])
+    assert extract_video_frames(bad).count() == 0
+
+
+def test_avi_compressed_stream_raises():
+    from kafkaconnect_spark.operators.multimodal import decode_avi_frames
+
+    strf = (b"strf" + (40).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (4).to_bytes(4, "little") + (4).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24)
+    dc = b"00dc" + (4).to_bytes(4, "little") + b"MJPG"
+    movi = b"LIST" + (4 + len(dc)).to_bytes(4, "little") + b"movi" + dc
+    body = b"AVI " + strf + movi
+    data = b"RIFF" + len(body).to_bytes(4, "little") + body
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(data)
