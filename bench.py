@@ -138,9 +138,20 @@ def _vs_prev(
         if prev["queries"].get(name)
     }
     flagged = sorted(n for n, r in ratios.items() if r > 2.0)
+    # totals compare ONLY the intersection: the headline set grows
+    # every round, so whole-total / whole-total would read as a fake
+    # regression whenever new queries are added
+    comparable = [n for n in timings if prev["queries"].get(n)]
+    prev_comp = round(sum(prev["queries"][n] for n in comparable), 3)
+    cur_comp = round(sum(timings[n] for n in comparable), 3)
     return {
         "baseline": prev_name,
-        "total_ratio": round(total / prev["value"], 3) if prev.get("value") else None,
+        "comparable_total": cur_comp,
+        "comparable_prev_total": prev_comp,
+        "total_ratio": round(cur_comp / prev_comp, 3) if prev_comp else None,
+        "new_queries_total": round(
+            sum(t for n, t in timings.items() if n not in ratios), 3
+        ),
         "ratios": ratios,
         "regressions_over_2x": flagged,
     }
