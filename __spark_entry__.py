@@ -73,6 +73,7 @@ _DEFER_NEW = {
     "multimodal_audio_stats",
     "t6_smt_standard_chain",
     "multimodal_video_frames",
+    "text_bpe_tokenize",
 }
 
 

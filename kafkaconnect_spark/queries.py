@@ -2487,6 +2487,20 @@ FROM w CROSS JOIN d
 """
 
 
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: learn 10 merges from the corpus (iterative
+    vocab-table rounds — operators/bpe.learn_bpe_merges), then segment
+    every doc with the learned table (narrow constant-folded merge
+    chain). Iterative training is not SQL-expressible, so this entry
+    is rows-only at the driver; exactness is pinned against a pure-
+    Python reference in tests/test_bpe.py."""
+    from kafkaconnect_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, num_merges=10)
+    return apply_bpe(docs, merges)
+
+
 def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-100 word 2-grams — n-gram LM counting
     (operators/pipeline.bigram_topk): narrow per-row bigram arrays,
@@ -2741,5 +2755,6 @@ QUERY_CATALOG.update(
         "multimodal_audio_stats": QueryDef(multimodal_audio_stats, MM_AUDIO_ORACLE),
         "t6_smt_standard_chain": QueryDef(t6_smt_standard_chain, T6_ORACLE),
         "multimodal_video_frames": QueryDef(multimodal_video_frames, MM_VIDEO_ORACLE),
+        "text_bpe_tokenize": QueryDef(text_bpe_tokenize, None),  # rows-only: iterative
     }
 )
