@@ -89,7 +89,6 @@ def learn_bpe_merges(
     The return value is a MERGE TABLE (a tokenizer artifact, bounded
     by num_merges), not data — it lives on the driver by design, like
     the IVF centroid table."""
-    spark = df.sparkSession
     words = word_frequency_table(df, text_col, id_col)
     # initial symbols: characters + end-of-word marker
     syms = words.select(
@@ -157,7 +156,7 @@ def apply_bpe(
     symbols, then the merges applied IN RANK ORDER — a fully NARROW
     chain of per-row folds (the merge table is a driver-side constant
     folded into the expression, like the LSH hyperplanes). Returns
-    (id, n_words, n_tokens, compression = n_tokens/n_chars)."""
+    (id, n_words, n_tokens)."""
     toks = df.select(
         F.col(id_col),
         F.split(

@@ -353,3 +353,42 @@ def test_spooldir_to_parquet_lake_chain(spark, tmp_path):
     assert sorted(
         d for d in __import__("os").listdir(lake) if d.startswith("region=")
     ) == ["region=eu", "region=us"]
+
+
+def test_standard_smt_chain_in_sink_pipeline(spark, tmp_path):
+    """A Connect config using the standard SMT set (MaskField /
+    InsertField / ReplaceField) compiles and runs end-to-end: the sink
+    table materializes the transformed shape (masked PII, injected
+    provenance column, renamed field)."""
+    db = str(tmp_path / "smt_sink.db")
+    url = "jdbc:sqlite:" + db
+    rows = "\n".join(f"{i},name{i},u{i}@x.com" for i in range(20))
+    spec = spooldir_spec(tmp_path)
+    (tmp_path / "spool" / "batch1.csv").write_text(CSV.format(rows=rows))
+
+    eng = make_engine(spark, tmp_path, dbs={url: functools.partial(sqlite3.connect, db)})
+    eng.register(spec)
+    eng.run_once("csv_spooldir")
+
+    sink = sink_spec(url, "csv_topic", "smt_sink", name="smt_sink")
+    sink["config"].update(
+        {
+            "transforms": "create_key, extract_key, mask, ins, ren",
+            "transforms.mask.type": "org.apache.kafka.connect.transforms.MaskField$Value",
+            "transforms.mask.fields": "email",
+            "transforms.ins.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+            "transforms.ins.static.field": "src",
+            "transforms.ins.static.value": "spooldir",
+            "transforms.ren.type": "org.apache.kafka.connect.transforms.ReplaceField$Value",
+            "transforms.ren.renames": "name:full_name",
+        }
+    )
+    eng.register(sink)
+    eng.run_once("smt_sink")
+
+    with sqlite3.connect(db) as c:
+        cols = [r[1] for r in c.execute("PRAGMA table_info(smt_sink)")]
+        got = sorted(c.execute("SELECT id, full_name, email, src FROM smt_sink").fetchall())
+    assert "full_name" in cols and "name" not in cols
+    assert len(got) == 20
+    assert got[0] == (0, "name0", None, "spooldir")  # email masked, src injected
