@@ -74,6 +74,7 @@ _DEFER_NEW = {
     "t6_smt_standard_chain",
     "multimodal_video_frames",
     "text_bpe_tokenize",
+    "text_bigram_lm_bits",
 }
 
 

@@ -481,6 +481,77 @@ def bigram_topk(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-family quality score: bits-per-bigram under an
+    add-one-smoothed corpus bigram LM — P(b|a) = (B(a,b)+1)/(U(a)+V),
+    score = −mean log2 P. The classic pretraining filter (docs the
+    corpus LM finds surprising are noise; docs it finds too easy are
+    boilerplate). Reported as bits (no 2^x — pow() differs across
+    libms; the bits scale orders identically).
+
+    Scale shape: the LM tables are corpus aggregates with map-side
+    combine (bigram table ≤ vocab², context table vocab-sized, V one
+    row broadcast); each doc's bigram occurrences join the tables on
+    their keys (uniform string keys — AQE handles moderate stopword
+    skew) and reduce per doc in one groupBy. Each log2 term is
+    rounded to 7 decimals and DECIMAL-summed — order-independent ⇒
+    parallelism-independent, same rule as token_entropy."""
+    txt = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = df.select(
+        F.col(id_col),
+        F.when(F.length(txt) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(txt, TOKEN_SPLIT_RE))
+        .alias("__toks"),
+    )
+    grams = F.expr(
+        "CASE WHEN size(__toks) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS a, element_at(__toks, i + 1) AS b)) END"
+    )
+    pairs = (
+        toks.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    )
+    bc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("bcount"))
+    uc = bc.groupBy("a").agg(F.sum("bcount").alias("ucount"))
+    vocab = (
+        toks.select(F.explode("__toks").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        pairs.join(bc, ["a", "b"])
+        .join(uc, "a")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__term",
+            F.expr(
+                "cast(round(log2((bcount + 1) / cast(ucount + v as double)), 7) "
+                "as decimal(20,7))"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__term").alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(-F.col("__s").cast("double") / F.col("n_bigrams"), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+    empty = toks.where(F.size("__toks") < 2).select(
+        F.col(id_col),
+        F.lit(0).cast("bigint").alias("n_bigrams"),
+        F.lit(0.0).alias("bits_per_bigram"),
+    )
+    return scored.unionByName(empty)
+
+
 def norm_outliers(
     df: DataFrame,
     vec_col: str = "embedding",

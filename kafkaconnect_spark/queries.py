@@ -2501,6 +2501,40 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe(docs, merges)
 
 
+def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-family quality score: bits-per-bigram under the
+    corpus's own add-one-smoothed bigram LM
+    (operators/pipeline.bigram_lm_score)."""
+    return pipeline.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+BIGRAM_LM_ORACLE = r"""
+WITH d AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents),
+tk AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS toks
+       FROM d WHERE length(t) > 0),
+p2 AS (SELECT doc_id, g.a AS a, g.b AS b FROM (
+         SELECT doc_id,
+                unnest([{'a': toks[i], 'b': toks[i + 1]}
+                        FOR i IN range(1, len(toks))]) AS g
+         FROM tk WHERE len(toks) >= 2)),
+bc AS (SELECT a, b, count(*) AS bcount FROM p2 GROUP BY a, b),
+uc AS (SELECT a, sum(bcount) AS ucount FROM bc GROUP BY a),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM tk)),
+terms AS (SELECT p2.doc_id,
+                 round(log2((bc.bcount + 1) / (uc.ucount + v.v)::DOUBLE),
+                       7)::DECIMAL(20,7) AS term
+          FROM p2 JOIN bc USING (a, b) JOIN uc USING (a) CROSS JOIN v),
+sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(term) AS s
+       FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(-(s::DOUBLE) / n_bigrams, 6) AS bits_per_bigram
+FROM sc
+UNION ALL
+SELECT doc_id, 0, 0.0 FROM d
+WHERE len(regexp_split_to_array(t, '\s+')) < 2 OR length(t) = 0
+"""
+
+
 def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-100 word 2-grams — n-gram LM counting
     (operators/pipeline.bigram_topk): narrow per-row bigram arrays,
@@ -2756,5 +2790,6 @@ QUERY_CATALOG.update(
         "t6_smt_standard_chain": QueryDef(t6_smt_standard_chain, T6_ORACLE),
         "multimodal_video_frames": QueryDef(multimodal_video_frames, MM_VIDEO_ORACLE),
         "text_bpe_tokenize": QueryDef(text_bpe_tokenize, None),  # rows-only: iterative
+        "text_bigram_lm_bits": QueryDef(text_bigram_lm_bits, BIGRAM_LM_ORACLE),
     }
 )

@@ -368,3 +368,24 @@ def test_norm_outliers_flags_extremes_only(spark):
     assert 200 not in {
         r.vec_id for r in pipeline.norm_outliers(with_empty).collect()
     }
+
+
+def test_bigram_lm_score_exact_hand_computed(spark):
+    import math
+
+    # corpus: "a b" x3, "a c" x1, "solo" → B(a,b)=3, B(a,c)=1,
+    # U(a)=4, V=4 (a, b, c, solo) ⇒ P(b|a)=4/8, P(c|a)=2/8
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "solo"), (6, None)])
+    out = {r.doc_id: r for r in pipeline.bigram_lm_score(df).collect()}
+    p_ab = (3 + 1) / (4 + 4)
+    p_ac = (1 + 1) / (4 + 4)
+    want_ab = round(-round(math.log2(p_ab), 7), 6)
+    want_ac = round(-round(math.log2(p_ac), 7), 6)
+    for i in (1, 2, 3):
+        assert out[i].n_bigrams == 1 and abs(out[i].bits_per_bigram - want_ab) < 1e-9
+    assert out[4].n_bigrams == 1 and abs(out[4].bits_per_bigram - want_ac) < 1e-9
+    # rarer continuation costs more bits
+    assert out[4].bits_per_bigram > out[1].bits_per_bigram
+    # short/empty docs report zero bigrams, zero bits
+    assert (out[5].n_bigrams, out[5].bits_per_bigram) == (0, 0.0)
+    assert (out[6].n_bigrams, out[6].bits_per_bigram) == (0, 0.0)
