@@ -75,6 +75,8 @@ _DEFER_NEW = {
     "multimodal_video_frames",
     "text_bpe_tokenize",
     "text_bigram_lm_bits",
+    "embedding_kmeans_step",
+    "embedding_kmeans",
 }
 
 

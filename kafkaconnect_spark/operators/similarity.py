@@ -416,6 +416,121 @@ def semdedup_prune(
     )
 
 
+def kmeans_step(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration, engine-exact: assign every vector to its
+    nearest deterministic centroid (the _ivf_index folded argmax —
+    narrow, no shuffle), then recompute per-cell per-dimension means.
+    Returns long-format (cell, dim, n_members, centroid_value) — the
+    updated centroid table.
+
+    Scale shape: the only shuffle is groupBy(cell, dim) with map-side
+    combine — output is n_cells×dims rows regardless of corpus size.
+    Per-element values round to 7 and DECIMAL-sum (order-independent ⇒
+    engine/parallelism-exact), the embedding_centroids rule."""
+    corpus, _, _ = _ivf_index(
+        embeddings.where(F.size(vec_col) > 0), n_cells, id_col, vec_col
+    )
+    counts = corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    means = (
+        corpus.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "__x"))
+        .withColumn(
+            "__xd", F.expr("cast(round(cast(__x as double), 7) as decimal(20,7))")
+        )
+        .groupBy("cell", "dim")
+        .agg(F.sum("__xd").alias("__s"))
+    )
+    return means.join(F.broadcast(counts), "cell").select(
+        "cell",
+        "dim",
+        "n_members",
+        F.round(F.col("__s").cast("double") / F.col("n_members"), 6).alias(
+            "centroid_value"
+        ),
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_rounds: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full Lloyd's k-means with deterministic init (n_cells lowest-id
+    vectors) and a fixed round count — the clustering pass production
+    SemDeDup runs before within-cell pruning. Returns (id, cell).
+
+    Spark shape (the same as MLlib's KMeans): assignment is a NARROW
+    folded-centroid argmax per round (no shuffle, no join); the update
+    step reduces to n_cells×dims decimal-exact rows that come back to
+    the driver as the next round's fold constants — control plane,
+    bounded by k·d, never corpus-sized. Iterative training is not
+    SQL-expressible; exactness is pinned against a numpy reference in
+    tests (same init, same decimal rule, same min-index tie-break).
+    Empty cells keep their previous centroid (the standard rule)."""
+    import math
+
+    vecs = embeddings.where(F.size(vec_col) > 0).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    init = (
+        vecs.orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    cents: list[list[float]] = [[float(x) for x in r[0]] for r in init]
+
+    def assign(df: DataFrame) -> DataFrame:
+        # fold centroids into one literal argmin expression: struct
+        # ordering (negdist desc, negidx desc) == (dist asc, idx asc)
+        structs = ",".join(
+            "named_struct('negdist', -round({dist}, 6), 'negidx', {neg})".format(
+                neg=-i,
+                dist=(
+                    "aggregate(zip_with({v}, array({cs}), "
+                    "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+                    "cast(0.0 as double), (acc, t) -> acc + t)"
+                ).format(
+                    v=vec_col,
+                    cs=",".join(f"cast('{x!r}' as double)" for x in c),
+                ),
+            )
+            for i, c in enumerate(cents)
+        )
+        return df.withColumn(
+            "cell", F.expr(f"-array_max(array({structs})).negidx").cast("int")
+        )
+
+    for _ in range(n_rounds):
+        assigned = assign(vecs)
+        stats = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "__x"))
+            .withColumn(
+                "__xd",
+                F.expr("cast(round(cast(__x as double), 7) as decimal(20,7))"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("__xd").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep previous
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["__s"]) / r["__n"]
+        for cell, dims in by_cell.items():
+            new_cents[cell] = [dims[d] for d in sorted(dims)]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return assign(vecs).select(F.col(id_col), "cell")
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -2577,6 +2577,44 @@ FROM n CROSS JOIN f
 """
 
 
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One engine-exact Lloyd iteration over the embeddings: folded-
+    centroid argmax assignment (narrow), then per-cell per-dim
+    decimal-exact means (operators/similarity.kmeans_step)."""
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    return similarity.kmeans_step(emb, n_cells=8)
+
+
+KMEANS_STEP_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings
+           WHERE len(embedding) > 0),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v ORDER BY vec_id LIMIT 8),
+cells AS (
+  SELECT vec_id, vec, cent_id AS cell FROM (
+    SELECT v.vec_id, v.vec, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.vec', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1),
+n AS (SELECT cell, count(*) AS n_members FROM cells GROUP BY cell),
+e AS (SELECT cell, generate_subscripts(vec, 1) - 1 AS dim,
+             round(unnest(vec), 7)::DECIMAL(20,7) AS x
+      FROM cells),
+m AS (SELECT cell, dim, sum(x) AS s FROM e GROUP BY cell, dim)
+SELECT m.cell, m.dim::INT AS dim, n.n_members,
+       round(s::DOUBLE / n.n_members, 6) AS centroid_value
+FROM m JOIN n USING (cell)
+"""
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 5-round Lloyd's k-means (deterministic lowest-id init) —
+    the clustering pass production SemDeDup runs first
+    (operators/similarity.kmeans_lloyd). Iterative: rows-only at the
+    driver; exactness pinned vs a numpy reference in tests."""
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    return similarity.kmeans_lloyd(emb, n_cells=8, n_rounds=5)
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly window sliding every 15 min over the event stream — the
     overlapping-window shape of a Structured Streaming agg (each event
@@ -2791,5 +2829,7 @@ QUERY_CATALOG.update(
         "multimodal_video_frames": QueryDef(multimodal_video_frames, MM_VIDEO_ORACLE),
         "text_bpe_tokenize": QueryDef(text_bpe_tokenize, None),  # rows-only: iterative
         "text_bigram_lm_bits": QueryDef(text_bigram_lm_bits, BIGRAM_LM_ORACLE),
+        "embedding_kmeans_step": QueryDef(embedding_kmeans_step, KMEANS_STEP_ORACLE),
+        "embedding_kmeans": QueryDef(embedding_kmeans, None),  # rows-only: iterative
     }
 )

@@ -54,3 +54,67 @@ def test_multi_probe_improves_or_matches_recall(spark, sf_dir):
     r_multi = recall(multi, exact, 10)
     assert r_multi >= r_single, (r_single, r_multi)
     assert r_multi >= 0.4, f"multi-probe recall collapsed: {r_multi}"
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    """Full Lloyd rounds vs a numpy reference with the identical
+    deterministic contract: lowest-id init, per-dim decimal(7) sums,
+    squared-distance rounded to 6 with min-index tie-break."""
+    import numpy as np
+    from decimal import Decimal
+
+    from kafkaconnect_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(11)
+    # three planted blobs + noise so clustering is nontrivial
+    blobs = [rng.normal(c, 0.3, size=(30, 8)) for c in (-3.0, 0.0, 3.0)]
+    X = np.vstack(blobs).astype(np.float32)
+    order = rng.permutation(len(X))
+    X = X[order]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+
+    k, rounds = 3, 4
+
+    def ref_assign(cents):
+        out = []
+        for v in X.astype(np.float64):
+            dists = [round(float(((v - np.array(c)) ** 2).sum()), 6) for c in cents]
+            out.append(min(range(k), key=lambda i: (dists[i], i)))
+        return out
+
+    cents = [[float(x) for x in X[i]] for i in range(k)]  # lowest-id init
+    for _ in range(rounds):
+        assign = ref_assign(cents)
+        new = [list(c) for c in cents]
+        for cell in range(k):
+            members = [i for i, a in enumerate(assign) if a == cell]
+            if not members:
+                continue
+            dims = len(X[0])
+            new[cell] = [
+                float(
+                    sum(
+                        Decimal(str(round(float(np.float64(X[m][d])), 7)))
+                        for m in members
+                    )
+                )
+                / len(members)
+                for d in range(dims)
+            ]
+        if new == cents:
+            break
+        cents = new
+    want = {i: a for i, a in enumerate(ref_assign(cents))}
+
+    got = {r.vec_id: r.cell for r in kmeans_lloyd(df, n_cells=k, n_rounds=rounds).collect()}
+    assert got == want
+    # clustering recovered the planted structure: members of one blob
+    # share a cell
+    inv = np.empty(len(X), dtype=int)
+    inv[order] = np.arange(len(X))
+    for b in range(3):
+        blob_ids = inv[b * 30 : (b + 1) * 30]
+        assert len({got[int(i)] for i in blob_ids}) == 1
