@@ -77,6 +77,7 @@ _DEFER_NEW = {
     "text_bigram_lm_bits",
     "embedding_kmeans_step",
     "embedding_kmeans",
+    "events_zorder_code",
 }
 
 

@@ -58,6 +58,54 @@ def write_partitioned(
     out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 
+def zorder_code(cols: list[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of 2+ non-negative integer rank
+    columns into one BIGINT — the multi-column clustering key. Sorting
+    by this code keeps rows close in EVERY interleaved dimension, so
+    parquet row-group min/max stats become selective for predicates on
+    ANY of the columns, not just the leading sort key (the
+    Delta/Iceberg OPTIMIZE ZORDER trick, here as a plain expression).
+
+    Inputs must already be ranks/buckets in [0, 2^bits) — compute them
+    with ntile/width-bucket style bucketing first. The interleave is a
+    constant-unrolled JVM bit expression: NARROW, codegen'd, no
+    Python, no shuffle of its own. bits·len(cols) must fit 63."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds a signed bigint")
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                f"(shiftleft(cast((shiftright(cast(`{c}` as bigint), {i}) & 1) "
+                f"as bigint), {i * n + j}))"
+            )
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order code of ``zorder_by``
+    (columns must be non-negative integer ranks/buckets; see
+    zorder_code). repartitionByRange on the code gives each output
+    file a disjoint code range — globally clustered, no global sort —
+    and sortWithinPartitions tightens per-row-group bounds inside each
+    file. One range shuffle total."""
+    code = zorder_code(zorder_by, bits).alias("__z")
+    out = df.withColumn("__z", code)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    out = out.repartitionByRange(n, F.col("__z")).sortWithinPartitions("__z")
+    out.drop("__z").write.mode(mode).parquet(path)
+
+
 def read_pruned(spark, path: str) -> DataFrame:
     """Read a partitioned dataset; filters on partition columns prune
     directories before any IO (asserted in test_layout.py via

@@ -2577,6 +2577,38 @@ FROM n CROSS JOIN f
 """
 
 
+def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over two bucketed event
+    dimensions (operators/layout.zorder_code) — the multi-column
+    row-group-skipping layout trick, as a narrow constant-unrolled
+    bit expression the oracle replays bit-for-bit."""
+    from kafkaconnect_spark.operators.layout import zorder_code
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("user_bucket"),
+        F.least(
+            F.greatest(F.floor(F.col("value")), F.lit(0)), F.lit(1023)
+        ).cast("bigint").alias("value_bucket"),
+    )
+    return ev.withColumn(
+        "zcode", zorder_code(["user_bucket", "value_bucket"], bits=10)
+    )
+
+
+ZORDER_ORACLE = """
+WITH b AS (SELECT event_id,
+                  user_id % 1024 AS user_bucket,
+                  least(greatest(floor(value)::BIGINT, 0), 1023) AS value_bucket
+           FROM events)
+SELECT event_id, user_bucket, value_bucket,
+       list_sum([(((user_bucket >> i) & 1)::BIGINT << (2 * i))
+                 + (((value_bucket >> i) & 1)::BIGINT << (2 * i + 1))
+                 FOR i IN range(0, 10)]) AS zcode
+FROM b
+"""
+
+
 def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One engine-exact Lloyd iteration over the embeddings: folded-
     centroid argmax assignment (narrow), then per-cell per-dim
@@ -2831,5 +2863,6 @@ QUERY_CATALOG.update(
         "text_bigram_lm_bits": QueryDef(text_bigram_lm_bits, BIGRAM_LM_ORACLE),
         "embedding_kmeans_step": QueryDef(embedding_kmeans_step, KMEANS_STEP_ORACLE),
         "embedding_kmeans": QueryDef(embedding_kmeans, None),  # rows-only: iterative
+        "events_zorder_code": QueryDef(events_zorder_code, ZORDER_ORACLE),
     }
 )

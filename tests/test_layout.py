@@ -148,3 +148,66 @@ def test_merge_randomized_model_check(spark, tmp_path):
         )
     got = {r.k: (r.v, r.day) for r in spark.read.parquet(path).collect()}
     assert got == model
+
+
+def test_zorder_code_matches_python_interleave(spark):
+    from kafkaconnect_spark.operators.layout import zorder_code
+
+    def ref(a, b, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 5, 511, 1023) for b in (0, 2, 7, 1000)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zorder_code(["a", "b"], bits=10)).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == ref(a, b)
+    # locality: a at even bit positions, b at odd — (0,0),(1,0) are
+    # codes 0,1; b=2 sets bit 3 so (0,2),(1,2) are codes 8,9
+    assert sorted(got[p] for p in [(0, 0), (1, 0), (0, 2), (1, 2)]) == [0, 1, 8, 9]
+
+
+def test_write_zordered_tightens_rowgroup_bounds(spark, tmp_path):
+    """Z-ordered files must have small per-file spans in BOTH
+    dimensions; a single-column sort leaves the other dimension's
+    span at full range in every file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.operators.layout import write_zordered
+
+    side = 64  # 64x64 grid
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(grid, zpath, ["x", "y"], bits=6, num_files=16)
+
+    import glob as g
+
+    spans_x, spans_y = [], []
+    for f in g.glob(zpath + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins = {"x": [], "y": []}
+        maxs = {"x": [], "y": []}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name].append(col.statistics.min)
+                    maxs[name].append(col.statistics.max)
+        if mins["x"]:
+            spans_x.append(max(maxs["x"]) - min(mins["x"]))
+            spans_y.append(max(maxs["y"]) - min(mins["y"]))
+    # 16 files over a 64x64 grid → each file covers a ~16x16 z-block:
+    # both dimensions' spans must be far below the full range (63)
+    assert spans_x and max(spans_x) <= 32 and max(spans_y) <= 32
+    # round-trip completeness
+    assert spark.read.parquet(zpath).count() == side * side
