@@ -58,6 +58,10 @@ HEADLINE = [
     "multimodal_decode_stats",
     "multimodal_audio_stats",
     "t6_smt_standard_chain",
+    "multimodal_video_frames",
+    "text_bigram_lm_bits",
+    "embedding_kmeans_step",
+    "events_zorder_code",
 ]
 
 
