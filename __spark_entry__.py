@@ -78,6 +78,7 @@ _DEFER_NEW = {
     "embedding_kmeans_step",
     "embedding_kmeans",
     "events_zorder_code",
+    "events_attribution_outer",
 }
 
 

@@ -2577,6 +2577,34 @@ FROM n CROSS JOIN f
 """
 
 
+def events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval attribution: every purchase, matched to
+    same-user clicks in the preceding hour or emitted unattributed
+    with NULL click columns — the batch twin of the watermarked outer
+    stream-stream join (streaming/windows.
+    interval_attribution_join_outer; stream==batch pinned in
+    tests/test_streaming_windows.py)."""
+    from kafkaconnect_spark.streaming.windows import interval_attribution_join_outer
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return interval_attribution_join_outer(clicks, purchases, lookback="1 hour")
+
+
+ATTRIBUTION_OUTER_ORACLE = """
+WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_ts,
+       p.purchase_value, (c.click_ts IS NOT NULL) AS attributed
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+  AND c.click_ts <= p.purchase_ts
+  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+"""
+
+
 def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order clustering key over two bucketed event
     dimensions (operators/layout.zorder_code) — the multi-column
@@ -2864,5 +2892,8 @@ QUERY_CATALOG.update(
         "embedding_kmeans_step": QueryDef(embedding_kmeans_step, KMEANS_STEP_ORACLE),
         "embedding_kmeans": QueryDef(embedding_kmeans, None),  # rows-only: iterative
         "events_zorder_code": QueryDef(events_zorder_code, ZORDER_ORACLE),
+        "events_attribution_outer": QueryDef(
+            events_attribution_outer, ATTRIBUTION_OUTER_ORACLE
+        ),
     }
 )

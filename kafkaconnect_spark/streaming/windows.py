@@ -162,6 +162,48 @@ def interval_attribution_join(
     )
 
 
+def interval_attribution_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    unattributed ones with NULL click columns, once the watermark
+    proves no matching click can still arrive (Structured Streaming
+    emits outer-join nulls only at watermark expiry; that's the
+    correctness contract, not a latency bug). Same state eviction
+    bound as the inner form. Batch twin: a plain left range join."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col(ts_col).alias("click_ts")
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+        F.col("click_ts").isNotNull().alias("attributed"),
+    )
+
+
 _USER_STATS_STATE = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -244,3 +244,40 @@ def test_running_user_stats_transform_with_state(spark, events_stream_dir):
     }
     for r in last.itertuples():
         assert abs(float(r.total_value) - sums[int(r.user_id)]) < 0.05
+
+
+def test_outer_interval_join_stream_equals_batch(spark, events_stream_dir):
+    """Outer interval join: the attributed subset must match batch
+    exactly. The NULL (unattributed) rows are watermark-gated in
+    streaming — Structured Streaming emits them only when the
+    watermark passes a row's join-window expiry, and with allowed
+    lateness spanning the dataset the stream ends first. That is the
+    documented contract (state not silently dropped, nulls deferred),
+    so the stream assertion covers the attributed subset and the
+    batch twin pins the full outer semantics."""
+    from kafkaconnect_spark.streaming.windows import interval_attribution_join_outer
+
+    batch = spark.read.parquet(events_stream_dir)
+    clicks = batch.where(F.col("event_type") == "click")
+    purchases = batch.where(F.col("event_type") == "purchase")
+    full = interval_attribution_join_outer(clicks, purchases).collect()
+    # batch twin: outer semantics fire — both attributed and not
+    assert any(r.click_ts is None for r in full)
+    assert any(r.click_ts is not None for r in full)
+    expected_attributed = {tuple(r) for r in full if r.click_ts is not None}
+
+    got = run_to_memory(
+        spark,
+        interval_attribution_join_outer(
+            _stream(spark, events_stream_dir).where(F.col("event_type") == "click"),
+            _stream(spark, events_stream_dir).where(F.col("event_type") == "purchase"),
+            watermark=FULL_SPAN,
+        ),
+        "outer_interval_out",
+        "append",
+    )
+    got_rows = got.collect()
+    got_attributed = {tuple(r) for r in got_rows if r.click_ts is not None}
+    assert got_attributed == expected_attributed and len(expected_attributed) > 0
+    # no spurious nulls before watermark expiry
+    assert all(r.click_ts is not None for r in got_rows)
