@@ -79,6 +79,8 @@ _DEFER_NEW = {
     "embedding_kmeans",
     "events_zorder_code",
     "events_attribution_outer",
+    "customers_entity_resolution",
+    "customers_rfm_segments",
 }
 
 

@@ -2577,6 +2577,129 @@ FROM n CROSS JOIN f
 """
 
 
+def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: candidate duplicate
+    customers via BLOCKED pairwise edit distance — block on
+    (nation, segment), compare names only within a block
+    (levenshtein ≤ 3), id_a < id_b. The blocking equi-join is the
+    scale contract: pairwise comparison volume is Σ block², never
+    corpus² — the MDM analogue of the LSH-banded dedup candidates.
+    levenshtein is the JVM built-in (codegen'd, no Python)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = cust.select(
+        F.col("c_nationkey"), F.col("c_mktsegment"),
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey"), F.col("c_mktsegment"),
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 3)
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+ENTITY_RES_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+WHERE a.c_custkey < b.c_custkey
+  AND levenshtein(a.c_name, b.c_name) <= 3
+"""
+
+
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with SCALE-CORRECT quartiles: per-customer
+    recency/frequency/monetary reduce in one groupBy, then each
+    metric's exact {p25, p50, p75} — one 9-double aggregate — comes
+    back as a broadcast fence and the quartile is a narrow comparison
+    sum. A global ntile() would serialize every customer through one
+    task (the q15 anti-pattern); thresholds keep every stage
+    distributed. Decimal money sums; percentiles rounded to 6 before
+    comparison so bucket edges replay engine-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("monetary"),
+    ).withColumn("rec_days", F.datediff(F.lit("1999-01-01").cast("date"), F.col("last_order")))
+    fence = m.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, cast({q} as double))"), 6).alias(
+                f"__{c}_{int(q * 100)}"
+            )
+            for c in ("rec_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    with_f = m.crossJoin(F.broadcast(fence))
+    # quartile 1..4 = 1 + fences crossed (recency: more days = worse
+    # = higher bucket; frequency/monetary: more = better = bucket 1)
+    return with_f.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        (
+            F.lit(1)
+            + (F.col("rec_days") > F.col("__rec_days_25")).cast("int")
+            + (F.col("rec_days") > F.col("__rec_days_50")).cast("int")
+            + (F.col("rec_days") > F.col("__rec_days_75")).cast("int")
+        ).alias("r_quartile"),
+        (
+            F.lit(4)
+            - (F.col("frequency") > F.col("__frequency_25")).cast("int")
+            - (F.col("frequency") > F.col("__frequency_50")).cast("int")
+            - (F.col("frequency") > F.col("__frequency_75")).cast("int")
+        ).alias("f_quartile"),
+        (
+            F.lit(4)
+            - (F.col("monetary") > F.col("__monetary_25")).cast("int")
+            - (F.col("monetary") > F.col("__monetary_50")).cast("int")
+            - (F.col("monetary") > F.col("__monetary_75")).cast("int")
+        ).alias("m_quartile"),
+    )
+
+
+RFM_ORACLE = """
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate::DATE) AS last_order,
+         count(*) AS frequency,
+         sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS monetary
+  FROM orders GROUP BY 1),
+m2 AS (SELECT *, date_diff('day', last_order, DATE '1999-01-01') AS rec_days FROM m),
+f AS (SELECT round(quantile_cont(rec_days, 0.25), 6) AS r25,
+             round(quantile_cont(rec_days, 0.5), 6) AS r50,
+             round(quantile_cont(rec_days, 0.75), 6) AS r75,
+             round(quantile_cont(frequency, 0.25), 6) AS f25,
+             round(quantile_cont(frequency, 0.5), 6) AS f50,
+             round(quantile_cont(frequency, 0.75), 6) AS f75,
+             round(quantile_cont(monetary, 0.25), 6) AS m25,
+             round(quantile_cont(monetary, 0.5), 6) AS m50,
+             round(quantile_cont(monetary, 0.75), 6) AS m75
+      FROM m2)
+SELECT custkey, last_order, frequency, monetary,
+       1 + (rec_days > r25)::INT + (rec_days > r50)::INT + (rec_days > r75)::INT
+         AS r_quartile,
+       4 - (frequency > f25)::INT - (frequency > f50)::INT - (frequency > f75)::INT
+         AS f_quartile,
+       4 - (monetary > m25)::INT - (monetary > m50)::INT - (monetary > m75)::INT
+         AS m_quartile
+FROM m2 CROSS JOIN f
+"""
+
+
 def events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval attribution: every purchase, matched to
     same-user clicks in the preceding hour or emitted unattributed
@@ -2895,5 +3018,9 @@ QUERY_CATALOG.update(
         "events_attribution_outer": QueryDef(
             events_attribution_outer, ATTRIBUTION_OUTER_ORACLE
         ),
+        "customers_entity_resolution": QueryDef(
+            customers_entity_resolution, ENTITY_RES_ORACLE
+        ),
+        "customers_rfm_segments": QueryDef(customers_rfm_segments, RFM_ORACLE),
     }
 )
