@@ -81,6 +81,9 @@ _DEFER_NEW = {
     "events_attribution_outer",
     "customers_entity_resolution",
     "customers_rfm_segments",
+    "parts_copurchase_edges",
+    "parts_pagerank_step",
+    "orders_profile",
 }
 
 

@@ -2577,6 +2577,146 @@ FROM n CROSS JOIN f
 """
 
 
+def parts_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph build: parts appearing in the same order,
+    weighted by co-occurrence count (≥ 2 to prune noise). One
+    self-equi-join on the order key (pairs per order ≈ lines², map-
+    side-combined count) — the standard market-basket edge list."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+COPURCHASE_ORACLE = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def parts_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration over the symmetrized co-purchase
+    graph (uniform init, d = 0.85): contributions explode along edges,
+    reduce per target, rank = 0.15 + 0.85·Σ pr/deg. The per-edge term
+    rounds to 7 and DECIMAL-sums (order-independent ⇒ engine-exact).
+    Iterating to convergence is this same shape in a loop with the
+    connected-components checkpoint discipline; one oracled step pins
+    the semantics."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+    edges = und.select("part_a", "part_b").unionByName(
+        und.select(
+            F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b")
+        )
+    )
+    deg = edges.groupBy(F.col("part_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    contrib = edges.join(deg, edges.part_a == deg.node).select(
+        F.col("part_b").alias("node"),
+        F.expr("cast(round(cast(1.0 as double) / deg, 7) as decimal(20,7))").alias("__c"),
+    )
+    return (
+        contrib.groupBy("node")
+        .agg(F.sum("__c").alias("__s"))
+        .select(
+            "node",
+            F.round(
+                F.lit(0.15) + F.lit(0.85) * F.col("__s").cast("double"), 6
+            ).alias("pagerank"),
+        )
+    )
+
+
+PAGERANK_ORACLE = """
+WITH und AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT part_a, part_b FROM und
+          UNION ALL SELECT part_b, part_a FROM und),
+deg AS (SELECT part_a AS node, count(*) AS deg FROM edges GROUP BY 1),
+contrib AS (SELECT e.part_b AS node,
+                   round(1.0::DOUBLE / d.deg, 7)::DECIMAL(20,7) AS c
+            FROM edges e JOIN deg d ON e.part_a = d.node)
+SELECT node, round(0.15 + 0.85 * sum(c)::DOUBLE, 6) AS pagerank
+FROM contrib GROUP BY node
+"""
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table in long format — per
+    column: null fraction, distinct count, min/max (as strings). One
+    pass per metric family, all map-side-combined aggregates; the
+    long-format output is a driver-side pivot of a 1-row aggregate
+    (control plane), never a per-row explode."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        )
+    ).withColumn(
+        "null_frac", F.round(F.col("n_nulls") / F.col("n_rows"), 6)
+    )
+
+
+PROFILE_ORACLE = """
+WITH s AS (SELECT
+  count(*) AS n,
+  sum((o_orderkey IS NULL)::INT) AS k_nulls, count(DISTINCT o_orderkey) AS k_d,
+  min(o_orderkey::VARCHAR) AS k_min, max(o_orderkey::VARCHAR) AS k_max,
+  sum((o_custkey IS NULL)::INT) AS c_nulls, count(DISTINCT o_custkey) AS c_d,
+  min(o_custkey::VARCHAR) AS c_min, max(o_custkey::VARCHAR) AS c_max,
+  sum((o_orderstatus IS NULL)::INT) AS s_nulls, count(DISTINCT o_orderstatus) AS s_d,
+  min(o_orderstatus::VARCHAR) AS s_min, max(o_orderstatus::VARCHAR) AS s_max,
+  sum((o_totalprice IS NULL)::INT) AS p_nulls, count(DISTINCT o_totalprice) AS p_d,
+  min(o_totalprice::VARCHAR) AS p_min, max(o_totalprice::VARCHAR) AS p_max,
+  sum((o_orderdate IS NULL)::INT) AS d_nulls, count(DISTINCT o_orderdate) AS d_d,
+  min(o_orderdate::VARCHAR) AS d_min, max(o_orderdate::VARCHAR) AS d_max
+  FROM orders)
+SELECT u.* , round(u.n_nulls / u.n_rows, 6) AS null_frac FROM (
+  SELECT 'o_orderkey' AS column_name, n AS n_rows, k_nulls AS n_nulls,
+         k_d AS n_distinct, k_min AS min_str, k_max AS max_str FROM s
+  UNION ALL SELECT 'o_custkey', n, c_nulls, c_d, c_min, c_max FROM s
+  UNION ALL SELECT 'o_orderstatus', n, s_nulls, s_d, s_min, s_max FROM s
+  UNION ALL SELECT 'o_totalprice', n, p_nulls, p_d, p_min, p_max FROM s
+  UNION ALL SELECT 'o_orderdate', n, d_nulls, d_d, d_min, d_max FROM s) u
+"""
+
+
 def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage: candidate duplicate
     customers via BLOCKED pairwise edit distance — block on
@@ -3022,5 +3162,8 @@ QUERY_CATALOG.update(
             customers_entity_resolution, ENTITY_RES_ORACLE
         ),
         "customers_rfm_segments": QueryDef(customers_rfm_segments, RFM_ORACLE),
+        "parts_copurchase_edges": QueryDef(parts_copurchase_edges, COPURCHASE_ORACLE),
+        "parts_pagerank_step": QueryDef(parts_pagerank_step, PAGERANK_ORACLE),
+        "orders_profile": QueryDef(orders_profile, PROFILE_ORACLE),
     }
 )
