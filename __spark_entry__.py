@@ -84,6 +84,7 @@ _DEFER_NEW = {
     "parts_copurchase_edges",
     "parts_pagerank_step",
     "orders_profile",
+    "parts_pagerank",
 }
 
 

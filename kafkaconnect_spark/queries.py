@@ -2661,6 +2661,21 @@ FROM contrib GROUP BY node
 """
 
 
+def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PageRank (3 rounds) over the symmetrized co-purchase graph
+    (operators/graph.pagerank): per round one contribution join + one
+    keyed reduce, decimal-exact, rank vector lineage-truncated.
+    Iterative ⇒ rows-only at the driver; exactness pinned against a
+    pure-Python reference in tests/test_graph.py."""
+    from kafkaconnect_spark.operators.graph import pagerank as pr
+
+    und = parts_copurchase_edges(spark, sf_dir).select("part_a", "part_b")
+    edges = und.unionByName(
+        und.select(F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"))
+    ).select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    return pr(edges, n_rounds=3)
+
+
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the orders table in long format — per
     column: null fraction, distinct count, min/max (as strings). One
@@ -3165,5 +3180,6 @@ QUERY_CATALOG.update(
         "parts_copurchase_edges": QueryDef(parts_copurchase_edges, COPURCHASE_ORACLE),
         "parts_pagerank_step": QueryDef(parts_pagerank_step, PAGERANK_ORACLE),
         "orders_profile": QueryDef(orders_profile, PROFILE_ORACLE),
+        "parts_pagerank": QueryDef(parts_pagerank, None),  # rows-only: iterative
     }
 )
