@@ -62,6 +62,10 @@ HEADLINE = [
     "text_bigram_lm_bits",
     "embedding_kmeans_step",
     "events_zorder_code",
+    "customers_entity_resolution",
+    "customers_rfm_segments",
+    "parts_copurchase_edges",
+    "orders_profile",
 ]
 
 

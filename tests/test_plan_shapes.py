@@ -305,3 +305,27 @@ def test_sliding_window_no_python_no_cartesian(spark):
     assert "partial_count" in p or "HashAggregate" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_entity_resolution_blocked_equi_join(spark):
+    # blocking must be an equi-join on (nation, segment) — never a
+    # cartesian pairwise compare; levenshtein stays JVM-side
+    p = plan(spark, "customers_entity_resolution")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rfm_fence_broadcasts_no_global_window(spark):
+    # quartiles come from a broadcast percentile fence, never a
+    # global ntile window (single-task sort at scale)
+    p = plan(spark, "customers_rfm_segments", mode="simple")
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_copurchase_is_keyed_self_join(spark):
+    p = plan(spark, "parts_copurchase_edges", mode="simple")
+    assert "CartesianProduct" not in p, p
+    # count reduces map-side before the exchange
+    fp = plan(spark, "parts_copurchase_edges")
+    assert "partial_count" in fp, fp
