@@ -194,15 +194,23 @@ def _pair_intersections(
     broadcast-built), so capping changes CANDIDATES only — never the
     reported intersection of a surviving pair."""
     sh = sharr.select(F.col(id_col), F.explode("__sh").alias("shingle"))
-    if max_doc_freq is None:
-        joinable = sh
-    else:
+    if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > max_doc_freq)
             .select("shingle")
         )
+        # control-plane probe (≤1 row): when NO shingle exceeds the
+        # cap — the common case on clean corpora — the anti-join, the
+        # per-doc hot sets, and the two correction joins are pure
+        # overhead (~1/3 of the operator's wall locally). The probe
+        # costs one df aggregation, which the cap path pays anyway.
+        if not hot.take(1):
+            max_doc_freq = None
+    if max_doc_freq is None:
+        joinable = sh
+    else:
         joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
     inter = (
         joinable.alias("a")

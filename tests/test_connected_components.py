@@ -97,8 +97,17 @@ def test_ngram_cap_defaults_on_and_prunes_hot_join(spark):
     ]
     df = spark.createDataFrame(rows)
 
+    # a cap that BINDS (df-30 boilerplate > 10) keeps the anti-join
+    capped_plan = (
+        dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=10)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "LeftAnti" in capped_plan  # hot-shingle pruning when hot exists
+    # the default cap (10k) finds NO hot shingle here: the control-
+    # plane probe elides the correction machinery entirely
     default_plan = dedup.ngram_jaccard_pairs(df, threshold=0.5)._jdf.queryExecution().toString()
-    assert "LeftAnti" in default_plan  # hot-shingle pruning in the default plan
+    assert "LeftAnti" not in default_plan
     exact_plan = (
         dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=None)
         ._jdf.queryExecution()

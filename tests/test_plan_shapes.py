@@ -260,10 +260,22 @@ def test_span_dup_single_pass_over_persisted_spans(spark):
 
 
 def test_containment_candidates_carry_hot_shingle_cap(spark):
-    # default max_doc_freq must prune hot shingles from the candidate
-    # join (broadcast anti-join), like the Jaccard path
+    # when a shingle exceeds max_doc_freq the candidate join must
+    # carry the broadcast anti-join prune; when none does, the
+    # control-plane probe elides the correction machinery entirely
+    from kafkaconnect_spark.operators import dedup
+    from kafkaconnect_spark.queries import _t
+
+    docs = _t(spark, SF, "documents")
+    forced = dedup.containment_pairs(docs, threshold=0.4, max_doc_freq=1)
+    fp = forced._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "LeftAnti" in fp, fp
+    # gate-default path (cap 10k, no hot shingles at this SF): no
+    # anti-join, no correction joins, no cartesian
     p = plan(spark, "dedup_containment", mode="simple")
-    assert "LeftAnti" in p, p
+    assert "LeftAnti" not in p, p
     assert "CartesianProduct" not in p, p
 
 
