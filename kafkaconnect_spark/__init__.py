@@ -5,7 +5,8 @@ Re-implements the capability surface of the reference repo
 SpoolDir CSV source, SMT transforms, JSON/Avro converters, offset
 management) as idiomatic Spark Structured Streaming, plus the
 large-scale training-data-pipeline extensions (dedup, similarity
-search, text analysis, multimodal columns).
+search, k-means, text analysis incl. BPE tokenizer training, real
+uncompressed-media codecs, graph analytics, Z-order layout).
 
 Design stance (see SURVEY.md §7):
 - DataFrame/SQL first; Catalyst does the optimizing.
