@@ -45,11 +45,15 @@ def pagerank(
     ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     ed.count()
 
+    # the node set joins into EVERY round — persist it once or each
+    # round re-runs the union+distinct aggregation from the edge scan
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    nodes.count()
     ranks = nodes.select("node", F.lit(1.0).alias("pagerank"))
     for _ in range(n_rounds):
         contrib = (
@@ -75,4 +79,5 @@ def pagerank(
             )
         )
     ed.unpersist()
+    nodes.unpersist()  # ranks is checkpointed — no lineage back to nodes
     return ranks
