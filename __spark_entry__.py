@@ -85,6 +85,8 @@ _DEFER_NEW = {
     "parts_pagerank_step",
     "orders_profile",
     "parts_pagerank",
+    "orders_diff_snapshots",
+    "events_interarrival_stats",
 }
 
 

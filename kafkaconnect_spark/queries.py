@@ -2577,6 +2577,130 @@ FROM n CROSS JOIN f
 """
 
 
+def orders_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the validation pass a CDC MERGE pipeline runs
+    between table versions: FULL OUTER join on the key, classifying
+    rows added / removed / changed / unchanged. v2 is derived
+    deterministically in-query (every 97th key deleted, every 101st
+    repriced) so the diff is self-contained and oracle-replayable.
+    Scale shape: one keyed full-outer join (both sides co-partition on
+    the key), classification is a narrow expression; output is the
+    per-class count summary, not the row-level diff."""
+    v1 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    v2 = v1.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.round(F.col("price") + 10.0, 2)
+        ).otherwise(F.col("price")).alias("price"),
+    )
+    j = v1.select(F.col("o_orderkey"), F.col("price").alias("p1")).join(
+        v2.select(F.col("o_orderkey"), F.col("price").alias("p2")),
+        "o_orderkey",
+        "full_outer",
+    )
+    cls = (
+        F.when(F.col("p1").isNull(), F.lit("added"))
+        .when(F.col("p2").isNull(), F.lit("removed"))
+        .when(F.col("p1") != F.col("p2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("diff_class"))
+        .groupBy("diff_class")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+DIFF_ORACLE = """
+WITH v1 AS (SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders),
+v2 AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 101 = 0 THEN round(price + 10.0, 2)
+                   ELSE price END AS price
+       FROM v1 WHERE o_orderkey % 97 != 0),
+j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+             a.price AS p1, b.price AS p2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+SELECT CASE WHEN p1 IS NULL THEN 'added'
+            WHEN p2 IS NULL THEN 'removed'
+            WHEN p1 != p2 THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       count(*) AS n_rows
+FROM j GROUP BY 1
+"""
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-interarrival profile: median / p90 / max gap in
+    seconds. The lag is a PER-USER window (keyed — never global).
+
+    Quantiles are NEAREST-RANK order statistics over integer
+    microseconds, selected from the sorted per-user gap array — no
+    interpolation anywhere. Interpolated midpoints land on exact
+    .xxxxx5 values where Spark (rounds the decimal repr, HALF_UP) and
+    DuckDB (rounds the binary double) disagree by construction;
+    selecting an actual element and dividing the exact integer by 1e6
+    is bit-identical in any engine. State is the per-user gap array
+    (bounded by per-user activity); for pathological hot users swap
+    in the sketches module's approx quantiles — the keyed plan shape
+    is unchanged."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("__prev", F.lag("ts").over(w))
+        .where(F.col("__prev").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__prev"))
+            ).alias("gap_us"),
+        )
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sort_array(F.collect_list("gap_us")).alias("__sorted"),
+    )
+    med_idx = "cast(floor((n_gaps - 1) / 2) + 1 as int)"  # lower median
+    p90_idx = (
+        "cast(greatest(1, least(n_gaps, cast(ceil(0.9 * n_gaps) as bigint))) as int)"
+    )
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        (F.expr(f"element_at(__sorted, {med_idx})") / F.lit(1000000.0)).alias(
+            "median_gap_s"
+        ),
+        (F.expr(f"element_at(__sorted, {p90_idx})") / F.lit(1000000.0)).alias(
+            "p90_gap_s"
+        ),
+        (F.expr("element_at(__sorted, cast(n_gaps as int))") / F.lit(1000000.0)).alias(
+            "max_gap_s"
+        ),
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS gap_us
+  FROM events),
+a AS (SELECT user_id, count(*) AS n_gaps,
+             list_sort(list(gap_us)) AS srt
+      FROM g WHERE gap_us IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps,
+       srt[(floor((n_gaps - 1) / 2))::INT + 1] / 1000000.0 AS median_gap_s,
+       srt[greatest(1, least(n_gaps, ceil(0.9 * n_gaps)::INT))] / 1000000.0
+         AS p90_gap_s,
+       srt[n_gaps] / 1000000.0 AS max_gap_s
+FROM a
+"""
+
+
 def parts_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase graph build: parts appearing in the same order,
     weighted by co-occurrence count (≥ 2 to prune noise). One
@@ -3181,5 +3305,9 @@ QUERY_CATALOG.update(
         "parts_pagerank_step": QueryDef(parts_pagerank_step, PAGERANK_ORACLE),
         "orders_profile": QueryDef(orders_profile, PROFILE_ORACLE),
         "parts_pagerank": QueryDef(parts_pagerank, None),  # rows-only: iterative
+        "orders_diff_snapshots": QueryDef(orders_diff_snapshots, DIFF_ORACLE),
+        "events_interarrival_stats": QueryDef(
+            events_interarrival_stats, INTERARRIVAL_ORACLE
+        ),
     }
 )
