@@ -539,7 +539,12 @@ def bigram_lm_score(
         .select(
             F.col(id_col),
             "n_bigrams",
-            F.round(-F.col("__s").cast("double") / F.col("n_bigrams"), 6).alias(
+            # NO final round: the decimal sum → double → one division
+            # is already bit-identical in any engine, while round(…,6)
+            # diverges when the value's shortest repr sits on a .5
+            # boundary (Spark rounds the repr HALF_UP, DuckDB rounds
+            # the binary double)
+            (-F.col("__s").cast("double") / F.col("n_bigrams")).alias(
                 "bits_per_bigram"
             ),
         )

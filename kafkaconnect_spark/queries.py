@@ -2527,7 +2527,7 @@ terms AS (SELECT p2.doc_id,
           FROM p2 JOIN bc USING (a, b) JOIN uc USING (a) CROSS JOIN v),
 sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(term) AS s
        FROM terms GROUP BY doc_id)
-SELECT doc_id, n_bigrams, round(-(s::DOUBLE) / n_bigrams, 6) AS bits_per_bigram
+SELECT doc_id, n_bigrams, -(s::DOUBLE) / n_bigrams AS bits_per_bigram
 FROM sc
 UNION ALL
 SELECT doc_id, 0, 0.0 FROM d

@@ -379,8 +379,9 @@ def test_bigram_lm_score_exact_hand_computed(spark):
     out = {r.doc_id: r for r in pipeline.bigram_lm_score(df).collect()}
     p_ab = (3 + 1) / (4 + 4)
     p_ac = (1 + 1) / (4 + 4)
-    want_ab = round(-round(math.log2(p_ab), 7), 6)
-    want_ac = round(-round(math.log2(p_ac), 7), 6)
+    # engine emits the raw decimal-sum/count division (no final round)
+    want_ab = -round(math.log2(p_ab), 7)
+    want_ac = -round(math.log2(p_ac), 7)
     for i in (1, 2, 3):
         assert out[i].n_bigrams == 1 and abs(out[i].bits_per_bigram - want_ab) < 1e-9
     assert out[4].n_bigrams == 1 and abs(out[4].bits_per_bigram - want_ac) < 1e-9
