@@ -591,25 +591,33 @@ def norm_outliers(
             6,
         ).alias("norm"),
     )
-    # percentiles are rounded to 6 BEFORE the fence arithmetic: the
-    # interpolation step may differ by ulps across engines, but the
-    # fence formula below then runs on identical doubles (IEEE ops on
-    # identical inputs are engine-exact), so flags replay bit-for-bit
-    fence = norms.agg(
-        F.round(F.expr(f"percentile(norm, cast({lo_q} as double))"), 6).alias("__plo"),
-        F.round(F.expr(f"percentile(norm, cast({hi_q} as double))"), 6).alias("__phi"),
+    # percentiles interpolate over INTEGER micro-units of the 6-decimal
+    # norms: even-count midpoints are then exact (x or x.5 — both
+    # representable), so the percentile, the fence arithmetic, and
+    # every comparison are bit-identical in any engine. Rounding an
+    # interpolated value at its own precision instead would diverge
+    # whenever the midpoint's 7th digit is 5 (Spark rounds the decimal
+    # repr HALF_UP, DuckDB rounds the binary double).
+    # explicit round-then-cast for the micro-units: norm*1e6 carries
+    # double noise around the integer, and a bare cast TRUNCATES in
+    # Spark but ROUNDS in DuckDB — round(…, 0) first is identical in
+    # both (the true value is integral, never .5)
+    withu = norms.withColumn(
+        "__nu", F.round(F.col("norm") * F.lit(1000000.0), 0).cast("bigint")
+    )
+    fence = withu.agg(
+        F.expr(f"percentile(__nu, cast({lo_q} as double))").alias("__plo"),
+        F.expr(f"percentile(__nu, cast({hi_q} as double))").alias("__phi"),
     ).select(
-        "__plo",
-        "__phi",
         (F.col("__plo") - whisker * (F.col("__phi") - F.col("__plo"))).alias("__lo"),
         (F.col("__phi") + whisker * (F.col("__phi") - F.col("__plo"))).alias("__hi"),
     )
-    return norms.crossJoin(F.broadcast(fence)).select(
+    return withu.crossJoin(F.broadcast(fence)).select(
         F.col(id_col),
         F.col("norm"),
-        F.round("__lo", 6).alias("fence_lo"),
-        F.round("__hi", 6).alias("fence_hi"),
-        ((F.col("norm") < F.col("__lo")) | (F.col("norm") > F.col("__hi"))).alias(
+        (F.col("__lo") / F.lit(1000000.0)).alias("fence_lo"),
+        (F.col("__hi") / F.lit(1000000.0)).alias("fence_hi"),
+        ((F.col("__nu") < F.col("__lo")) | (F.col("__nu") > F.col("__hi"))).alias(
             "is_outlier"
         ),
     )

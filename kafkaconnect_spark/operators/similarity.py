@@ -448,7 +448,10 @@ def kmeans_step(
         "cell",
         "dim",
         "n_members",
-        F.round(F.col("__s").cast("double") / F.col("n_members"), 6).alias(
+        # NO final round: decimal sum → double → one division is
+        # bit-identical in any engine; round(…,6) diverges when the
+        # rational quotient's shortest repr sits on a .5 boundary
+        (F.col("__s").cast("double") / F.col("n_members")).alias(
             "centroid_value"
         ),
     )

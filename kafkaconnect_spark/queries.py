@@ -2567,13 +2567,14 @@ NORM_OUTLIER_ORACLE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
            WHERE len(embedding) > 0),
 n AS (SELECT vec_id, round(sqrt(list_dot_product(vec, vec)), 6) AS norm FROM v),
-p AS (SELECT round(quantile_cont(norm, 0.25), 6) AS plo,
-             round(quantile_cont(norm, 0.75), 6) AS phi FROM n),
+u AS (SELECT vec_id, norm, round(norm * 1000000.0)::BIGINT AS nu FROM n),
+p AS (SELECT quantile_cont(nu, 0.25) AS plo, quantile_cont(nu, 0.75) AS phi
+      FROM u),
 f AS (SELECT plo - 1.5 * (phi - plo) AS lo, phi + 1.5 * (phi - plo) AS hi FROM p)
 SELECT vec_id, norm,
-       round(lo, 6) AS fence_lo, round(hi, 6) AS fence_hi,
-       (norm < lo OR norm > hi) AS is_outlier
-FROM n CROSS JOIN f
+       lo / 1000000.0 AS fence_lo, hi / 1000000.0 AS fence_hi,
+       (nu < lo OR nu > hi) AS is_outlier
+FROM u CROSS JOIN f
 """
 
 
@@ -3063,7 +3064,7 @@ e AS (SELECT cell, generate_subscripts(vec, 1) - 1 AS dim,
       FROM cells),
 m AS (SELECT cell, dim, sum(x) AS s FROM e GROUP BY cell, dim)
 SELECT m.cell, m.dim::INT AS dim, n.n_members,
-       round(s::DOUBLE / n.n_members, 6) AS centroid_value
+       s::DOUBLE / n.n_members AS centroid_value
 FROM m JOIN n USING (cell)
 """
 
