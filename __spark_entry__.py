@@ -87,6 +87,9 @@ _DEFER_NEW = {
     "parts_pagerank",
     "orders_diff_snapshots",
     "events_interarrival_stats",
+    "events_windowed_topk",
+    "orders_monthly_growth",
+    "lineitem_latency_histogram",
 }
 
 

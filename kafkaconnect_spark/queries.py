@@ -2578,6 +2578,121 @@ FROM u CROSS JOIN f
 """
 
 
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hourly window — the continuous
+    heavy-hitters shape. The rank window partitions BY WINDOW (keyed —
+    never global), so at scale each hour ranks independently; counts
+    reduce map-side first."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n_events", "rank")
+    )
+
+
+WINDOWED_TOPK_ORACLE = """
+WITH c AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type ASC) AS rank
+      FROM c)
+SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 3
+"""
+
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume and revenue growth — the lag
+    window runs over the MONTH-AGGREGATED frame (tens of rows), never
+    the fact table; growth is an int/int and decimal/decimal division
+    emitted unrounded (bit-identical; rounding rational quotients is
+    the engine-divergent trap)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast(T.DecimalType(18, 2)))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    return (
+        m.withColumn("__pn", F.lag("n_orders").over(w))
+        .withColumn("__pr", F.lag("revenue").over(w))
+        .select(
+            "month",
+            "n_orders",
+            "revenue",
+            (
+                (F.col("n_orders") - F.col("__pn")) / F.col("__pn")
+            ).alias("orders_growth"),
+            ((F.col("revenue") - F.col("__pr")) / F.col("__pr")).alias(
+                "revenue_growth"
+            ),
+        )
+    )
+
+
+MONTHLY_GROWTH_ORACLE = """
+WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+                  count(*) AS n_orders,
+                  sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS revenue
+           FROM orders GROUP BY 1),
+l AS (SELECT *, lag(n_orders) OVER (ORDER BY month) AS pn,
+             lag(revenue) OVER (ORDER BY month) AS pr
+      FROM m)
+SELECT month, n_orders, revenue,
+       (n_orders - pn) / pn AS orders_growth,
+       (revenue - pr) / pr AS revenue_growth
+FROM l
+"""
+
+
+def lineitem_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram: days between order date and
+    line ship date, fixed 30-day bins — the binning/profiling shape.
+    The fact-fact join is keyed on the order key; the histogram
+    reduces map-side to a handful of bins."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.floor(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                / 30
+            ).alias("latency_bin_30d")
+        )
+        .groupBy("latency_bin_30d")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+LATENCY_HIST_ORACLE = """
+SELECT floor(date_diff('day', o_orderdate::DATE, l_shipdate::DATE) / 30)::BIGINT
+         AS latency_bin_30d,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def orders_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — the validation pass a CDC MERGE pipeline runs
     between table versions: FULL OUTER join on the key, classifying
@@ -3309,6 +3424,13 @@ QUERY_CATALOG.update(
         "orders_diff_snapshots": QueryDef(orders_diff_snapshots, DIFF_ORACLE),
         "events_interarrival_stats": QueryDef(
             events_interarrival_stats, INTERARRIVAL_ORACLE
+        ),
+        "events_windowed_topk": QueryDef(events_windowed_topk, WINDOWED_TOPK_ORACLE),
+        "orders_monthly_growth": QueryDef(
+            orders_monthly_growth, MONTHLY_GROWTH_ORACLE
+        ),
+        "lineitem_latency_histogram": QueryDef(
+            lineitem_latency_histogram, LATENCY_HIST_ORACLE
         ),
     }
 )
