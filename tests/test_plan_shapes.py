@@ -341,3 +341,18 @@ def test_copurchase_is_keyed_self_join(spark):
     # count reduces map-side before the exchange
     fp = plan(spark, "parts_copurchase_edges")
     assert "partial_count" in fp, fp
+
+
+def test_windowed_topk_rank_is_window_keyed(spark):
+    # the rank partitions by window — a global rank would serialize
+    # every (window, type) row through one task
+    import re
+
+    p = plan(spark, "events_windowed_topk")
+    assert re.search(r"windowspecdefinition\(window_start#\d+", p), p
+
+
+def test_latency_histogram_reduces_mapside(spark):
+    p = plan(spark, "lineitem_latency_histogram")
+    assert "partial_count" in p, p  # bins collapse before the exchange
+    assert "CartesianProduct" not in p
