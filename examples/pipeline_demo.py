@@ -1,0 +1,99 @@
+"""End-to-end training-data pipeline demo — the composition story.
+
+Chains the real operators over the driver testdata exactly the way a
+100 TB curation run would (same plan shapes, small inputs):
+
+  read documents
+    → quality screen        (Gopher repetition rules)
+    → exact dedup           (md5 fingerprint groupBy)
+    → near dedup            (MinHash+LSH banded candidates + verify,
+                             connected components, keep min-id)
+    → decontaminate         (zero-join Bloom probe vs the test split)
+    → tokenize              (learned BPE merge table)
+    → pack + shard          (sequence packing, shard assignment)
+
+Run: python examples/pipeline_demo.py [sf_dir]
+Prints one line per stage: docs in → docs out.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.operators import dedup, pipeline
+from kafkaconnect_spark.operators.bpe import apply_bpe, learn_bpe_merges
+from kafkaconnect_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("pipeline-demo", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafkaconnect_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"ingest            : {n0} docs")
+
+    # 1. quality screen
+    kept = pipeline.gopher_repetition_stats(docs).where(F.col("keep"))
+    quality = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    n1 = quality.count()
+    print(f"quality screen    : {n0} -> {n1}")
+
+    # 2. exact dedup (keep one representative per fingerprint)
+    reps = dedup.exact_dedup(quality)
+    exact = quality.join(reps.select("doc_id"), "doc_id", "left_semi")
+    n2 = exact.count()
+    print(f"exact dedup       : {n1} -> {n2}")
+
+    # 3. near dedup: banded candidates -> verified pairs -> components
+    pairs = dedup.minhash_dedup_pairs(exact, threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    near = exact.join(drop, "doc_id", "left_anti")
+    n3 = near.count()
+    dedup.release_cached(pairs)
+    print(f"near dedup        : {n2} -> {n3}")
+
+    # 4. decontamination vs a held-out split (zero-join Bloom probe)
+    test_split = pipeline.split_assign(near, "doc_id").where(
+        F.col("split") == "test"
+    )
+    train_split = near.join(
+        test_split.select("doc_id"), "doc_id", "left_anti"
+    )
+    flagged = pipeline.bloom_contamination(train_split, test_split)
+    n_contaminated = flagged.where(F.col("contamination") > 0.5).count()
+    print(
+        f"decontaminate     : {test_split.count()} held-out docs, "
+        f"{n_contaminated} flagged >50% contaminated"
+    )
+
+    # 5. tokenize with a learned BPE table
+    merges = learn_bpe_merges(train_split, num_merges=8)
+    seg = apply_bpe(train_split, merges)
+    total_tokens = seg.agg(F.sum("n_tokens")).collect()[0][0]
+    print(f"bpe tokenize      : {len(merges)} merges, {total_tokens} tokens")
+
+    # 6. pack + shard
+    packed = pipeline.pack_sequences(
+        train_split.withColumn("lang", F.lit("en")), budget=512
+    )
+    n_bins = packed.select("lang", "bin_id").distinct().count()
+    shards = pipeline.shard_assignment(train_split, shards=4)
+    print(
+        f"pack + shard      : {n_bins} bins of 512 tokens, "
+        f"{shards.select('shard_id').distinct().count()} shards"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
