@@ -69,3 +69,66 @@ def group_quantile_sketch(
         group_col,
         *[F.col("__qs")[i].alias(n) for i, n in enumerate(names)],
     )
+
+
+def frequent_items_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distributed Misra–Gries heavy hitters: per-partition MG(k)
+    summaries merged by summing counters and keeping the top-k —
+    O(k) state per partition and one k-row-per-partition exchange,
+    never a full groupBy of the key space.
+
+    Guarantees (the sketch contract, partitioning-independent even
+    though the counter VALUES are not): every key with true frequency
+    > n/(k+1) is present, and each reported count lower-bounds the
+    true count with error ≤ n/(k+1). Error bounds are asserted vs
+    exact counts in tests/test_sketches.py; like the other sketches
+    this is approximate by design, so it carries no value-hash oracle.
+
+    Returns (key, min_count, n_total) — min_count is the MG
+    lower-bound counter after the merge."""
+    import pandas as pd
+
+    col = df.select(F.col(key_col).cast("string").alias("k"))
+
+    def partition_mg(batches):
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            for v in pdf["k"]:
+                n += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step (dict comp, drop zeros)
+                    counters = {c: m - 1 for c, m in counters.items() if m > 1}
+        yield pd.DataFrame(
+            {
+                "k": list(counters) + ["\x00__n__"],
+                "cnt": list(counters.values()) + [n],
+            }
+        )
+
+    import pyspark.sql.types as T
+
+    summaries = col.mapInPandas(
+        partition_mg, T.StructType(
+            [T.StructField("k", T.StringType()), T.StructField("cnt", T.LongType())]
+        )
+    )
+    merged = summaries.groupBy("k").agg(F.sum("cnt").alias("cnt"))
+    n_total = merged.where(F.col("k") == "\x00__n__")
+    items = merged.where(F.col("k") != "\x00__n__")
+    return (
+        items.crossJoin(
+            F.broadcast(n_total.select(F.col("cnt").alias("n_total")))
+        )
+        .orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(k)
+        .select(F.col("k").alias(key_col), F.col("cnt").alias("min_count"), "n_total")
+    )

@@ -84,3 +84,38 @@ def test_minhash_banding_validation():
         _check_banding(4, 8)   # rows-per-band 0 → all docs collide
     with pytest.raises(ValueError):
         _check_banding(18, 4)  # remainder silently dropped
+
+
+def test_frequent_items_guarantees(spark):
+    """MG contract: every key above n/(k+1) reported; counts
+    lower-bound truth within n/(k+1) — and the guarantee holds
+    regardless of partitioning."""
+    import random
+
+    from kafkaconnect_spark.operators.sketches import frequent_items_sketch
+
+    rng = random.Random(7)
+    # skewed stream: two heavy keys + a long tail
+    vals = (["hot1"] * 4000 + ["hot2"] * 2500
+            + [f"t{rng.randrange(500)}" for _ in range(3500)])
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "key STRING")
+    exact = {r.key: r.n for r in df.groupBy("key").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    n, k = len(vals), 32
+    for parts in (1, 7):
+        got = {
+            r.key: r.min_count
+            for r in frequent_items_sketch(df.repartition(parts), "key", k=k).collect()
+        }
+        bound = n / (k + 1)
+        # heavy keys must be present
+        assert "hot1" in got and "hot2" in got
+        for key, cnt in got.items():
+            assert cnt <= exact[key]                   # lower bound
+            assert exact[key] - cnt <= bound * parts + 1e-9  # bounded error
+        # every key above the merged threshold appears
+        for key, true_n in exact.items():
+            if true_n > bound * parts:
+                assert key in got, key
