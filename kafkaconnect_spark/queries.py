@@ -1808,8 +1808,8 @@ SPLIT_ORACLE = rf"""
 WITH d AS (SELECT *, {_hash64_sql('doc_id', 'split')} % 16 AS b FROM documents)
 SELECT CASE WHEN b <= 13 THEN 'train' WHEN b = 14 THEN 'valid' ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum({_NTOK_SQL}) AS n_tokens,
-       sum(n_chars) AS sum_chars
+       sum({_NTOK_SQL})::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS sum_chars
 FROM d GROUP BY 1
 """
 
@@ -1829,7 +1829,7 @@ def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_ORACLE = rf"""
 SELECT lang, count(*) AS n_total,
-       sum(CASE WHEN {_hash64_sql('doc_id', 'sample')} % 10 < 2 THEN 1 ELSE 0 END) AS n_sampled
+       sum(CASE WHEN {_hash64_sql('doc_id', 'sample')} % 10 < 2 THEN 1 ELSE 0 END)::BIGINT AS n_sampled
 FROM documents GROUP BY lang
 """
 
@@ -2038,10 +2038,10 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_ORACLE = rf"""
 WITH r AS (SELECT lang, doc_id, {_NTOK_SQL} AS n_tok FROM documents),
 b AS (SELECT lang,
-             (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) // 2048 AS bin_id,
+             ((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) // 2048)::BIGINT AS bin_id,
              n_tok
       FROM r)
-SELECT lang, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+SELECT lang, bin_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
        round(sum(n_tok) / 2048.0, 6) AS fill_ratio
 FROM b GROUP BY lang, bin_id
 """
@@ -2088,9 +2088,9 @@ f AS (
   FROM m),
 g AS (SELECT *, quality_ok AND n_tok BETWEEN 20 AND 2000 AS len_ok FROM f)
 SELECT count(*) AS n_total,
-       sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_lang_ok,
-       sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS n_quality_ok,
-       sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS n_len_ok,
+       sum(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang_ok,
+       sum(CASE WHEN quality_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_ok,
+       sum(CASE WHEN len_ok THEN 1 ELSE 0 END)::BIGINT AS n_len_ok,
        count(DISTINCT CASE WHEN len_ok
              THEN md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) END) AS n_unique
 FROM g
@@ -2951,15 +2951,15 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_ORACLE = """
 WITH s AS (SELECT
   count(*) AS n,
-  sum((o_orderkey IS NULL)::INT) AS k_nulls, count(DISTINCT o_orderkey) AS k_d,
+  sum((o_orderkey IS NULL)::INT)::BIGINT AS k_nulls, count(DISTINCT o_orderkey) AS k_d,
   min(o_orderkey::VARCHAR) AS k_min, max(o_orderkey::VARCHAR) AS k_max,
-  sum((o_custkey IS NULL)::INT) AS c_nulls, count(DISTINCT o_custkey) AS c_d,
+  sum((o_custkey IS NULL)::INT)::BIGINT AS c_nulls, count(DISTINCT o_custkey) AS c_d,
   min(o_custkey::VARCHAR) AS c_min, max(o_custkey::VARCHAR) AS c_max,
-  sum((o_orderstatus IS NULL)::INT) AS s_nulls, count(DISTINCT o_orderstatus) AS s_d,
+  sum((o_orderstatus IS NULL)::INT)::BIGINT AS s_nulls, count(DISTINCT o_orderstatus) AS s_d,
   min(o_orderstatus::VARCHAR) AS s_min, max(o_orderstatus::VARCHAR) AS s_max,
-  sum((o_totalprice IS NULL)::INT) AS p_nulls, count(DISTINCT o_totalprice) AS p_d,
+  sum((o_totalprice IS NULL)::INT)::BIGINT AS p_nulls, count(DISTINCT o_totalprice) AS p_d,
   min(o_totalprice::VARCHAR) AS p_min, max(o_totalprice::VARCHAR) AS p_max,
-  sum((o_orderdate IS NULL)::INT) AS d_nulls, count(DISTINCT o_orderdate) AS d_d,
+  sum((o_orderdate IS NULL)::INT)::BIGINT AS d_nulls, count(DISTINCT o_orderdate) AS d_d,
   min(o_orderdate::VARCHAR) AS d_min, max(o_orderdate::VARCHAR) AS d_max
   FROM orders)
 SELECT u.* , round(u.n_nulls / u.n_rows, 6) AS null_frac FROM (
@@ -3150,7 +3150,7 @@ WITH b AS (SELECT event_id,
 SELECT event_id, user_bucket, value_bucket,
        list_sum([(((user_bucket >> i) & 1)::BIGINT << (2 * i))
                  + (((value_bucket >> i) & 1)::BIGINT << (2 * i + 1))
-                 FOR i IN range(0, 10)]) AS zcode
+                 FOR i IN range(0, 10)])::BIGINT AS zcode
 FROM b
 """
 

@@ -120,14 +120,22 @@ def main() -> int:
             print(f"pass {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_types = [str(t).upper() for t in rel.types]
+            duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         problems = []
+        # the driver canonicalizes DuckDB HUGEINT (int128) differently
+        # from Spark BIGINT even when the values are equal — our str()
+        # canon masks that, so surface the TYPE as a hard failure here
+        # (cast the oracle aggregate ::BIGINT; r2 lost 4 rows to this)
+        huge = [c for c, t in zip(duck_cols, duck_types) if "HUGEINT" in t]
+        if huge:
+            problems.append(f"oracle emits HUGEINT column(s) {huge} — cast ::BIGINT")
         if sorted(df.columns) != sorted(duck_cols):
             problems.append(f"cols spark={sorted(df.columns)} duck={sorted(duck_cols)}")
         if len(spark_rows) != len(duck_rows):
