@@ -77,22 +77,33 @@ def frequent_items_sketch(
     k: int = 64,
 ) -> DataFrame:
     """Distributed Misra–Gries heavy hitters: per-partition MG(k)
-    summaries merged by summing counters and keeping the top-k —
-    O(k) state per partition and one k-row-per-partition exchange,
-    never a full groupBy of the key space.
+    summaries combined with the standard mergeable-summaries merge
+    (Agarwal et al. 2013, "Mergeable Summaries", public): sum the
+    counters key-wise, then subtract the (k+1)-th largest merged
+    counter from every key and keep the strictly-positive ones. The
+    subtraction is what preserves the single-summary error bound
+    under merging — a bare top-k truncation of the summed counters
+    can evict a barely-heavy key behind > k moderate ones.
 
-    Guarantees (the sketch contract, partitioning-independent even
-    though the counter VALUES are not): every key with true frequency
-    > n/(k+1) is present, and each reported count lower-bounds the
-    true count with error ≤ n/(k+1). Error bounds are asserted vs
-    exact counts in tests/test_sketches.py; like the other sketches
-    this is approximate by design, so it carries no value-hash oracle.
+    State is O(k) per partition and the exchange is ≤ k rows per
+    partition — never a full groupBy of the key space. NULL keys are
+    excluded up front (same convention as count(DISTINCT)); n_total
+    counts non-null rows.
+
+    Guarantees (partitioning-independent even though the counter
+    VALUES are not): every key with true frequency > n/(k+1) is
+    present, and each reported count lower-bounds the true count with
+    error ≤ n/(k+1). Asserted vs exact counts in
+    tests/test_sketches.py; approximate by design → no value-hash
+    oracle.
 
     Returns (key, min_count, n_total) — min_count is the MG
     lower-bound counter after the merge."""
     import pandas as pd
 
-    col = df.select(F.col(key_col).cast("string").alias("k"))
+    col = df.select(F.col(key_col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
 
     def partition_mg(batches):
         counters: dict[str, int] = {}
@@ -122,13 +133,111 @@ def frequent_items_sketch(
         )
     )
     merged = summaries.groupBy("k").agg(F.sum("cnt").alias("cnt"))
+    # ≤ k·partitions rows total — persist so the offset pass and the
+    # final filter don't re-run the sketch scan
+    merged = merged.persist()
     n_total = merged.where(F.col("k") == "\x00__n__")
     items = merged.where(F.col("k") != "\x00__n__")
-    return (
-        items.crossJoin(
-            F.broadcast(n_total.select(F.col("cnt").alias("n_total")))
+    # (k+1)-th largest merged counter = the merge-step offset
+    # (control plane: k+1 counter VALUES, not data)
+    top = items.select("cnt").orderBy(F.col("cnt").desc()).limit(k + 1).collect()
+    offset = int(top[-1].cnt) if len(top) == k + 1 else 0
+    out = (
+        items.withColumn("cnt", F.col("cnt") - F.lit(offset))
+        .where(F.col("cnt") > 0)  # ≤ k rows survive by construction
+        .crossJoin(F.broadcast(n_total.select(F.col("cnt").alias("n_total"))))
+        .select(
+            F.col("k").alias(key_col), F.col("cnt").alias("min_count"), "n_total"
         )
-        .orderBy(F.col("cnt").desc(), F.col("k").asc())
-        .limit(k)
-        .select(F.col("k").alias(key_col), F.col("cnt").alias("min_count"), "n_total")
+    )
+    return out
+
+
+def kmv_cardinality_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Per-group K-Minimum-Values distinct-count sketch (Bar-Yossef
+    et al. 2002, "Counting distinct elements in a data stream",
+    public): keep the k smallest distinct 60-bit hashes per group;
+    with U(k) the k-th smallest hash as a fraction of the hash space,
+    estimate = (k-1) / U(k). Groups with fewer than k distinct hashes
+    report the exact distinct count (the sketch is exact below k).
+
+    Unlike HLL++ (group_cardinality_sketch) whose register layout is
+    engine-internal, KMV over the shared md5 hash64 is DETERMINISTIC
+    across engines, runs, and partitionings — so this estimator can
+    carry a value-hash oracle; `approx_count_distinct` remains the
+    built-in production alternative.
+
+    Scale shape: a per-partition bottom-k partial (mapInPandas, O(k)
+    state) bounds the exchange to ≤ k rows per (group, partition) —
+    the global bottom-k of distinct hashes is contained in the union
+    of per-partition bottom-ks, so the merge is exact. NULL keys are
+    excluded (count(DISTINCT) convention).
+
+    Returns (group, n_rows, kmv_distinct)."""
+    import pandas as pd
+
+    from kafkaconnect_spark.functions.text import hash64
+
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        hash64(F.col(key_col).cast("string"), seed).alias("h"),
+    ).where(F.col("h").isNotNull())
+
+    def partial(batches):
+        best: dict[object, set[int]] = {}
+        for pdf in batches:
+            for g, h in zip(pdf["g"], pdf["h"]):
+                s = best.setdefault(g, set())
+                s.add(int(h))
+                if len(s) > 8 * k:  # amortized trim
+                    best[g] = set(sorted(s)[:k])
+        rows_g, rows_h = [], []
+        for g, s in best.items():
+            for h in sorted(s)[:k]:
+                rows_g.append(g)
+                rows_h.append(h)
+        yield pd.DataFrame({"g": rows_g, "h": rows_h})
+
+    import pyspark.sql.types as T
+
+    g_type = df.schema[group_col].dataType
+    partials = hashed.mapInPandas(
+        partial,
+        T.StructType(
+            [T.StructField("g", g_type), T.StructField("h", T.LongType())]
+        ),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h")
+    bottom = partials.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    sk = bottom.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth")
+    )
+    n_rows = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    # hash space = 2^60 (15 hex chars); (k-1)·2^60 exceeds BIGINT so
+    # the ratio is formed in double — exact: both factors are powers
+    # of two times small ints
+    space = float(2**60)
+    est = F.when(F.col("n_seen") < k, F.col("n_seen")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(space) / F.col("kth").cast("double"))
+        .cast("long")
+    )
+    return (
+        n_rows.join(sk, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            F.coalesce(est, F.lit(0)).cast("long").alias("kmv_distinct"),
+        )
     )

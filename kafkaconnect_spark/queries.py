@@ -2318,16 +2318,36 @@ SELECT doc_id, token, tf, df, weight, rank FROM ranked WHERE rank <= 3
 
 
 def events_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users + approx value-quantiles per event type —
-    constant sketch state per group at any scale (operators/sketches).
-    Approximate by design → no value oracle; accuracy contracts live
-    in tests/test_sketches.py against exact answers."""
+    """Distinct users per event type via a K-Minimum-Values sketch
+    (operators/sketches.kmv_cardinality_sketch): O(k) state per
+    (group, partition), exchange bounded at k rows per partition.
+    Unlike HLL++/percentile_approx (group_cardinality_sketch /
+    group_quantile_sketch — the built-in production variants, error-
+    bound-tested in tests/test_sketches.py), KMV over the shared md5
+    hash64 is engine-deterministic, so this sketch carries a full
+    value-hash oracle."""
     from kafkaconnect_spark.operators import sketches
 
     ev = _events(spark, sf_dir)
-    card = sketches.group_cardinality_sketch(ev, "event_type", "user_id")
-    quant = sketches.group_quantile_sketch(ev, "event_type", "value")
-    return card.join(quant, "event_type")
+    return sketches.kmv_cardinality_sketch(ev, "event_type", "user_id", k=256)
+
+
+CARDINALITY_KMV_ORACLE = f"""
+WITH h AS (SELECT DISTINCT event_type,
+                  {_hash64_sql('user_id', 'kmv')} AS h FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+s AS (SELECT event_type, count(*) AS n_seen, max(h) AS kth
+      FROM r WHERE rn <= 256 GROUP BY 1),
+n AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1)
+SELECT n.event_type, n.n_rows,
+       coalesce(CASE WHEN s.n_seen < 256 THEN s.n_seen
+                     ELSE round(255.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                                / s.kth)::BIGINT END,
+                0)::BIGINT AS kmv_distinct
+FROM n LEFT JOIN s USING (event_type)
+"""
 
 
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2916,6 +2936,42 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr(edges, n_rounds=3)
 
 
+def _pagerank_full_oracle(n_rounds: int) -> str:
+    """Unrolled DuckDB replay of operators/graph.pagerank: the loop is
+    a fixed round count of deterministic decimal-exact steps, so each
+    round becomes one (contrib → left-join) CTE pair. The float
+    literals mirror the engine bit-for-bit: the engine computes the
+    base rank as the DOUBLE expression 1.0 - 0.85 (which is NOT the
+    double nearest 0.15), so the oracle writes the same subtraction
+    instead of a 0.15 literal."""
+    sql = """
+WITH und AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT part_a AS src, part_b AS dst FROM und
+          UNION ALL SELECT part_b, part_a FROM und),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, 1.0::DOUBLE AS pagerank FROM nodes)"""
+    for t in range(n_rounds):
+        sql += f""",
+c{t} AS (SELECT ed.dst AS node,
+                sum(round(r.pagerank / ed.deg, 7)::DECIMAL(20,7)) AS s
+         FROM ed JOIN r{t} r ON ed.src = r.node GROUP BY ed.dst),
+r{t + 1} AS (SELECT n.node,
+                  round((1.0::DOUBLE - 0.85::DOUBLE)
+                        + 0.85::DOUBLE * coalesce(c.s::DOUBLE, 0.0::DOUBLE),
+                        6) AS pagerank
+           FROM nodes n LEFT JOIN c{t} c USING (node))"""
+    return sql + f"\nSELECT node, pagerank FROM r{n_rounds}"
+
+
+PARTS_PAGERANK_ORACLE = _pagerank_full_oracle(3)
+
+
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the orders table in long format — per
     column: null fraction, distinct count, min/max (as strings). One
@@ -3373,7 +3429,9 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "events_weekly_retention": QueryDef(events_weekly_retention, RETENTION_ORACLE),
     "events_funnel_conversion": QueryDef(events_funnel_conversion, FUNNEL_ORACLE),
     "text_langid_confusion": QueryDef(text_langid_confusion, LANGID_CONFUSION_ORACLE),
-    "events_cardinality_sketch": QueryDef(events_cardinality_sketch, None),
+    "events_cardinality_sketch": QueryDef(
+        events_cardinality_sketch, CARDINALITY_KMV_ORACLE
+    ),
     "sampling_balance_sources": QueryDef(sampling_balance_sources, BALANCE_ORACLE),
     "docs_shard_assignment": QueryDef(docs_shard_assignment, SHARD_ORACLE),
     "dedup_span_frac": QueryDef(dedup_span_frac, SPAN_DUP_ORACLE),
@@ -3420,7 +3478,7 @@ QUERY_CATALOG.update(
         "parts_copurchase_edges": QueryDef(parts_copurchase_edges, COPURCHASE_ORACLE),
         "parts_pagerank_step": QueryDef(parts_pagerank_step, PAGERANK_ORACLE),
         "orders_profile": QueryDef(orders_profile, PROFILE_ORACLE),
-        "parts_pagerank": QueryDef(parts_pagerank, None),  # rows-only: iterative
+        "parts_pagerank": QueryDef(parts_pagerank, PARTS_PAGERANK_ORACLE),
         "orders_diff_snapshots": QueryDef(orders_diff_snapshots, DIFF_ORACLE),
         "events_interarrival_stats": QueryDef(
             events_interarrival_stats, INTERARRIVAL_ORACLE

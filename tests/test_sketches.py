@@ -87,9 +87,10 @@ def test_minhash_banding_validation():
 
 
 def test_frequent_items_guarantees(spark):
-    """MG contract: every key above n/(k+1) reported; counts
-    lower-bound truth within n/(k+1) — and the guarantee holds
-    regardless of partitioning."""
+    """MG contract with the mergeable-summaries merge (sum, subtract
+    the (k+1)-th largest, keep positive): every key above n/(k+1)
+    reported; counts lower-bound truth within n/(k+1) — the SINGLE-
+    summary bound, independent of partitioning."""
     import random
 
     from kafkaconnect_spark.operators.sketches import frequent_items_sketch
@@ -104,18 +105,57 @@ def test_frequent_items_guarantees(spark):
         __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
     ).collect()}
     n, k = len(vals), 32
+    bound = n / (k + 1)
     for parts in (1, 7):
-        got = {
-            r.key: r.min_count
-            for r in frequent_items_sketch(df.repartition(parts), "key", k=k).collect()
-        }
-        bound = n / (k + 1)
+        out = frequent_items_sketch(df.repartition(parts), "key", k=k).collect()
+        assert len(out) <= k
+        got = {r.key: r.min_count for r in out}
         # heavy keys must be present
         assert "hot1" in got and "hot2" in got
         for key, cnt in got.items():
             assert cnt <= exact[key]                   # lower bound
-            assert exact[key] - cnt <= bound * parts + 1e-9  # bounded error
-        # every key above the merged threshold appears
+            assert exact[key] - cnt <= bound + 1e-9    # merged ≤ n/(k+1)
+        # every key above the threshold appears — partitioning-free
         for key, true_n in exact.items():
-            if true_n > bound * parts:
+            if true_n > bound:
                 assert key in got, key
+
+
+def test_frequent_items_null_keys_excluded(spark):
+    from kafkaconnect_spark.operators.sketches import frequent_items_sketch
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], "key STRING"
+    )
+    out = frequent_items_sketch(df, "key", k=4).collect()
+    keys = {r.key for r in out}
+    assert None not in keys
+    assert all(r.n_total == 3 for r in out)  # non-null rows only
+
+
+def test_kmv_cardinality(spark):
+    """KMV contract: exact below k; within ~3/sqrt(k) relative error
+    above k; deterministic under repartitioning; nulls excluded."""
+    from kafkaconnect_spark.operators.sketches import kmv_cardinality_sketch
+
+    rows = [("small", f"s{i % 37}") for i in range(500)]
+    rows += [("big", f"b{i}") for i in range(20000)]
+    rows += [("nulls", None)] * 10
+    df = spark.createDataFrame(rows, "g STRING, key STRING")
+    k = 256
+    for parts in (1, 13):
+        got = {
+            r.g: (r.n_rows, r.kmv_distinct)
+            for r in kmv_cardinality_sketch(
+                df.repartition(parts), "g", "key", k=k
+            ).collect()
+        }
+        assert got["small"] == (500, 37)          # exact below k
+        assert got["nulls"] == (10, 0)            # nulls excluded
+        n_rows, est = got["big"]
+        assert n_rows == 20000
+        assert abs(est - 20000) <= 3 / (k ** 0.5) * 20000  # ~3σ
+    # determinism across partitionings
+    a = kmv_cardinality_sketch(df.repartition(1), "g", "key", k=k).collect()
+    b = kmv_cardinality_sketch(df.repartition(13), "g", "key", k=k).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
