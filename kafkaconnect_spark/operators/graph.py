@@ -33,11 +33,23 @@ def pagerank(
     power iterations from uniform rank 1.0, with the non-normalized
     per-node form pr = (1−d) + d·Σ pr(j)/deg(j).
 
-    Engine-exact: each edge contribution pr(j)/deg(j) rounds to 7 and
-    DECIMAL-sums per target; dangling nodes (no out-edges) keep rank
-    (1−d). Each round's rank vector is lineage-truncated — without it
-    the plan nests one join level per round and analysis dies long
-    before compute does (same pathology as connected components)."""
+    Engine-exact via FIXED-POINT INTEGER arithmetic: ranks live in
+    1e-6 units (BIGINT ``__r6``), per-edge contributions
+    round-half-up to 1e-7 units (``(20·r6 + deg) div (2·deg)``), and
+    the damping update rounds back to 1e-6 — every step is integer,
+    so results are bit-identical across engines, partitionings, and
+    float-rounding conventions (a double ``round()`` here is NOT
+    portable: Spark rounds the shortest decimal repr via BigDecimal
+    HALF_UP while e.g. DuckDB rounds the binary value — the two
+    disagree on knife-edge values). Damping is taken at integer
+    percent resolution. Dangling nodes (no out-edges) keep rank
+    (1−d). Each round's rank vector is lineage-truncated — without
+    it the plan nests one join level per round and analysis dies
+    long before compute does (same pathology as connected
+    components)."""
+    p = int(round(damping * 100))
+    if abs(p / 100.0 - damping) > 1e-12:
+        raise ValueError(f"damping must have integer-percent resolution: {damping}")
     ckpt = _make_ckpt(edges.sparkSession, checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
@@ -54,30 +66,31 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes.count()
-    ranks = nodes.select("node", F.lit(1.0).alias("pagerank"))
+    base6 = (100 - p) * 10**4  # (1-d) in 1e-6 rank units
+    ranks = nodes.select("node", F.lit(10**6).cast("long").alias("__r6"))
     for _ in range(n_rounds):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                F.expr(
-                    "cast(round(pagerank / __deg, 7) as decimal(20,7))"
-                ).alias("__c"),
+                # round_half_up(10·r6 / deg): rank/deg in 1e-7 units
+                F.expr("(20 * __r6 + __deg) div (2 * __deg)").alias("__c7"),
             )
             .groupBy("node")
-            .agg(F.sum("__c").alias("__s"))
+            .agg(F.sum("__c7").alias("__s7"))
         )
         ranks = ckpt(
             nodes.join(contrib, "node", "left").select(
                 "node",
-                F.round(
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
-                    6,
-                ).alias("pagerank"),
+                # base + round_half_up(p·s7 / 1000), all in 1e-6 units
+                F.expr(
+                    f"cast({base6} + ({2 * p} * coalesce(__s7, 0) + 1000) "
+                    "div 2000 as bigint)"
+                ).alias("__r6"),
             )
         )
     ed.unpersist()
     nodes.unpersist()  # ranks is checkpointed — no lineage back to nodes
-    return ranks
+    return ranks.select(
+        "node", (F.col("__r6").cast("double") / F.lit(1000000.0)).alias("pagerank")
+    )

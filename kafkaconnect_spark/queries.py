@@ -2511,14 +2511,83 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE: learn 10 merges from the corpus (iterative
     vocab-table rounds — operators/bpe.learn_bpe_merges), then segment
     every doc with the learned table (narrow constant-folded merge
-    chain). Iterative training is not SQL-expressible, so this entry
-    is rows-only at the driver; exactness is pinned against a pure-
-    Python reference in tests/test_bpe.py."""
+    chain). The fixed round count makes the training mechanically
+    unrollable, so the oracle replays all 10 (count → argmax → merge)
+    rounds in SQL (_bpe_oracle); exactness is additionally pinned
+    against a pure-Python reference in tests/test_bpe.py."""
     from kafkaconnect_spark.operators.bpe import apply_bpe, learn_bpe_merges
 
     docs = _t(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, num_merges=10)
     return apply_bpe(docs, merges)
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    """Unrolled DuckDB replay of operators/bpe: each of the fixed
+    merge rounds is (pair-count → argmax → greedy merge) over the
+    word-frequency table, then the learned merges apply to every doc.
+
+    The greedy left-to-right merge fold is replayed as a string
+    replace over a boundary-safe encoding: each symbol wrapped in
+    single spaces (' s1  s2 ... sn '), adjacency = double space.
+    Symbols come from whitespace-split words so they contain no
+    spaces; a match of ' a  b ' therefore aligns exactly with an
+    adjacent symbol pair, and non-overlapping left-to-right
+    replacement (scan resumes after the replaced input, replaced
+    output never re-matched) is precisely the engine's fold
+    semantics (operators/bpe._MERGE_FOLD)."""
+    eow = "▁"
+    # wrapped-string round trip helpers
+    wrap = "' ' || array_to_string(syms, '  ') || ' '"
+    pat = "' ' || replace(b.pair, ' ', '  ') || ' '"
+    rep = "' ' || replace(b.pair, ' ', '') || ' '"
+    sql = rf"""
+WITH w AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+        x -> length(x) > 0)) AS word
+    FROM documents)
+  GROUP BY word),
+s0 AS (SELECT cnt, list_append([word[i] FOR i IN range(1, length(word) + 1)],
+                               '{eow}') AS syms
+       FROM w)"""
+    for t in range(num_merges):
+        sql += f""",
+p{t} AS (SELECT cnt, unnest([syms[i] || ' ' || syms[i + 1]
+                            FOR i IN range(1, len(syms))]) AS pair
+         FROM s{t} WHERE len(syms) >= 2),
+f{t} AS (SELECT pair, sum(cnt)::BIGINT AS freq FROM p{t} GROUP BY pair),
+b{t} AS (SELECT pair FROM f{t} ORDER BY freq DESC, pair ASC LIMIT 1),
+s{t + 1} AS (SELECT cnt,
+    str_split(trim(replace({wrap}, {pat}, {rep})), '  ') AS syms
+  FROM s{t} CROSS JOIN b{t} b)"""
+    # apply the learned merges to every document, word by word
+    sql += rf""",
+tk AS (SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+           x -> length(x) > 0) AS words
+       FROM documents),
+d0 AS (SELECT doc_id, list_transform(words,
+           w -> ' ' || array_to_string(
+                    list_append([w[i] FOR i IN range(1, length(w) + 1)],
+                                '{eow}'), '  ') || ' ') AS wstrs
+       FROM tk)"""
+    for t in range(num_merges):
+        sql += f""",
+d{t + 1} AS (SELECT doc_id, list_transform(wstrs,
+        s -> replace(s, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ')) AS wstrs
+    FROM d{t} CROSS JOIN b{t} b)"""
+    return sql + f"""
+SELECT doc_id, len(wstrs)::INT AS n_words,
+       coalesce(list_sum(list_transform(wstrs,
+                s -> len(str_split(trim(s), '  ')))), 0)::INT AS n_tokens
+FROM d{num_merges}
+"""
+
+
+BPE_TOKENIZE_ORACLE = _bpe_oracle(10)
 
 
 def text_bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2936,14 +3005,13 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr(edges, n_rounds=3)
 
 
-def _pagerank_full_oracle(n_rounds: int) -> str:
-    """Unrolled DuckDB replay of operators/graph.pagerank: the loop is
-    a fixed round count of deterministic decimal-exact steps, so each
-    round becomes one (contrib → left-join) CTE pair. The float
-    literals mirror the engine bit-for-bit: the engine computes the
-    base rank as the DOUBLE expression 1.0 - 0.85 (which is NOT the
-    double nearest 0.15), so the oracle writes the same subtraction
-    instead of a 0.15 literal."""
+def _pagerank_full_oracle(n_rounds: int, p: int = 85) -> str:
+    """Unrolled DuckDB replay of operators/graph.pagerank: the engine
+    iterates in FIXED-POINT INTEGER units (1e-6 ranks, 1e-7 edge
+    contributions, round-half-up as ``(2a+b) // (2b)``), so each
+    round is a pure-integer (contrib → left-join) CTE pair and the
+    replay is bit-exact with no float-rounding convention to match."""
+    base6 = (100 - p) * 10**4
     sql = """
 WITH und AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
@@ -2955,18 +3023,20 @@ edges AS (SELECT part_a AS src, part_b AS dst FROM und
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
 ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
-r0 AS (SELECT node, 1.0::DOUBLE AS pagerank FROM nodes)"""
+r0 AS (SELECT node, 1000000::BIGINT AS r6 FROM nodes)"""
     for t in range(n_rounds):
         sql += f""",
 c{t} AS (SELECT ed.dst AS node,
-                sum(round(r.pagerank / ed.deg, 7)::DECIMAL(20,7)) AS s
+                sum((20 * r.r6 + ed.deg) // (2 * ed.deg))::BIGINT AS s7
          FROM ed JOIN r{t} r ON ed.src = r.node GROUP BY ed.dst),
 r{t + 1} AS (SELECT n.node,
-                  round((1.0::DOUBLE - 0.85::DOUBLE)
-                        + 0.85::DOUBLE * coalesce(c.s::DOUBLE, 0.0::DOUBLE),
-                        6) AS pagerank
+                  ({base6} + ({2 * p} * coalesce(c.s7, 0) + 1000) // 2000
+                  )::BIGINT AS r6
            FROM nodes n LEFT JOIN c{t} c USING (node))"""
-    return sql + f"\nSELECT node, pagerank FROM r{n_rounds}"
+    return sql + (
+        f"\nSELECT node, r6::DOUBLE / 1000000.0::DOUBLE AS pagerank"
+        f" FROM r{n_rounds}"
+    )
 
 
 PARTS_PAGERANK_ORACLE = _pagerank_full_oracle(3)
@@ -3249,6 +3319,49 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_lloyd(emb, n_cells=8, n_rounds=5)
 
 
+def _kmeans_lloyd_oracle(n_cells: int, n_rounds: int) -> str:
+    """Unrolled DuckDB replay of operators/similarity.kmeans_lloyd —
+    the loop is a fixed count of deterministic steps (squared-
+    Euclidean argmin rounded to 6, tie → lowest cell; per-cell
+    per-dim round-7 decimal means; empty cells keep their centroid),
+    so each round becomes an (assign → update) CTE chain. Early
+    convergence in the engine is a fixpoint, so unrolling the full
+    count yields the identical final assignment."""
+    dist = (
+        "round(list_dot_product("
+        "[v.vec[i] - c.cvec[i] FOR i IN range(1, len(v.vec) + 1)], "
+        "[v.vec[i] - c.cvec[i] FOR i IN range(1, len(v.vec) + 1)]), 6)"
+    )
+    sql = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE len(embedding) > 0),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, vec AS cvec
+       FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_cells}))"""
+    for t in range(n_rounds + 1):
+        sql += f""",
+a{t} AS (SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dist} ASC, c.cell ASC) AS rn
+    FROM v CROSS JOIN c{t} c) WHERE rn = 1)"""
+        if t == n_rounds:
+            break
+        sql += f""",
+e{t} AS (SELECT a.cell, generate_subscripts(v.vec, 1) - 1 AS dim,
+                round(unnest(v.vec), 7)::DECIMAL(20,7) AS x
+         FROM a{t} a JOIN v USING (vec_id)),
+m{t} AS (SELECT cell, dim, sum(x) AS s, count(*) AS n
+         FROM e{t} GROUP BY cell, dim),
+nc{t} AS (SELECT cell, list(s::DOUBLE / n ORDER BY dim) AS cvec
+          FROM m{t} GROUP BY cell),
+c{t + 1} AS (SELECT c.cell, coalesce(n.cvec, c.cvec) AS cvec
+           FROM c{t} c LEFT JOIN nc{t} n USING (cell))"""
+    return sql + f"\nSELECT vec_id, cell::INT AS cell FROM a{n_rounds}"
+
+
+KMEANS_LLOYD_ORACLE = _kmeans_lloyd_oracle(8, 5)
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly window sliding every 15 min over the event stream — the
     overlapping-window shape of a Structured Streaming agg (each event
@@ -3463,10 +3576,10 @@ QUERY_CATALOG.update(
         "multimodal_audio_stats": QueryDef(multimodal_audio_stats, MM_AUDIO_ORACLE),
         "t6_smt_standard_chain": QueryDef(t6_smt_standard_chain, T6_ORACLE),
         "multimodal_video_frames": QueryDef(multimodal_video_frames, MM_VIDEO_ORACLE),
-        "text_bpe_tokenize": QueryDef(text_bpe_tokenize, None),  # rows-only: iterative
+        "text_bpe_tokenize": QueryDef(text_bpe_tokenize, BPE_TOKENIZE_ORACLE),
         "text_bigram_lm_bits": QueryDef(text_bigram_lm_bits, BIGRAM_LM_ORACLE),
         "embedding_kmeans_step": QueryDef(embedding_kmeans_step, KMEANS_STEP_ORACLE),
-        "embedding_kmeans": QueryDef(embedding_kmeans, None),  # rows-only: iterative
+        "embedding_kmeans": QueryDef(embedding_kmeans, KMEANS_LLOYD_ORACLE),
         "events_zorder_code": QueryDef(events_zorder_code, ZORDER_ORACLE),
         "events_attribution_outer": QueryDef(
             events_attribution_outer, ATTRIBUTION_OUTER_ORACLE

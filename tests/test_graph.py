@@ -1,25 +1,31 @@
-"""PageRank vs a pure-Python reference with the identical decimal
-contract, plus the structural properties that make it PageRank."""
+"""PageRank vs a pure-Python reference with the identical fixed-point
+integer contract, plus the structural properties that make it
+PageRank."""
 
 from __future__ import annotations
-
-from decimal import Decimal
 
 from kafkaconnect_spark.operators.graph import pagerank
 
 
 def _ref_pagerank(edge_list, n_rounds=10, d=0.85):
+    """Pure-Python twin of the engine's fixed-point arithmetic:
+    1e-6 rank units, 1e-7 contribution units, round-half-up via
+    (2a+b)//(2b)."""
+    p = round(d * 100)
     deg = {}
     for s, _t in edge_list:
         deg[s] = deg.get(s, 0) + 1
     nodes = {n for e in edge_list for n in e}
-    ranks = {n: 1.0 for n in nodes}
+    r6 = {n: 10**6 for n in nodes}
     for _ in range(n_rounds):
-        acc = {n: Decimal(0) for n in nodes}
+        s7 = {n: 0 for n in nodes}
         for s, t in edge_list:
-            acc[t] += Decimal(str(round(ranks[s] / deg[s], 7)))
-        ranks = {n: round(0.15 + d * float(acc[n]), 6) for n in nodes}
-    return ranks
+            s7[t] += (20 * r6[s] + deg[s]) // (2 * deg[s])
+        r6 = {
+            n: (100 - p) * 10**4 + (2 * p * s7[n] + 1000) // 2000
+            for n in nodes
+        }
+    return {n: r / 1e6 for n, r in r6.items()}
 
 
 def _spark_edges(spark, edge_list):
