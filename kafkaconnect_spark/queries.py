@@ -2906,12 +2906,28 @@ FROM a
 """
 
 
-def parts_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def parts_copurchase_edges(
+    spark: SparkSession, sf_dir: str, max_basket: int | None = 256
+) -> DataFrame:
     """Co-purchase graph build: parts appearing in the same order,
     weighted by co-occurrence count (≥ 2 to prune noise). One
     self-equi-join on the order key (pairs per order ≈ lines², map-
-    side-combined count) — the standard market-basket edge list."""
+    side-combined count) — the standard market-basket edge list.
+
+    ``max_basket`` (default 256, None to opt out) drops baskets with
+    more items than the cap BEFORE the self-join — the basket-size
+    guard mirroring the dedup hot-shingle cap: on adversarial data a
+    single bot/bulk order with 10⁵ items would alone explode into
+    10¹⁰ pairs; a real co-purchase signal never needs megabaskets.
+    On TPC-H shapes (≤ 7 lines/order) the cap is a no-op —
+    tests/test_graph.py pins that surviving edges are unchanged —
+    so the oracle needs no mirror."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if max_basket is not None:
+        sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__bsz"))
+        li = li.join(
+            sizes.where(F.col("__bsz") <= max_basket), "l_orderkey"
+        ).drop("__bsz")
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
     b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     return (
@@ -3074,6 +3090,42 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of orders_profile: swaps the five exact
+    countDistinct — which compile to an Expand (5× row
+    multiplication) plus a full-value shuffle including the PK
+    column — for approx_count_distinct (HLL++): one pass, constant
+    sketch state per column, no Expand. This is the documented scale
+    path for the daily data-health dashboard (operators/sketches
+    module rationale); the exact twin stays for the oracle gate.
+    Approximate → not in the driver catalog; accuracy pinned vs the
+    exact profile in tests/test_pipeline_ops.py."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        )
+    ).withColumn(
+        "null_frac", F.round(F.col("n_nulls") / F.col("n_rows"), 6)
+    )
+
+
 PROFILE_ORACLE = """
 WITH s AS (SELECT
   count(*) AS n,
@@ -3100,25 +3152,36 @@ SELECT u.* , round(u.n_nulls / u.n_rows, 6) AS null_frac FROM (
 
 def customers_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage: candidate duplicate
-    customers via BLOCKED pairwise edit distance — block on
-    (nation, segment), compare names only within a block
-    (levenshtein ≤ 3), id_a < id_b. The blocking equi-join is the
-    scale contract: pairwise comparison volume is Σ block², never
-    corpus² — the MDM analogue of the LSH-banded dedup candidates.
-    levenshtein is the JVM built-in (codegen'd, no Python)."""
+    customers via BLOCKED pairwise edit distance — the blocking key
+    is COMPOUND: (nation, segment, name-prefix) where the name
+    component is the name minus its last 3 characters. A fixed-
+    cardinality key like (nation, segment) alone is a scale-killer:
+    125 blocks means block size grows linearly with the corpus and
+    pairwise volume quadratically; the name-derived component bounds
+    block membership by name-space density, so Σ block² stays linear
+    in the corpus. The recall tradeoff (pairs whose edits touch the
+    blocked prefix are not candidates) is the standard blocking-
+    predicate contract in record linkage (Fellegi–Sunter practice);
+    widening recall = more blocking passes OR'd, or the LSH
+    machinery in operators/dedup. levenshtein is the JVM built-in
+    (codegen'd, no Python); the compound equi-join key is pinned in
+    tests/test_plan_shapes.py."""
     cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr(
+            "substring(c_name, 1, greatest(length(c_name) - 3, 1))"
+        ).alias("name_blk"),
     )
     a = cust.select(
-        F.col("c_nationkey"), F.col("c_mktsegment"),
+        F.col("c_nationkey"), F.col("c_mktsegment"), F.col("name_blk"),
         F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
     )
     b = cust.select(
-        F.col("c_nationkey"), F.col("c_mktsegment"),
+        F.col("c_nationkey"), F.col("c_mktsegment"), F.col("name_blk"),
         F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
     )
     return (
-        a.join(b, ["c_nationkey", "c_mktsegment"])
+        a.join(b, ["c_nationkey", "c_mktsegment", "name_blk"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("edit_dist") <= 3)
@@ -3132,6 +3195,8 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        levenshtein(a.c_name, b.c_name) AS edit_dist
 FROM customer a JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+  AND substr(a.c_name, 1, greatest(length(a.c_name) - 3, 1))
+      = substr(b.c_name, 1, greatest(length(b.c_name) - 3, 1))
 WHERE a.c_custkey < b.c_custkey
   AND levenshtein(a.c_name, b.c_name) <= 3
 """

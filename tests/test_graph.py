@@ -60,3 +60,16 @@ def test_pagerank_undirected_symmetry_and_checkpoint_mode(spark, tmp_path):
         ).collect()
     }
     assert got_ck == got
+
+
+def test_copurchase_basket_cap_noop_on_tpch(spark):
+    """The basket-size guard must not change edges on TPC-H shapes
+    (max 7 lines/order), and a tight cap must actually drop baskets."""
+    from kafkaconnect_spark.queries import parts_copurchase_edges
+
+    sf = "/root/testdata/sf0.001"
+    capped = parts_copurchase_edges(spark, sf).collect()
+    uncapped = parts_copurchase_edges(spark, sf, max_basket=None).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+    # a cap of 1 removes every multi-item basket -> no pairs at all
+    assert parts_copurchase_edges(spark, sf, max_basket=1).count() == 0

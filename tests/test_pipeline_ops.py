@@ -390,3 +390,27 @@ def test_bigram_lm_score_exact_hand_computed(spark):
     # short/empty docs report zero bigrams, zero bits
     assert (out[5].n_bigrams, out[5].bits_per_bigram) == (0, 0.0)
     assert (out[6].n_bigrams, out[6].bits_per_bigram) == (0, 0.0)
+
+
+def test_orders_profile_approx_matches_exact_within_rsd(spark):
+    """The approx (HLL++) profile variant — the documented 100 TB
+    path — must agree with the exact profile on everything except
+    n_distinct, and stay within ~5 sigma of the 2% rsd there."""
+    from kafkaconnect_spark.queries import orders_profile, orders_profile_approx
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.column_name: r for r in orders_profile(spark, sf).collect()}
+    approx = {r.column_name: r for r in orders_profile_approx(spark, sf).collect()}
+    assert exact.keys() == approx.keys()
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_str, a.max_str, a.null_frac) == (
+            e.n_rows, e.n_nulls, e.min_str, e.max_str, e.null_frac
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.1 * e.n_distinct)
+    # the scale win is structural: no Expand (the 5x row multiplier
+    # exact multi-countDistinct compiles to) in the approx plan
+    p = orders_profile_approx(spark, sf)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Expand" not in p, p

@@ -320,11 +320,22 @@ def test_sliding_window_no_python_no_cartesian(spark):
 
 
 def test_entity_resolution_blocked_equi_join(spark):
-    # blocking must be an equi-join on (nation, segment) — never a
-    # cartesian pairwise compare; levenshtein stays JVM-side
+    # blocking must be an equi-join — never a cartesian pairwise
+    # compare; levenshtein stays JVM-side
     p = plan(spark, "customers_entity_resolution")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the join key must include the name-derived blocking component:
+    # (nation, segment) alone has fixed cardinality (125 blocks), so
+    # block size — and pairwise volume, quadratically — would grow
+    # with the corpus
+    import re
+
+    join_lines = [
+        l for l in p.splitlines()
+        if "Join" in l or "Keys" in l.replace("keys", "Keys")
+    ]
+    assert any(re.search(r"name_blk#\d+", l) for l in join_lines), p
 
 
 def test_rfm_fence_broadcasts_no_global_window(spark):
