@@ -64,33 +64,9 @@ def _driver_covered() -> set[str]:
 # deferred names sort after the unproven block and clear naturally
 # once the older block gains rows (they then front-run the next round
 # as ordinary uncovered entries).
-_DEFER_NEW = {
-    "docs_bigram_topk",
-    "embedding_norm_outliers",
-    "events_sliding_window",
-    "events_anomaly_zscore",
-    "multimodal_decode_stats",
-    "multimodal_audio_stats",
-    "t6_smt_standard_chain",
-    "multimodal_video_frames",
-    "text_bpe_tokenize",
-    "text_bigram_lm_bits",
-    "embedding_kmeans_step",
-    "embedding_kmeans",
-    "events_zorder_code",
-    "events_attribution_outer",
-    "customers_entity_resolution",
-    "customers_rfm_segments",
-    "parts_copurchase_edges",
-    "parts_pagerank_step",
-    "orders_profile",
-    "parts_pagerank",
-    "orders_diff_snapshots",
-    "events_interarrival_stats",
-    "events_windowed_topk",
-    "orders_monthly_growth",
-    "lineitem_latency_histogram",
-}
+_DEFER_NEW: set[str] = set()  # r3: the r2-deferred block IS this round's
+# front window (30 unproven ≤ 50 slots); new r3-built queries go here
+# as they land so they cannot displace the older unproven block.
 
 
 def _ordered_names() -> list[str]:

@@ -112,7 +112,58 @@ def main() -> None:
     vs_prev = _vs_prev(timings, total, sf)
     if vs_prev is not None:
         out["vs_prev"] = vs_prev
+    # two lines: the FULL record first (per-query map + ratios), then a
+    # SHORT final line with totals only. The driver parses a bounded
+    # tail of stdout — r2's single line (46 queries + vs_prev) outgrew
+    # it and the round's bench recorded "parsed": null.
     print(json.dumps(out))
+    summary = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if vs_prev is not None:
+        summary["vs_prev"] = {
+            k: vs_prev[k]
+            for k in (
+                "baseline",
+                "comparable_total",
+                "comparable_prev_total",
+                "total_ratio",
+                "new_queries_total",
+                "regressions_over_2x",
+            )
+        }
+    print(json.dumps(summary))
+    # full local record for the NEXT round's vs_prev (the driver's own
+    # BENCH_r{N}.json now stores only the short summary): tagged with
+    # the current commit so a same-round re-run never compares against
+    # itself
+    try:
+        rec = dict(out)
+        rec["head"] = _git_head()
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), f"bench_full_sf{sf}.json"
+        )
+        with open(path, "w") as fh:
+            json.dump(rec, fh)
+    except OSError:
+        pass  # read-only checkout: vs_prev degrades, bench still reports
+
+
+def _git_head() -> str | None:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _vs_prev(
@@ -123,9 +174,24 @@ def _vs_prev(
     previous time is flagged; flags never fail the bench (the driver
     must still record a metric) but land in the JSON for the judge."""
     root = os.path.dirname(os.path.abspath(__file__))
-    prev_files = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     prev = None
-    for path in reversed(prev_files):
+    # preferred source: our own full per-query record from the prior
+    # round (the driver's BENCH_r{N}.json stores only the short
+    # summary since r3). Skip it when it was written at the CURRENT
+    # commit — that's a same-round re-run, not a baseline.
+    local = os.path.join(root, f"bench_full_sf{sf}.json")
+    try:
+        with open(local) as fh:
+            cand = json.load(fh)
+        if cand.get("queries") and (
+            cand.get("head") is None or cand.get("head") != _git_head()
+        ):
+            prev = cand
+            prev_name = os.path.basename(local)
+    except (OSError, ValueError):
+        pass
+    prev_files = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    for path in reversed(prev_files) if prev is None else []:
         try:
             with open(path) as fh:
                 cand = json.load(fh)
