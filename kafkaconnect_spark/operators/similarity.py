@@ -422,9 +422,13 @@ def kmeans_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """One Lloyd iteration, engine-exact: assign every vector to its
-    nearest deterministic centroid (the _ivf_index folded argmax —
-    narrow, no shuffle), then recompute per-cell per-dimension means.
+    """One SPHERICAL k-means iteration, engine-exact: assignment is
+    the _ivf_index COSINE-similarity argmax (narrow, no shuffle) —
+    the metric the IVF ANN index and SemDeDup cells use — then
+    per-cell per-dimension means are recomputed. NOTE this is NOT an
+    iteration of ``kmeans_lloyd`` (which assigns by squared
+    EUCLIDEAN distance); the two share the update step but not the
+    assignment metric, so they do not compose.
     Returns long-format (cell, dim, n_members, centroid_value) — the
     updated centroid table.
 
@@ -464,9 +468,11 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Full Lloyd's k-means with deterministic init (n_cells lowest-id
-    vectors) and a fixed round count — the clustering pass production
-    SemDeDup runs before within-cell pruning. Returns (id, cell).
+    """Full Lloyd's k-means (squared-EUCLIDEAN assignment — unlike
+    the spherical/cosine ``kmeans_step``) with deterministic init
+    (n_cells lowest-id vectors) and a fixed round count — the
+    clustering pass production SemDeDup runs before within-cell
+    pruning. Returns (id, cell).
 
     Spark shape (the same as MLlib's KMeans): assignment is a NARROW
     folded-centroid argmax per round (no shuffle, no join); the update
