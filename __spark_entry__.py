@@ -64,9 +64,20 @@ def _driver_covered() -> set[str]:
 # deferred names sort after the unproven block and clear naturally
 # once the older block gains rows (they then front-run the next round
 # as ordinary uncovered entries).
-_DEFER_NEW: set[str] = set()  # r3: the r2-deferred block IS this round's
-# front window (30 unproven ≤ 50 slots); new r3-built queries go here
-# as they land so they cannot displace the older unproven block.
+# r3: the r2-deferred block IS this round's front window (30 unproven
+# queries); new r3-built queries sort AFTER it so they cannot displace
+# the older unproven block — 30 + the r3 set still fits the 50-row
+# driver window.
+_DEFER_NEW: set[str] = {
+    "referential_integrity_audit",
+    "events_user_erasure_audit",
+    "events_key_skew_report",
+    "lineitem_price_histogram",
+    "mixture_epoch_schedule",
+    "events_sliding_distinct",
+    "events_funnel_timebound",
+    "docs_oov_rate",
+}
 
 
 def _ordered_names() -> list[str]:

@@ -3670,3 +3670,9 @@ QUERY_CATALOG.update(
         ),
     }
 )
+
+# round-3 additions (queries_r3.py; deferred in __spark_entry__
+# ordering until the r2 backlog has driver rows — see _DEFER_NEW)
+from kafkaconnect_spark.queries_r3 import R3_CATALOG as _R3  # noqa: E402
+
+QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3.items()})

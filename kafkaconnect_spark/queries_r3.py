@@ -1,0 +1,423 @@
+"""Round-3 catalog additions — data-quality audits, planner
+diagnostics, mixture scheduling, windowed distinct, time-bound
+funnels, OOV accounting (beyond-reference Phase E surface; the
+reference has no aggregations at all, SURVEY §2.7).
+
+Same determinism rules as queries.py: md5-derived hashes shared with
+DuckDB, per-row rounding → DECIMAL sums → final double cast, integer
+arithmetic wherever a float rounding convention would have to match
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafkaconnect_spark.queries import _NTOK_SQL, _events, _hash64_sql, _t
+
+
+# ---------------------------------------------------------------------------
+# data-quality audits
+# ---------------------------------------------------------------------------
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK orphan audit — the nightly data-contract check a
+    warehouse runs before publishing: child rows whose parent key is
+    missing, per relationship. Each relationship is one LEFT ANTI join
+    on the key (broadcast when the parent is a dim); output is 3 rows
+    regardless of corpus size."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def rel(name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
+        orphans = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        )
+        return child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+
+    return (
+        rel("lineitem->orders", li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey")
+        .unionByName(rel("orders->customer", orders, "o_custkey", cust.select("c_custkey"), "c_custkey"))
+        .unionByName(rel("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+    )
+
+
+REF_INTEGRITY_ORACLE = """
+SELECT 'lineitem->orders' AS relationship,
+       (SELECT count(*) FROM lineitem) AS n_child,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+"""
+
+
+def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style erasure audit: a deterministic request set (users
+    with user_id % 97 == 0, standing in for a right-to-be-forgotten
+    table) is semi/anti-joined against the event stream — the same
+    key-set deletion shape the K2 tombstone sink applies per batch,
+    here as a corpus-scale audit. One row out."""
+    ev = _events(spark, sf_dir)
+    requests = (
+        ev.select("user_id").distinct().where(F.col("user_id") % 97 == 0)
+    )
+    erased = ev.join(F.broadcast(requests), "user_id", "left_semi")
+    remaining = ev.join(F.broadcast(requests), "user_id", "left_anti")
+    return (
+        requests.agg(F.count(F.lit(1)).alias("n_requests"))
+        .crossJoin(erased.agg(F.count(F.lit(1)).alias("n_rows_erased")))
+        .crossJoin(
+            remaining.agg(
+                F.count(F.lit(1)).alias("n_rows_remaining"),
+                F.count_distinct("user_id").alias("n_users_remaining"),
+            )
+        )
+    )
+
+
+ERASURE_ORACLE = """
+WITH req AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+SELECT (SELECT count(*) FROM req) AS n_requests,
+       (SELECT count(*) FROM events e
+        WHERE EXISTS (SELECT 1 FROM req r WHERE r.user_id = e.user_id))
+         AS n_rows_erased,
+       (SELECT count(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM req r WHERE r.user_id = e.user_id))
+         AS n_rows_remaining,
+       (SELECT count(DISTINCT e.user_id) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM req r WHERE r.user_id = e.user_id))
+         AS n_users_remaining
+"""
+
+
+# ---------------------------------------------------------------------------
+# planner / layout diagnostics
+# ---------------------------------------------------------------------------
+
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report that decides whether a key
+    needs salting (operators/skew) before a shuffle join: the 10
+    heaviest user_ids with their share of all rows and skew factor
+    (count / mean-per-key). Scale shape: one map-side-combined
+    groupBy; top-10 via TakeOrdered (no global window); the two
+    global scalars ride a broadcast 1-row crossJoin."""
+    ev = _events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = per_key.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    top = per_key.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(10)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        # the window ranks 10 rows post-limit — not a global sort
+        .withColumn("key_rank", F.row_number().over(w))
+        .select(
+            "key_rank",
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("__nkeys") / F.col("__total"), 4
+            ).alias("skew_factor"),
+        )
+    )
+
+
+KEY_SKEW_ORACLE = """
+WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+t AS (SELECT sum(cnt)::BIGINT AS total, count(*) AS nkeys FROM pk),
+top AS (SELECT user_id, cnt,
+               row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS key_rank
+        FROM pk ORDER BY cnt DESC, user_id ASC LIMIT 10)
+SELECT key_rank, user_id, cnt,
+       round(cnt / t.total, 6) AS share,
+       round(cnt * t.nkeys / t.total, 4) AS skew_factor
+FROM top CROSS JOIN t
+"""
+
+
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram in integer cents ($5000 bins) — the
+    column-statistics pass that feeds min/max row-group skipping and
+    partition sizing. Integer binning (no float bin edges to agree
+    on), decimal sum for the per-bin revenue. One narrow map + one
+    map-side-combined groupBy; output is ~21 rows at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        li.select(cents.alias("__cents"))
+        .groupBy((F.col("__cents") / F.lit(500000)).cast("long").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.min("__cents") / F.lit(100.0)).alias("min_price"),
+            (F.max("__cents") / F.lit(100.0)).alias("max_price"),
+            (
+                F.sum(F.col("__cents").cast(T.DecimalType(28, 0))).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+PRICE_HIST_ORACLE = """
+WITH c AS (SELECT round(l_extendedprice * 100, 0)::BIGINT AS cents FROM lineitem)
+SELECT (cents // 500000)::BIGINT AS bin_id,
+       count(*) AS n_items,
+       min(cents) / 100.0::DOUBLE AS min_price,
+       max(cents) / 100.0::DOUBLE AS max_price,
+       sum(cents)::DOUBLE / 100.0::DOUBLE AS revenue
+FROM c GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-mixture scheduling
+# ---------------------------------------------------------------------------
+
+def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch scheduling: temperature-weighted (alpha=0.5)
+    target token counts per source under a fixed budget, converted to
+    per-source epoch counts capped at 4.0 (the standard small-source
+    repetition guard). This is the planning step between
+    sampling_temperature (weights) and shard assignment: one corpus
+    pass for per-source token counts, then source-cardinality
+    arithmetic. sqrt is IEEE-correctly-rounded so the weight rule is
+    engine-exact (same contract as sampling_temperature)."""
+    budget = 2_000_000
+    docs = _t(spark, sf_dir, "documents")
+    from kafkaconnect_spark.functions import text as TX
+
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("n_tokens"),
+    )
+    w7 = F.expr(
+        "cast(round(pow(cast(n_tokens as double), 0.5), 7) as decimal(20,7))"
+    )
+    weighted = per_src.withColumn("__w7", w7)
+    denom = weighted.agg(F.sum("__w7").alias("__dw"))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("__w7").cast("double") / F.col("__dw").cast("double"), 6
+            ).alias("weight"),
+            F.round(
+                F.least(
+                    (F.col("__w7").cast("double") / F.col("__dw").cast("double"))
+                    * F.lit(float(budget))
+                    / F.col("n_tokens"),
+                    F.lit(4.0),
+                ),
+                4,
+            ).alias("epochs"),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.round(F.col("epochs") * F.col("n_tokens"), 2),
+        )
+    )
+
+
+MIXTURE_ORACLE = rf"""
+WITH s AS (SELECT source, count(*) AS n_docs,
+                  sum({_NTOK_SQL})::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+w AS (SELECT *, round(pow(n_tokens::DOUBLE, 0.5), 7)::DECIMAL(20,7) AS w7 FROM s),
+d AS (SELECT sum(w7) AS dw FROM w),
+e AS (SELECT source, n_docs, n_tokens,
+             round(w7::DOUBLE / dw::DOUBLE, 6) AS weight,
+             round(least(w7::DOUBLE / dw::DOUBLE * 2000000.0::DOUBLE / n_tokens,
+                         4.0::DOUBLE), 4) AS epochs
+      FROM w CROSS JOIN d)
+SELECT *, round(epochs * n_tokens, 2) AS planned_tokens FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed distinct + time-bound funnel
+# ---------------------------------------------------------------------------
+
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding hour (15-min slide) — the windowed-
+    distinct shape whose streaming twin is dropDuplicates state per
+    window. Native F.window slide (JVM-side ×4 slot expansion) +
+    exact per-window countDistinct; the oracle replays the expansion
+    as an explicit slot cross join (events_sliding_window's rule)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+        )
+    )
+
+
+SLIDING_DISTINCT_ORACLE = """
+WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+w AS (SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000)
+               AS window_start,
+             user_id
+      FROM events CROSS JOIN k)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       count(DISTINCT user_id) AS n_users
+FROM w GROUP BY 1, 2
+"""
+
+
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion: users whose FIRST 'view' is followed by
+    a 'purchase' within 1 hour — the attribution-window variant of
+    events_funnel_conversion. Scale shape: first-view reduce per
+    user, then one equi-join on user_id with the time predicate as a
+    join filter (never a time-range cross join), one distinct, three
+    scalar counts."""
+    ev = _events(spark, sf_dir)
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__vt"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("__pt")
+    )
+    converted = (
+        first_view.join(purchases, "user_id")
+        .where(
+            (F.col("__pt") > F.col("__vt"))
+            & (F.col("__pt") <= F.col("__vt") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        first_view.agg(F.count(F.lit(1)).alias("n_viewers"))
+        .crossJoin(converted.agg(F.count(F.lit(1)).alias("n_converted_1h")))
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted_1h") / F.col("n_viewers"), 6),
+        )
+    )
+
+
+FUNNEL_TIMEBOUND_ORACLE = """
+WITH fv AS (SELECT user_id, min(ts) AS vt FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+conv AS (SELECT DISTINCT fv.user_id
+         FROM fv JOIN events p ON p.user_id = fv.user_id
+         WHERE p.event_type = 'purchase'
+           AND p.ts > fv.vt AND p.ts <= fv.vt + INTERVAL 1 HOUR)
+SELECT (SELECT count(*) FROM fv) AS n_viewers,
+       (SELECT count(*) FROM conv) AS n_converted_1h,
+       round((SELECT count(*) FROM conv)
+             / (SELECT count(*) FROM fv), 6) AS conversion_rate
+"""
+
+
+# ---------------------------------------------------------------------------
+# OOV accounting
+# ---------------------------------------------------------------------------
+
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-1000
+    vocabulary (freq desc, word asc tie-break) — the token-budget
+    sanity check before committing to a tokenizer vocab. Scale shape:
+    the vocab reduce is the one corpus-sized pass (vocab-sized
+    output, TakeOrdered top-k); membership is a BROADCAST left join
+    on the exploded tokens; empty docs come back via a left join from
+    the docs table."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+        ).alias("word"),
+    ).where(F.length("word") > 0)
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .orderBy(F.col("__freq").desc(), F.col("word").asc())
+        .limit(1000)
+        .select("word", F.lit(True).alias("__known"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__known").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+    )
+
+
+OOV_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(
+      regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+      x -> length(x) > 0)) AS word
+  FROM documents),
+v AS (SELECT word FROM (SELECT word, count(*) AS f FROM tk GROUP BY word)
+      ORDER BY f DESC, word ASC LIMIT 1000),
+pd AS (SELECT tk.doc_id, count(*) AS n_tokens,
+              sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+       FROM tk LEFT JOIN v ON tk.word = v.word GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0) AS n_tokens,
+       coalesce(pd.n_oov, 0) AS n_oov,
+       CASE WHEN coalesce(pd.n_tokens, 0) > 0
+            THEN round(pd.n_oov / pd.n_tokens, 6) ELSE 0.0 END AS oov_rate
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
+R3_CATALOG: dict[str, tuple] = {
+    "referential_integrity_audit": (referential_integrity_audit, REF_INTEGRITY_ORACLE),
+    "events_user_erasure_audit": (events_user_erasure_audit, ERASURE_ORACLE),
+    "events_key_skew_report": (events_key_skew_report, KEY_SKEW_ORACLE),
+    "lineitem_price_histogram": (lineitem_price_histogram, PRICE_HIST_ORACLE),
+    "mixture_epoch_schedule": (mixture_epoch_schedule, MIXTURE_ORACLE),
+    "events_sliding_distinct": (events_sliding_distinct, SLIDING_DISTINCT_ORACLE),
+    "events_funnel_timebound": (events_funnel_timebound, FUNNEL_TIMEBOUND_ORACLE),
+    "docs_oov_rate": (docs_oov_rate, OOV_ORACLE),
+}
