@@ -77,6 +77,7 @@ _DEFER_NEW: set[str] = {
     "events_sliding_distinct",
     "events_funnel_timebound",
     "docs_oov_rate",
+    "events_type_overlap_kmv",
 }
 
 

@@ -153,33 +153,19 @@ def frequent_items_sketch(
     return out
 
 
-def kmv_cardinality_sketch(
+def _kmv_bottom_hashes(
     df: DataFrame,
     group_col: str,
     key_col: str,
-    k: int = 256,
-    seed: str = "kmv",
+    k: int,
+    seed: str,
 ) -> DataFrame:
-    """Per-group K-Minimum-Values distinct-count sketch (Bar-Yossef
-    et al. 2002, "Counting distinct elements in a data stream",
-    public): keep the k smallest distinct 60-bit hashes per group;
-    with U(k) the k-th smallest hash as a fraction of the hash space,
-    estimate = (k-1) / U(k). Groups with fewer than k distinct hashes
-    report the exact distinct count (the sketch is exact below k).
-
-    Unlike HLL++ (group_cardinality_sketch) whose register layout is
-    engine-internal, KMV over the shared md5 hash64 is DETERMINISTIC
-    across engines, runs, and partitionings — so this estimator can
-    carry a value-hash oracle; `approx_count_distinct` remains the
-    built-in production alternative.
-
-    Scale shape: a per-partition bottom-k partial (mapInPandas, O(k)
-    state) bounds the exchange to ≤ k rows per (group, partition) —
-    the global bottom-k of distinct hashes is contained in the union
-    of per-partition bottom-ks, so the merge is exact. NULL keys are
-    excluded (count(DISTINCT) convention).
-
-    Returns (group, n_rows, kmv_distinct)."""
+    """Per-group global bottom-k DISTINCT hash64 values — the shared
+    substrate of the KMV estimators. Per-partition bottom-k partials
+    (mapInPandas, O(k) state) bound the exchange to ≤ k rows per
+    (group, partition); the union of per-partition bottom-ks contains
+    the global bottom-k, so the window merge is exact. NULL keys
+    excluded. Returns (g, h) with ≤ k rows per group."""
     import pandas as pd
 
     from kafkaconnect_spark.functions.text import hash64
@@ -216,9 +202,116 @@ def kmv_cardinality_sketch(
     from pyspark.sql import Window
 
     w = Window.partitionBy("g").orderBy("h")
-    bottom = partials.withColumn("rn", F.row_number().over(w)).where(
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("g", "h")
+    )
+
+
+def _kmv_estimate(n_seen, kth, k: int):
+    """KMV estimator as a Column: exact below k, else (k-1)/U(k) over
+    the 2^60 hash space (all factors double-exact)."""
+    space = float(2**60)
+    return F.when(n_seen < k, n_seen).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(space) / kth.cast("double"))
+        .cast("long")
+    )
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from their KMV
+    sketches — the sketch-algebra payoff (Beyer et al. 2007, "On
+    synopses for distinct-value estimation under multiset
+    operations", public): for groups A, B the bottom-k of H(A)∪H(B)
+    is computable from the two bottom-k sketches alone, |A∪B| follows
+    from the KMV estimator on it, Jaccard ≈ ρ/|K| where ρ counts
+    union-sketch members present in BOTH sketches (membership against
+    a bottom-k sketch is exact for members of the union sketch), and
+    |A∩B| ≈ J·|A∪B|. Everything derives from the shared md5 hash64 —
+    deterministic across engines → value-hash oracle-able, unlike
+    HLL intersection heuristics.
+
+    Scale shape: sketches are ≤ k rows per group; the pair frame is
+    group-cardinality², never data-sized. Returns one row per
+    unordered group pair: (group_a, group_b, union_est, inter_est,
+    jaccard_est)."""
+    bottoms = _kmv_bottom_hashes(df, group_col, key_col, k, seed).persist()
+    groups = bottoms.select(F.col("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")))
+        .where(F.col("ga") < F.col("gb"))
+    )
+    ua = pairs.join(bottoms, pairs.ga == bottoms.g).select(
+        "ga", "gb", "h", F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b")
+    )
+    ub = pairs.join(bottoms, pairs.gb == bottoms.g).select(
+        "ga", "gb", "h", F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b")
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("__in_a").alias("__a"), F.max("__in_b").alias("__b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    union_k = merged.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= k
     )
+    agg = union_k.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("__n_seen"),
+        F.max("h").alias("__kth"),
+        F.sum((F.col("__a") * F.col("__b")).cast("long")).alias("__rho"),
+    )
+    union_est = _kmv_estimate(F.col("__n_seen"), F.col("__kth"), k)
+    out = agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        union_est.alias("union_est"),
+        F.round(
+            F.col("__rho") * union_est.cast("double") / F.col("__n_seen")
+        ).cast("long").alias("inter_est"),
+        F.round(F.col("__rho") / F.col("__n_seen"), 6).alias("jaccard_est"),
+    )
+    return out
+
+
+def kmv_cardinality_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Per-group K-Minimum-Values distinct-count sketch (Bar-Yossef
+    et al. 2002, "Counting distinct elements in a data stream",
+    public): keep the k smallest distinct 60-bit hashes per group;
+    with U(k) the k-th smallest hash as a fraction of the hash space,
+    estimate = (k-1) / U(k). Groups with fewer than k distinct hashes
+    report the exact distinct count (the sketch is exact below k).
+
+    Unlike HLL++ (group_cardinality_sketch) whose register layout is
+    engine-internal, KMV over the shared md5 hash64 is DETERMINISTIC
+    across engines, runs, and partitionings — so this estimator can
+    carry a value-hash oracle; `approx_count_distinct` remains the
+    built-in production alternative.
+
+    Scale shape: a per-partition bottom-k partial (mapInPandas, O(k)
+    state) bounds the exchange to ≤ k rows per (group, partition) —
+    the global bottom-k of distinct hashes is contained in the union
+    of per-partition bottom-ks, so the merge is exact. NULL keys are
+    excluded (count(DISTINCT) convention).
+
+    Returns (group, n_rows, kmv_distinct)."""
+    bottom = _kmv_bottom_hashes(df, group_col, key_col, k, seed)
     sk = bottom.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("kth")
     )

@@ -411,6 +411,51 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV sketch algebra
+# ---------------------------------------------------------------------------
+
+def events_type_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types from KMV
+    sketches alone (operators/sketches.kmv_set_overlap): |A∪B|,
+    |A∩B| and Jaccard estimated from two k-row sketches per group —
+    the set-operation payoff HLL registers can't give you exactly.
+    Deterministic over the shared md5 hash64 → full value-hash
+    oracle."""
+    from kafkaconnect_spark.operators import sketches
+
+    ev = _events(spark, sf_dir)
+    return sketches.kmv_set_overlap(ev, "event_type", "user_id", k=256)
+
+
+KMV_OVERLAP_ORACLE = f"""
+WITH hs AS (SELECT DISTINCT event_type AS g,
+                   {_hash64_sql('user_id', 'kmv')} AS h FROM events),
+bk AS (SELECT g, h FROM (
+         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         FROM hs) WHERE rn <= 256),
+gs AS (SELECT DISTINCT g FROM bk),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+m AS (SELECT p.ga, p.gb, bk.h,
+             max(CASE WHEN bk.g = p.ga THEN 1 ELSE 0 END) AS ia,
+             max(CASE WHEN bk.g = p.gb THEN 1 ELSE 0 END) AS ib
+      FROM pairs p JOIN bk ON bk.g IN (p.ga, p.gb)
+      GROUP BY p.ga, p.gb, bk.h),
+u AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM m),
+a AS (SELECT ga, gb, count(*) AS n_seen, max(h) AS kth,
+             sum(ia * ib)::BIGINT AS rho
+      FROM u WHERE rn <= 256 GROUP BY ga, gb),
+e AS (SELECT *, CASE WHEN n_seen < 256 THEN n_seen
+                     ELSE round(255.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                                / kth)::BIGINT END AS est
+      FROM a)
+SELECT ga AS group_a, gb AS group_b, est AS union_est,
+       round(rho * est::DOUBLE / n_seen)::BIGINT AS inter_est,
+       round(rho / n_seen, 6) AS jaccard_est
+FROM e
+"""
+
+
 R3_CATALOG: dict[str, tuple] = {
     "referential_integrity_audit": (referential_integrity_audit, REF_INTEGRITY_ORACLE),
     "events_user_erasure_audit": (events_user_erasure_audit, ERASURE_ORACLE),
@@ -420,4 +465,5 @@ R3_CATALOG: dict[str, tuple] = {
     "events_sliding_distinct": (events_sliding_distinct, SLIDING_DISTINCT_ORACLE),
     "events_funnel_timebound": (events_funnel_timebound, FUNNEL_TIMEBOUND_ORACLE),
     "docs_oov_rate": (docs_oov_rate, OOV_ORACLE),
+    "events_type_overlap_kmv": (events_type_overlap_kmv, KMV_OVERLAP_ORACLE),
 }

@@ -159,3 +159,26 @@ def test_kmv_cardinality(spark):
     a = kmv_cardinality_sketch(df.repartition(1), "g", "key", k=k).collect()
     b = kmv_cardinality_sketch(df.repartition(13), "g", "key", k=k).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmv_set_overlap_accuracy_and_determinism(spark):
+    """Known ground truth: A = 0..9999, B = 5000..14999 ->
+    |A∪B| = 15000, |A∩B| = 5000, J = 1/3. Estimates must land within
+    ~3/sqrt(k) and be identical across partitionings."""
+    from kafkaconnect_spark.operators.sketches import kmv_set_overlap
+
+    rows = [("A", i) for i in range(10000)] + [("B", i) for i in range(5000, 15000)]
+    df = spark.createDataFrame(rows, "g STRING, key LONG")
+    k = 256
+    tol = 3 / (k ** 0.5)
+    outs = []
+    for parts in (1, 9):
+        out = kmv_set_overlap(df.repartition(parts), "g", "key", k=k).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.group_a, r.group_b) == ("A", "B")
+        assert abs(r.union_est - 15000) <= tol * 15000
+        assert abs(r.inter_est - 5000) <= 2 * tol * 15000  # J and U errors compound
+        assert abs(r.jaccard_est - 1 / 3) <= 2 * tol
+        outs.append(sorted(map(tuple, out)))
+    assert outs[0] == outs[1]
