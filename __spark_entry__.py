@@ -78,6 +78,7 @@ _DEFER_NEW: set[str] = {
     "events_funnel_timebound",
     "docs_oov_rate",
     "events_type_overlap_kmv",
+    "docs_tfidf_pairs",
 }
 
 

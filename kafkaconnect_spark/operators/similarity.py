@@ -586,3 +586,89 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_min: int = 2,
+    df_max: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sparse LEXICAL similarity: document pairs with TF-IDF cosine ≥
+    ``threshold`` via an inverted-index (posting-list) equi-join —
+    the classic sparse-vector twin of the dense embedding paths.
+
+    Scale discipline — the two caps ARE the plan:
+    - terms with df > ``df_max`` are dropped (stop-terms): a term in
+      10⁶ docs would alone contribute ~10¹² candidate pairs; the cap
+      bounds per-term join fan-out at df_max² while barely moving the
+      cosine (idf of a hot term is ~1, its weight noise);
+    - df < ``df_min`` terms cannot form pairs (df_min=2 is free
+      pruning).
+    The pair volume is Σ_term df² ≤ df_max·Σ df — linear in postings.
+
+    Engine-exactness: weights are FIXED-POINT integers,
+    w = round_half_up(tf·N·10⁴ / df) (idf = N/df, the log-free
+    variant of the salient-terms rule — ln() is not identically
+    rounded across libms), products/sums run in DECIMAL, and only
+    the final norm/cosine touch doubles (sqrt is IEEE-correctly
+    rounded). Returns (id_a, id_b, cosine)."""
+    from pyspark.sql import types as T
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df").between(df_min, df_max))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            # round_half_up(tf·N·1e4 / df) as pure integer arithmetic
+            F.expr("(2 * __tf * __n * 10000 + __df) div (2 * __df)")
+            .cast(T.DecimalType(19, 0))
+            .alias("__w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w")).cast("double")).alias("__nrm")
+    )
+    a = w.select(
+        F.col("term"), F.col(id_col).alias("id_a"), F.col("__w").alias("__wa")
+    )
+    b = w.select(
+        F.col("term"), F.col(id_col).alias("id_b"), F.col("__w").alias("__wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__nrm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__nrm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

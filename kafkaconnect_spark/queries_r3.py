@@ -456,6 +456,46 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# sparse lexical similarity
+# ---------------------------------------------------------------------------
+
+def docs_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine document pairs (≥ 0.5) via the df-capped
+    inverted-index join (operators/similarity.tfidf_cosine_pairs) —
+    the sparse lexical twin of the dense embedding similarity paths,
+    with fixed-point integer weights so the oracle replays it
+    bit-exact."""
+    from kafkaconnect_spark.operators.similarity import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents", spread=True))
+
+
+TFIDF_PAIRS_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(
+      regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+      x -> length(x) > 0)) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+        HAVING count(*) BETWEEN 2 AND 100),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (SELECT tf.doc_id, tf.term,
+             ((2 * tf.tf * n.n * 10000 + dfq.df)
+              // (2 * dfq.df))::DECIMAL(19,0) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt((sum(w * w))::DOUBLE) AS nrm FROM w GROUP BY doc_id),
+d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b USING (term)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(dot::DOUBLE / (na.nrm * nb.nrm), 6) AS cosine
+FROM d JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+WHERE round(dot::DOUBLE / (na.nrm * nb.nrm), 6) >= 0.5
+"""
+
+
 R3_CATALOG: dict[str, tuple] = {
     "referential_integrity_audit": (referential_integrity_audit, REF_INTEGRITY_ORACLE),
     "events_user_erasure_audit": (events_user_erasure_audit, ERASURE_ORACLE),
@@ -466,4 +506,5 @@ R3_CATALOG: dict[str, tuple] = {
     "events_funnel_timebound": (events_funnel_timebound, FUNNEL_TIMEBOUND_ORACLE),
     "docs_oov_rate": (docs_oov_rate, OOV_ORACLE),
     "events_type_overlap_kmv": (events_type_overlap_kmv, KMV_OVERLAP_ORACLE),
+    "docs_tfidf_pairs": (docs_tfidf_pairs, TFIDF_PAIRS_ORACLE),
 }
