@@ -79,6 +79,7 @@ _DEFER_NEW: set[str] = {
     "docs_oov_rate",
     "events_type_overlap_kmv",
     "docs_tfidf_pairs",
+    "multimodal_phash",
 }
 
 

@@ -752,3 +752,58 @@ def make_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", ""), "UTF-8"
         ).alias("media"),
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("phash", T.StringType(), True),
+    ]
+)
+
+
+def perceptual_ahash(
+    df: DataFrame, binary_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint — the
+    standard near-duplicate-image key (8×8 grid, mean threshold,
+    64-bit pattern; public, e.g. the pHash family write-ups):
+    decode → integer grayscale (r+g+b, NO division) → nearest-
+    neighbor 8×8 sample on the pixel-center grid (the resize_decoded
+    map) → bit i set iff 64·gray_i > Σgray (all-integer compare, no
+    float mean) → 16-hex-char hash, most-significant nibble first.
+
+    Every step is integer arithmetic, so the hash is bit-identical
+    in any engine — unlike DCT-based pHash there is no float
+    transform to match. Undecodable rows get NULL. mapInPandas /
+    Arrow-batched, numpy per row; grouping equal hashes afterwards
+    is a plain groupBy — near-duplicates at Hamming ≤ d can reuse
+    the simhash band-join machinery."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[str | None] = []
+            for data in pdf[binary_col]:
+                if data is None or sniff_format(data) is None:
+                    out.append(None)
+                    continue
+                arr = decode_image(data)
+                gray = arr.sum(axis=2, dtype=np.int64)  # h × w, 0..765
+                sh, sw = gray.shape
+                rows = ((2 * np.arange(8) + 1) * sh) // 16
+                cols = ((2 * np.arange(8) + 1) * sw) // 16
+                g = gray[rows][:, cols].flatten()  # row-major: i = dy*8+dx
+                s = int(g.sum())
+                v = 0
+                for i, gi in enumerate(g):
+                    if 64 * int(gi) > s:
+                        v |= 1 << i
+                out.append(format(v, "016x"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "phash": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(compute, AHASH_SCHEMA)

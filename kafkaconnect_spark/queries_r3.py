@@ -496,6 +496,69 @@ WHERE round(dot::DOUBLE / (na.nrm * nb.nrm), 6) >= 0.5
 """
 
 
+# ---------------------------------------------------------------------------
+# perceptual image hashing
+# ---------------------------------------------------------------------------
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-image keys: aHash perceptual fingerprints of
+    REAL decoded P6 images (operators/multimodal.perceptual_ahash)
+    plus equal-hash bucket sizes — the image-dedup pass of a
+    multimodal pipeline. All-integer hashing makes the 64-bit
+    pattern replayable from the text bytes by the oracle."""
+    from kafkaconnect_spark.operators.multimodal import (
+        make_fake_ppm,
+        perceptual_ahash,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    hashes = perceptual_ahash(make_fake_ppm(docs))
+    buckets = hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_same_hash")
+    )
+    return hashes.join(buckets, "phash").select("doc_id", "phash", "n_same_hash")
+
+
+def _phash_oracle() -> str:
+    """DuckDB replay of perceptual_ahash over make_fake_ppm images:
+    pixel (sx, sy) bytes live at text offset sy·48 + sx·3 (ASCII-
+    stripped, zero-padded), the 8×8 sample grid is the pixel-center
+    map ((2d+1)·src)//16, and the threshold compare 64·g > Σg is
+    all-integer — so the 64-bit pattern is exact. Hex digits emit
+    most-significant nibble first (format(v, '016x'))."""
+
+    def px(off: str) -> str:
+        return f"(CASE WHEN {off} <= n THEN ascii(t[({off})::INT]) ELSE 0 END)"
+
+    base = "((((2*(i//8)+1)*h)//16)*48 + (2*(i%8)+1)*3)"
+    gray = f"({px(base + ' + 1')} + {px(base + ' + 2')} + {px(base + ' + 3')})"
+    # nibble j (left-to-right) packs bits 60-4j .. 63-4j
+    nib = (
+        "list_sum([CASE WHEN 64 * gs[(60 - 4*j + b) + 1] > s "
+        "THEN (1 << b) ELSE 0 END FOR b IN range(0, 4)])"
+    )
+    return rf"""
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS t
+           FROM documents),
+d AS (SELECT doc_id, t, strlen(t) AS n,
+             greatest(1, (strlen(t) + 47) // 48)::BIGINT AS h
+      FROM a),
+g AS (SELECT doc_id, [{gray} FOR i IN range(0, 64)] AS gs FROM d),
+p AS (SELECT doc_id, gs, list_sum(gs)::BIGINT AS s FROM g),
+ph AS (SELECT doc_id,
+              array_to_string([substr('0123456789abcdef', ({nib})::INT + 1, 1)
+                               FOR j IN range(0, 16)], '') AS phash
+       FROM p),
+b AS (SELECT phash, count(*) AS n_same_hash FROM ph GROUP BY phash)
+SELECT ph.doc_id, ph.phash, b.n_same_hash
+FROM ph JOIN b USING (phash)
+"""
+
+
+PHASH_ORACLE = _phash_oracle()
+
+
 R3_CATALOG: dict[str, tuple] = {
     "referential_integrity_audit": (referential_integrity_audit, REF_INTEGRITY_ORACLE),
     "events_user_erasure_audit": (events_user_erasure_audit, ERASURE_ORACLE),
@@ -507,4 +570,5 @@ R3_CATALOG: dict[str, tuple] = {
     "docs_oov_rate": (docs_oov_rate, OOV_ORACLE),
     "events_type_overlap_kmv": (events_type_overlap_kmv, KMV_OVERLAP_ORACLE),
     "docs_tfidf_pairs": (docs_tfidf_pairs, TFIDF_PAIRS_ORACLE),
+    "multimodal_phash": (multimodal_phash, PHASH_ORACLE),
 }

@@ -264,3 +264,36 @@ def test_avi_compressed_stream_raises():
     data = b"RIFF" + len(body).to_bytes(4, "little") + body
     with pytest.raises(NotImplementedError):
         decode_avi_frames(data)
+
+
+def test_perceptual_ahash_hand_computed(spark):
+    """4x2 P6 image with a known bright/dark pattern -> hand-computed
+    aHash; identical images must share a hash, inverted ones must not."""
+    import numpy as np
+
+    from kafkaconnect_spark.operators.multimodal import (
+        encode_ppm,
+        perceptual_ahash,
+    )
+
+    # left half bright (255), right half dark (0): 4 wide, 2 tall
+    arr = np.zeros((2, 4, 3), dtype=np.uint8)
+    arr[:, :2, :] = 255
+    img = encode_ppm(arr)
+    inv = encode_ppm(255 - arr)
+    df = spark.createDataFrame(
+        [(1, img), (2, img), (3, inv), (4, None)],
+        "doc_id LONG, media BINARY",
+    )
+    got = {r.doc_id: r.phash for r in perceptual_ahash(df).collect()}
+    # sample cols (2dx+1)*4//16 = 0,0,1,1,2,2,3,3 -> gray pattern per
+    # row: [765]*4 + [0]*4; sum = 8*765*... mean = half -> bright
+    # pixels pass 64*g > s, dark fail: bits dx<4 set in every row
+    v = 0
+    for i in range(64):
+        if i % 8 < 4:
+            v |= 1 << i
+    assert got[1] == format(v, "016x")
+    assert got[1] == got[2]          # identical images collide
+    assert got[3] == format(v ^ (2**64 - 1), "016x")  # inverse flips every bit
+    assert got[4] is None            # undecodable -> NULL
