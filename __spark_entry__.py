@@ -80,6 +80,11 @@ _DEFER_NEW: set[str] = {
     "events_type_overlap_kmv",
     "docs_tfidf_pairs",
     "multimodal_phash",
+    "dedup_simhash_pairs",
+    "docs_shingle_novelty",
+    "events_cumulative_users",
+    "orders_pareto_share",
+    "embedding_pq_codes",
 }
 
 

@@ -559,6 +559,262 @@ FROM ph JOIN b USING (phash)
 PHASH_ORACLE = _phash_oracle()
 
 
+# ---------------------------------------------------------------------------
+# simhash candidate pairs (Hamming LSH)
+# ---------------------------------------------------------------------------
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CANDIDATE PAIRS via the band equi-join
+    (operators/dedup.simhash_near_dup_pairs): 4 bands of 8 bits, so
+    any pair at Hamming < 4 shares a band (pigeonhole) — the Hamming-
+    LSH search on top of the dedup_simhash signatures. Output carries
+    the exact Hamming distance per candidate pair."""
+    from kafkaconnect_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return DD.simhash_near_dup_pairs(docs, band_bits=8, bits=32)
+
+
+def _simhash_pairs_oracle() -> str:
+    from kafkaconnect_spark.queries import _SIMHASH_BITSUMS, _SIMHASH_VALUE
+
+    return rf"""
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
+           FROM documents),
+h AS (SELECT doc_id, ('0x'||substr(md5('simhash:'||tok),1,8))::BIGINT hv FROM t),
+bs AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, ({_SIMHASH_VALUE}) AS simhash FROM bs),
+bands AS (SELECT doc_id, simhash, band,
+                 (simhash // (1::BIGINT << (8 * band))) % 256 AS band_val
+          FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM bands a JOIN bands b USING (band, band_val)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingle novelty
+# ---------------------------------------------------------------------------
+
+def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-novelty metric: fraction of each doc's DISTINCT
+    8-gram shingles whose FIRST corpus occurrence (min doc_id) is
+    this doc — the content-freshness score a curriculum/ordering pass
+    uses, and the per-doc view of the dedup corpus overlap. Scale
+    shape: one shingle-hash explode, one distinct, one min-reduce per
+    shingle, one equi-join back — all keyed on the 60-bit shingle
+    hash, never the text."""
+    from kafkaconnect_spark.functions.text import hash64
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    sh = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            # CASE guard: sequence(1, 0) would generate a DESCENDING
+            # [1, 0] in Spark, not an empty list
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__toks) >= 8 THEN "
+                    "transform(sequence(1, size(__toks) - 7), "
+                    "i -> concat_ws(' ', slice(__toks, i, 8))) "
+                    "ELSE array() END"
+                )
+            ).alias("__sh"),
+        )
+        .withColumn("__h", hash64(F.col("__sh"), "novelty"))
+        .select("doc_id", "__h")
+        .distinct()
+        .persist()
+    )
+    first = sh.groupBy("__h").agg(F.min("doc_id").alias("__first"))
+    per_doc = (
+        sh.join(first, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__first") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+    )
+
+
+SHINGLE_NOVELTY_ORACLE = rf"""
+WITH tk AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                                     '\s+'),
+                               x -> length(x) > 0) AS toks
+            FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              {_hash64_sql("array_to_string(toks[i:i+7], ' ')", 'novelty')} AS h
+       FROM tk, unnest(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+       WHERE len(toks) >= 8),
+f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h),
+pd AS (SELECT sh.doc_id, count(*) AS n_shingles,
+              sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+                AS n_novel
+       FROM sh JOIN f USING (h) GROUP BY sh.doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_shingles, 0) AS n_shingles,
+       coalesce(pd.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(pd.n_shingles, 0) > 0
+            THEN round(pd.n_novel / pd.n_shingles, 6) ELSE 0.0 END AS novelty
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# growth + concentration analytics
+# ---------------------------------------------------------------------------
+
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth curve: new users (first-ever event that day),
+    daily active users, and the cumulative user count. The running
+    sum's partitionless window is calendar-bounded (≤ days rows after
+    aggregation — same justification as orders_monthly_growth), never
+    a data-sized global sort."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    active = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new_users, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"), "n_active")
+        .withColumn("cum_users", F.sum("n_new").over(w))
+    )
+
+
+CUMULATIVE_USERS_ORACLE = """
+WITH e AS (SELECT ts::DATE AS day, user_id FROM events),
+fd AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id),
+nu AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day),
+ac AS (SELECT day, count(DISTINCT user_id) AS n_active FROM e GROUP BY day)
+SELECT ac.day, coalesce(nu.n_new, 0) AS n_new, ac.n_active,
+       sum(coalesce(nu.n_new, 0)) OVER (ORDER BY ac.day
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM ac LEFT JOIN nu ON ac.day = nu.day
+"""
+
+
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the share of total revenue held by
+    customers above the P90 spend fence — the 80/20 dashboard
+    number. The percentile runs on the CUSTOMER-aggregated frame via
+    a broadcast fence (customers_rfm_segments discipline, no global
+    ntile); revenue stays DECIMAL until the final ratio."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice"), 2).cast(T.DecimalType(18, 2))).alias(
+            "__mdec"
+        )
+    ).withColumn("monetary", F.col("__mdec").cast("double"))
+    fence = m.agg(
+        F.round(
+            F.expr("percentile(monetary, cast(0.9 as double))"), 6
+        ).alias("__p90")
+    )
+    flagged = m.crossJoin(F.broadcast(fence))
+    top = F.col("monetary") > F.col("__p90")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(top.cast("long")).alias("n_top"),
+        F.sum("__mdec").cast("double").alias("revenue_total"),
+        F.sum(F.when(top, F.col("__mdec"))).cast("double").alias("revenue_top"),
+        F.round(
+            F.sum(F.when(top, F.col("__mdec"))).cast("double")
+            / F.sum("__mdec").cast("double"),
+            6,
+        ).alias("top_share"),
+    )
+
+
+PARETO_ORACLE = """
+WITH m AS (SELECT o_custkey AS custkey,
+                  sum(round(o_totalprice, 2)::DECIMAL(18,2)) AS mdec,
+                  sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS monetary
+           FROM orders GROUP BY 1),
+f AS (SELECT round(quantile_cont(monetary, 0.9), 6) AS p90 FROM m)
+SELECT count(*) AS n_customers,
+       sum((monetary > p90)::INT)::BIGINT AS n_top,
+       sum(mdec)::DOUBLE AS revenue_total,
+       sum(CASE WHEN monetary > p90 THEN mdec END)::DOUBLE AS revenue_top,
+       round(sum(CASE WHEN monetary > p90 THEN mdec END)::DOUBLE
+             / sum(mdec)::DOUBLE, 6) AS top_share
+FROM m CROSS JOIN f
+"""
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + reconstruction error for every
+    embedding (operators/similarity.pq_codes): 4 subspaces × 8 codes,
+    deterministic codebooks — the compression step under billion-
+    scale ANN. Pure map stage (codebooks folded as literals)."""
+    from kafkaconnect_spark.operators.similarity import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    return pq_codes(emb, n_sub=4, n_codes=8, dim=64)
+
+
+def _pq_oracle(n_sub: int = 4, n_codes: int = 8, d: int = 16) -> str:
+    sql = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE len(embedding) > 0),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec AS cvec
+       FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_codes}))"""
+    for s in range(n_sub):
+        lo, hi = s * d + 1, s * d + d + 1
+        diff = f"[v.vec[i] - c.cvec[i] FOR i IN range({lo}, {hi})]"
+        sql += f""",
+s{s} AS (SELECT vec_id, code AS code_{s}, dist AS d{s} FROM (
+    SELECT vec_id, code, dist,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT v.vec_id, c.code,
+                 round(list_dot_product({diff}, {diff}), 6) AS dist
+          FROM v CROSS JOIN cb c)) WHERE rn = 1)"""
+    joins = " ".join(f"JOIN s{s} USING (vec_id)" for s in range(1, n_sub))
+    codes = ", ".join(f"code_{s}::INT AS code_{s}" for s in range(n_sub))
+    err = " + ".join(f"d{s}" for s in range(n_sub))
+    return sql + f"""
+SELECT vec_id, {codes}, round({err}, 6) AS quant_err
+FROM s0 {joins}
+"""
+
+
+PQ_ORACLE = _pq_oracle()
+
+
 R3_CATALOG: dict[str, tuple] = {
     "referential_integrity_audit": (referential_integrity_audit, REF_INTEGRITY_ORACLE),
     "events_user_erasure_audit": (events_user_erasure_audit, ERASURE_ORACLE),
@@ -571,4 +827,9 @@ R3_CATALOG: dict[str, tuple] = {
     "events_type_overlap_kmv": (events_type_overlap_kmv, KMV_OVERLAP_ORACLE),
     "docs_tfidf_pairs": (docs_tfidf_pairs, TFIDF_PAIRS_ORACLE),
     "multimodal_phash": (multimodal_phash, PHASH_ORACLE),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, _simhash_pairs_oracle()),
+    "docs_shingle_novelty": (docs_shingle_novelty, SHINGLE_NOVELTY_ORACLE),
+    "events_cumulative_users": (events_cumulative_users, CUMULATIVE_USERS_ORACLE),
+    "orders_pareto_share": (orders_pareto_share, PARETO_ORACLE),
+    "embedding_pq_codes": (embedding_pq_codes, PQ_ORACLE),
 }
