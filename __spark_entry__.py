@@ -85,6 +85,8 @@ _DEFER_NEW: set[str] = {
     "events_cumulative_users",
     "orders_pareto_share",
     "embedding_pq_codes",
+    "docs_dedup_rate_by_source",
+    "events_error_rate_hourly",
 }
 
 

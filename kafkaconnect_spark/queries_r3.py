@@ -815,6 +815,67 @@ FROM s0 {joins}
 PQ_ORACLE = _pq_oracle()
 
 
+# ---------------------------------------------------------------------------
+# per-source quality dashboards
+# ---------------------------------------------------------------------------
+
+def docs_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate (distinct md5 fingerprints vs
+    rows) — the first number a data-vendor scorecard shows. One
+    map-side-combined groupBy over (source, fingerprint), then a
+    source-cardinality reduce."""
+    from kafkaconnect_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("source", TX.fingerprint_md5("text").alias("__fp"))
+    per = fp.groupBy("source", "__fp").agg(F.count(F.lit(1)).alias("__n"))
+    return per.groupBy("source").agg(
+        F.sum("__n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            (F.sum("__n") - F.count(F.lit(1))) / F.sum("__n"), 6
+        ).alias("dup_rate"),
+    )
+
+
+DEDUP_RATE_ORACLE = r"""
+WITH fp AS (SELECT source,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents),
+per AS (SELECT source, fp, count(*) AS n FROM fp GROUP BY 1, 2)
+SELECT source, sum(n)::BIGINT AS n_docs, count(*) AS n_unique,
+       round((sum(n) - count(*)) / sum(n), 6) AS dup_rate
+FROM per GROUP BY source
+"""
+
+
+def events_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-share SLO curve: error events vs all events per
+    hour bucket — single scan, conditional aggregate, output bounded
+    by the calendar."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.groupBy(hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .withColumn(
+            "error_rate", F.round(F.col("n_errors") / F.col("n_events"), 6)
+        )
+    )
+
+
+ERROR_RATE_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       sum((event_type = 'error')::INT)::BIGINT AS n_errors,
+       round(sum((event_type = 'error')::INT) / count(*), 6) AS error_rate
+FROM events GROUP BY 1
+"""
+
+
 R3_CATALOG: dict[str, tuple] = {
     "referential_integrity_audit": (referential_integrity_audit, REF_INTEGRITY_ORACLE),
     "events_user_erasure_audit": (events_user_erasure_audit, ERASURE_ORACLE),
@@ -832,4 +893,6 @@ R3_CATALOG: dict[str, tuple] = {
     "events_cumulative_users": (events_cumulative_users, CUMULATIVE_USERS_ORACLE),
     "orders_pareto_share": (orders_pareto_share, PARETO_ORACLE),
     "embedding_pq_codes": (embedding_pq_codes, PQ_ORACLE),
+    "docs_dedup_rate_by_source": (docs_dedup_rate_by_source, DEDUP_RATE_ORACLE),
+    "events_error_rate_hourly": (events_error_rate_hourly, ERROR_RATE_ORACLE),
 }
