@@ -66,6 +66,21 @@ HEADLINE = [
     "customers_rfm_segments",
     "parts_copurchase_edges",
     "orders_profile",
+    # round-3 additions
+    "parts_pagerank",
+    "embedding_kmeans",
+    "text_bpe_tokenize",
+    "events_cardinality_sketch",
+    "events_type_overlap_kmv",
+    "docs_tfidf_pairs",
+    "multimodal_phash",
+    "dedup_simhash_pairs",
+    "docs_shingle_novelty",
+    "docs_oov_rate",
+    "embedding_pq_codes",
+    "events_cumulative_users",
+    "lineitem_price_histogram",
+    "referential_integrity_audit",
 ]
 
 

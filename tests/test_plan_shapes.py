@@ -367,3 +367,41 @@ def test_latency_histogram_reduces_mapside(spark):
     p = plan(spark, "lineitem_latency_histogram")
     assert "partial_count" in p, p  # bins collapse before the exchange
     assert "CartesianProduct" not in p
+
+
+def test_tfidf_pairs_posting_join_shapes(spark):
+    # the posting-list self-join must be an equi-join on term (df caps
+    # bound fan-out); the global doc count rides a broadcast 1-row
+    # crossJoin; the weighted postings are persisted and reused for
+    # norms and dots
+    p = plan(spark, "docs_tfidf_pairs", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "InMemoryTableScan" in p, p
+
+
+def test_oov_vocab_join_is_broadcast(spark):
+    # top-1000 vocab membership must be a broadcast join, never a
+    # shuffled join of the full token explosion against the vocab
+    p = plan(spark, "docs_oov_rate", mode="simple")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_pq_codes_is_pure_map(spark):
+    # codebooks are folded literals: no join, no aggregate exchange —
+    # the only allowed exchange is the small-scan spread repartition
+    p = plan(spark, "embedding_pq_codes", mode="simple")
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_shingle_novelty_reuses_persisted_shingles(spark):
+    p = plan(spark, "docs_shingle_novelty", mode="simple")
+    assert "InMemoryTableScan" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_erasure_audit_joins_are_broadcast(spark):
+    p = plan(spark, "events_user_erasure_audit", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastExchange" in p, p
