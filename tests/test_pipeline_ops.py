@@ -414,3 +414,29 @@ def test_orders_profile_approx_matches_exact_within_rsd(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Expand" not in p, p
+
+
+def test_tfidf_pairs_hand_computed(spark):
+    """Two identical-term docs -> cosine exactly 1.0; df=1 terms
+    pruned so the third doc pairs with nothing."""
+    from kafkaconnect_spark.operators.similarity import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple banana"), (3, "cherry durian")],
+        "doc_id LONG, text STRING",
+    )
+    got = [(r.id_a, r.id_b, r.cosine) for r in tfidf_cosine_pairs(df).collect()]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_mixture_epoch_schedule_invariants(spark):
+    from kafkaconnect_spark.queries_r3 import mixture_epoch_schedule
+
+    rows = mixture_epoch_schedule(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r.epochs <= 4.0
+        assert abs(r.planned_tokens - round(r.epochs * r.n_tokens, 2)) < 1e-6
+        # the cap binds exactly when the uncapped target exceeds 4 epochs
+        assert r.planned_tokens <= 4.0 * r.n_tokens + 1e-6
