@@ -62,6 +62,29 @@ def main() -> None:
     dedup.release_cached(pairs)
     print(f"near dedup        : {n2} -> {n3}")
 
+    # 3b. image dedup: perceptual aHash buckets over the decoded
+    # media column (fixture images here; same plan on real binaries)
+    from kafkaconnect_spark.operators.multimodal import (
+        make_fake_ppm,
+        perceptual_ahash,
+    )
+
+    hashes = perceptual_ahash(make_fake_ppm(near))
+    img_reps = hashes.groupBy("phash").agg(F.min("doc_id").alias("doc_id"))
+    near = near.join(img_reps.select("doc_id"), "doc_id", "left_semi")
+    n3b = near.count()
+    print(f"image dedup       : {n3} -> {n3b} (aHash buckets)")
+
+    # 3c. corpus health: deterministic KMV distinct-content estimate
+    from kafkaconnect_spark.functions.text import fingerprint_md5
+    from kafkaconnect_spark.operators.sketches import kmv_cardinality_sketch
+
+    card = kmv_cardinality_sketch(
+        near.withColumn("__fp", fingerprint_md5("text")), "lang", "__fp"
+    )
+    for r in sorted(card.collect()):
+        print(f"  kmv[{r.lang}]         : {r.n_rows} rows, ~{r.kmv_distinct} distinct")
+
     # 4. decontamination vs a held-out split (zero-join Bloom probe)
     test_split = pipeline.split_assign(near, "doc_id").where(
         F.col("split") == "test"
