@@ -660,7 +660,9 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("__nrm").alias("__na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("__nrm").alias("__nb"))
-    return (
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    return _track_cached(
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select(
@@ -670,7 +672,8 @@ def tfidf_cosine_pairs(
                 F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb")), 6
             ).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
+        .where(F.col("cosine") >= threshold),
+        [w],  # posting weights feed norms AND dots — caller releases
     )
 
 

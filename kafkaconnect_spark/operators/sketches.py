@@ -14,10 +14,11 @@ Why sketches are the scale path:
 
 Both are built-in Catalyst aggregates (JVM partial + merge), so they
 pick up map-side partial aggregation automatically. Accuracy contracts
-are tested against exact answers in tests/test_sketches.py; results
-are approximate by design so the driver's oracle gate records the
-rows-only check for the catalog query (the error-bound tests are the
-real correctness statement).
+are tested against exact answers in tests/test_sketches.py. The KMV
+estimators below are the DETERMINISTIC alternative (shared md5 hash64,
+partitioning-independent bottom-k), which is why the sketch catalog
+queries carry full value-hash oracles while HLL++/percentile_approx —
+whose state is engine-internal — stay tests-only.
 """
 
 from __future__ import annotations
@@ -150,7 +151,9 @@ def frequent_items_sketch(
             F.col("k").alias(key_col), F.col("cnt").alias("min_count"), "n_total"
         )
     )
-    return out
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    return _track_cached(out, [merged])
 
 
 def _kmv_bottom_hashes(
@@ -281,7 +284,9 @@ def kmv_set_overlap(
         ).cast("long").alias("inter_est"),
         F.round(F.col("__rho") / F.col("__n_seen"), 6).alias("jaccard_est"),
     )
-    return out
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    return _track_cached(out, [bottoms])
 
 
 def kmv_cardinality_sketch(

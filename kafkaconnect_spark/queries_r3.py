@@ -644,7 +644,9 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    return _track_cached(
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -657,7 +659,8 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
             .alias("novelty"),
-        )
+        ),
+        [sh],  # shingle hashes feed first-occurrence AND per-doc counts
     )
 
 
