@@ -51,7 +51,13 @@ def pagerank(
     if abs(p / 100.0 - damping) > 1e-12:
         raise ValueError(f"damping must have integer-percent resolution: {damping}")
     ckpt = _make_ckpt(edges.sparkSession, checkpoint_dir)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the raw edge list feeds FOUR consumers (degree agg, the ed
+    # join probe, and both arms of the node union) — without this
+    # persist an expensive upstream plan (e.g. the co-purchase
+    # self-join) re-executes once per consumer
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # static per-round join input: (src, dst, deg) — persist once
     ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -66,6 +72,7 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes.count()
+    e.unpersist()  # ed and nodes are materialized — e is done
     base6 = (100 - p) * 10**4  # (1-d) in 1e-6 rank units
     ranks = nodes.select("node", F.lit(10**6).cast("long").alias("__r6"))
     for _ in range(n_rounds):
