@@ -233,3 +233,36 @@ def merge_into_partitioned(
             merged.unpersist()
     finally:
         updates.unpersist()
+
+
+def write_with_bloom_filters(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 100_000,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Parquet write with per-column BLOOM FILTERS — the point-lookup
+    row-group skipping lever min/max bounds can't give you: a
+    high-cardinality unsorted column (user_id, fingerprint) has
+    near-full min/max ranges in every row group, so `WHERE id = x`
+    scans everything; a bloom filter answers "definitely absent" per
+    row group and the reader skips it. Costs ~1.2 bytes/ndv per
+    column at write time, nothing at read time (readers that predate
+    blooms ignore them).
+
+    ``sort_within`` additionally clusters rows so min/max bounds
+    tighten for range predicates — the two skipping mechanisms
+    compose. Spark's native parquet writer options do the work; no
+    custom format. NOTE parquet-mr correctly omits the bloom when a
+    column stays fully dictionary-encoded (the dictionary already
+    answers point lookups exactly) — blooms materialize precisely on
+    the high-cardinality columns that need them
+    (tests/test_layout.py pins both behaviors)."""
+    out = df.sortWithinPartitions(*sort_within) if sort_within else df
+    writer = out.write.mode("overwrite")
+    for c in bloom_cols:
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{c}", "true"
+        ).option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    writer.parquet(path)
