@@ -131,3 +131,31 @@ def test_overlapping_merge_is_greedy_left_to_right(spark):
     out = apply_bpe(df, merges).collect()[0]
     # aaaa -> aa aa ▁ (3 symbols), aaa -> aa a ▁ (3 symbols)
     assert out.n_words == 2 and out.n_tokens == 6
+
+
+def test_apply_bpe_string_path_property(spark):
+    """Property-style: random word corpora (incl. repeated chars that
+    stress greedy overlap, and multi-char merged symbols) — the
+    string-replace apply path must match the pure-Python fold for
+    every doc."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = "abc"
+    docs = []
+    for _ in range(40):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 7)))
+            for _ in range(rng.randrange(0, 9))
+        ]
+        docs.append(" ".join(words))
+    docs.append("")          # empty doc
+    docs.append("   ")       # whitespace-only
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    merges = learn_bpe_merges(df, num_merges=6)
+    assert merges  # the tiny alphabet guarantees frequent pairs
+    got = {r.doc_id: (r.n_words, r.n_tokens) for r in apply_bpe(df, merges).collect()}
+    for i, t in enumerate(docs):
+        assert got[i] == _ref_segment(t, merges), (i, t, merges)

@@ -297,3 +297,38 @@ def test_perceptual_ahash_hand_computed(spark):
     assert got[1] == got[2]          # identical images collide
     assert got[3] == format(v ^ (2**64 - 1), "016x")  # inverse flips every bit
     assert got[4] is None            # undecodable -> NULL
+
+
+def test_perceptual_ahash_matches_python_reference_property(spark):
+    """Random small images: the distributed aHash must equal a
+    straight-line Python reference (same pixel-center grid, same
+    integer threshold)."""
+    import random
+
+    import numpy as np
+
+    from kafkaconnect_spark.operators.multimodal import encode_ppm, perceptual_ahash
+
+    rng = random.Random(99)
+    rows, want = [], {}
+    for i in range(25):
+        h = rng.randrange(1, 40)
+        w = rng.randrange(1, 40)
+        arr = np.array(
+            [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+            dtype=np.uint8,
+        )
+        rows.append((i, encode_ppm(arr)))
+        gray = arr.sum(axis=2, dtype=np.int64)
+        ys = [((2 * dy + 1) * h) // 16 for dy in range(8)]
+        xs = [((2 * dx + 1) * w) // 16 for dx in range(8)]
+        g = [int(gray[y][x]) for y in ys for x in xs]
+        s = sum(g)
+        v = 0
+        for bit, gi in enumerate(g):
+            if 64 * gi > s:
+                v |= 1 << bit
+        want[i] = format(v, "016x")
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    got = {r.doc_id: r.phash for r in perceptual_ahash(df).collect()}
+    assert got == want
