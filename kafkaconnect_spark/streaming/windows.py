@@ -380,3 +380,100 @@ def enrich_with_dimension(
     return events.join(
         F.broadcast(d), events[left_key] == d[right_key], "left"
     ).drop(right_key)
+
+
+_KMV_OUT = T.StructType(
+    [
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("window_end", T.TimestampType()),
+        T.StructField("kmv_distinct", T.LongType()),
+    ]
+)
+_KMV_STATE = T.StructType(
+    [T.StructField("hashes", T.ArrayType(T.LongType()))]
+)
+
+
+def kmv_estimate_from_bottomk(hashes: list[int], k: int) -> int:
+    """The KMV estimate from an ascending bottom-k hash list — the
+    SAME arithmetic as operators/sketches (exact below k, else
+    (k-1)·2⁶⁰/kth with HALF-UP rounding to match Spark's F.round;
+    Python's bare round() is banker's and would diverge on ties)."""
+    if len(hashes) < k:
+        return len(hashes)
+    x = float(k - 1) * float(2**60) / float(hashes[k - 1])
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def _kmv_window_fn_factory(k: int):
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover — continuous mode only
+            state.remove()
+            return
+        (hashes,) = state.get if state.exists else ([],)
+        seen = set(hashes)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["h"].dropna())
+        bottom = sorted(seen)[:k]
+        state.update((bottom,))
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]],
+                "window_end": [key[1]],
+                "kmv_distinct": [kmv_estimate_from_bottomk(bottom, k)],
+            }
+        )
+
+    return _fn
+
+
+def windowed_kmv_distinct(
+    events: DataFrame,
+    window: str = "1 hour",
+    k: int = 256,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    seed: str = "kmv",
+) -> DataFrame:
+    """DETERMINISTIC distinct keys per tumbling window for STREAMS —
+    the KMV bottom-k sketch as per-window state
+    (applyInPandasWithState). Streaming exact countDistinct is
+    unsupported (state would be O(distinct keys) per window anyway);
+    the built-in alternative approx_count_distinct has engine-
+    internal register state. KMV gives O(k) state per window AND the
+    same numbers as the batch sketch over the same data — so stream
+    output is testable against operators/sketches.kmv_cardinality_
+    sketch exactly (tests/test_streaming_windows.py), and a replay /
+    late-data reprocess converges to identical values.
+
+    State: one ≤ k ascending hash list per window, watermark-scoped;
+    output mode update (one refreshed row per touched window per
+    micro-batch)."""
+    from kafkaconnect_spark.functions.text import hash64
+
+    w = F.window(ts_col, window)
+    hashed = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            w.alias("__w"),
+            hash64(F.col(key_col).cast("string"), seed).alias("h"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "h",
+        )
+        .where(F.col("h").isNotNull())
+    )
+    return hashed.groupBy("window_start", "window_end").applyInPandasWithState(
+        _kmv_window_fn_factory(k),
+        outputStructType=_KMV_OUT,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

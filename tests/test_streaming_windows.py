@@ -281,3 +281,41 @@ def test_outer_interval_join_stream_equals_batch(spark, events_stream_dir):
     assert got_attributed == expected_attributed and len(expected_attributed) > 0
     # no spurious nulls before watermark expiry
     assert all(r.click_ts is not None for r in got_rows)
+
+
+def test_windowed_kmv_distinct_stream_equals_batch_sketch(spark, events_stream_dir):
+    """The streaming KMV windowed-distinct must produce EXACTLY the
+    batch sketch's numbers per window — k=8 forces the estimation
+    path (per-hour distinct users exceed k), so this pins the shared
+    estimator arithmetic, not just plumbing. Update-mode estimates
+    are monotone nondecreasing, so the final value per window is the
+    max. (k=3: per-hour distinct peaks at 6 on this data.)"""
+    from kafkaconnect_spark.operators.sketches import kmv_cardinality_sketch
+    from kafkaconnect_spark.streaming.windows import windowed_kmv_distinct
+
+    k = 3  # max per-hour distinct is 6 at sf0.001 -> estimation fires
+    out = run_to_memory(
+        spark,
+        windowed_kmv_distinct(_stream(spark, events_stream_dir), k=k),
+        "kmv_windows",
+        "update",
+    )
+    got = {
+        r.window_start: r.m
+        for r in out.groupBy("window_start")
+        .agg(F.max("kmv_distinct").alias("m"))
+        .collect()
+    }
+    ev = spark.read.parquet(events_stream_dir)
+    b = ev.select(
+        F.window("ts", "1 hour").alias("__w"), "user_id"
+    ).select(F.col("__w.start").alias("ws"), "user_id")
+    want = {
+        r.ws: r.kmv_distinct
+        for r in kmv_cardinality_sketch(b, "ws", "user_id", k=k).collect()
+    }
+    assert got == want
+    # sanity: the estimation path actually fired somewhere
+    exact = {r.ws: r.n for r in b.groupBy("ws").agg(
+        F.countDistinct("user_id").alias("n")).collect()}
+    assert any(exact[w] > k for w in exact)
