@@ -87,6 +87,9 @@ _DEFER_NEW: set[str] = {
     "embedding_pq_codes",
     "docs_dedup_rate_by_source",
     "events_error_rate_hourly",
+    "multimodal_phash_hamming",
+    "events_markov_transitions",
+    "docs_length_percentiles_by_lang",
 }
 
 

@@ -879,6 +879,167 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# phash Hamming-LSH, Markov transitions, histogram-exact percentiles
+# ---------------------------------------------------------------------------
+
+def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image candidates: Hamming-LSH over the aHash
+    fingerprints — 4 bands of 16 bits, so any pair at Hamming < 4
+    (of 64) shares a band by pigeonhole; candidates carry the exact
+    Hamming distance. Same band-equi-join discipline as
+    dedup_simhash_pairs, completing the image-dedup story beyond
+    equal-hash buckets. The 64-bit hash rides as two 32-bit BIGINTs
+    (a single 64-bit value would overflow the signed conv in both
+    engines)."""
+    from kafkaconnect_spark.operators.multimodal import (
+        make_fake_ppm,
+        perceptual_ahash,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    hashes = perceptual_ahash(make_fake_ppm(docs))
+    sig = hashes.select(
+        "doc_id",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.posexplode(
+            F.expr(
+                "array((hi div 65536) % 65536, hi % 65536, "
+                "(lo div 65536) % 65536, lo % 65536)"
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+                + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _phash_hamming_oracle() -> str:
+    base = _phash_oracle()
+    # reuse the phash CTE chain up to `ph`, then band-join
+    head = base[: base.index("b AS (SELECT phash")]
+    return head + """sig AS (SELECT doc_id,
+              ('0x' || substr(phash, 1, 8))::BIGINT AS hi,
+              ('0x' || substr(phash, 9, 8))::BIGINT AS lo
+       FROM ph),
+bands AS (SELECT doc_id, hi, lo, band,
+                 CASE band WHEN 0 THEN (hi // 65536) % 65536
+                           WHEN 1 THEN hi % 65536
+                           WHEN 2 THEN (lo // 65536) % 65536
+                           ELSE lo % 65536 END AS band_val
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT
+         AS hamming
+FROM bands a JOIN bands b USING (band, band_val)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    counts + row-normalized probabilities) — the session-model input
+    for next-action prediction and bot screening. The lag runs over a
+    KEYED window (per user, ordered by ts then event_id for total
+    order); counts reduce map-side."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("__row_total")
+    )
+    return trans.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("__row_total"), 6).alias(
+            "probability"
+        ),
+    )
+
+
+MARKOV_ORACLE = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events),
+t AS (SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT prev_type, sum(n_transitions)::BIGINT AS row_total
+      FROM t GROUP BY 1)
+SELECT t.prev_type, t.next_type, t.n_transitions,
+       round(t.n_transitions / r.row_total, 6) AS probability
+FROM t JOIN r USING (prev_type)
+"""
+
+
+def docs_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank p50/p90/p99 of doc length per language via
+    a VALUE-HISTOGRAM cumulative — the scale-correct exact-percentile
+    shape when the value space is bounded (lengths, latencies,
+    prices): groupBy (lang, n_chars) reduces the corpus to the
+    distinct-value histogram, the cumulative window runs over that
+    bounded frame (never data-sized), and the nearest-rank pick is a
+    conditional min. No per-group sort, no data-sized window, no
+    giant collect_list."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    totals = hist.groupBy("lang").agg(F.sum("__c").alias("__n"))
+    j = cum.join(totals, "lang")
+    picks = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.col("__n") * F.lit(q)), F.col("n_chars")
+            )
+        ).alias(name)
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    ]
+    return j.groupBy("lang").agg(F.max("__n").alias("n_docs"), *picks)
+
+
+LENGTH_PCT_ORACLE = """
+WITH h AS (SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+cum AS (SELECT lang, n_chars, c,
+               sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cm
+        FROM h),
+t AS (SELECT lang, sum(c)::BIGINT AS n FROM h GROUP BY lang)
+SELECT cum.lang, max(t.n) AS n_docs,
+       min(CASE WHEN cm >= ceil(t.n * 0.5) THEN n_chars END) AS p50,
+       min(CASE WHEN cm >= ceil(t.n * 0.9) THEN n_chars END) AS p90,
+       min(CASE WHEN cm >= ceil(t.n * 0.99) THEN n_chars END) AS p99
+FROM cum JOIN t USING (lang) GROUP BY cum.lang
+"""
+
+
 R3_CATALOG: dict[str, tuple] = {
     "referential_integrity_audit": (referential_integrity_audit, REF_INTEGRITY_ORACLE),
     "events_user_erasure_audit": (events_user_erasure_audit, ERASURE_ORACLE),
@@ -898,4 +1059,10 @@ R3_CATALOG: dict[str, tuple] = {
     "embedding_pq_codes": (embedding_pq_codes, PQ_ORACLE),
     "docs_dedup_rate_by_source": (docs_dedup_rate_by_source, DEDUP_RATE_ORACLE),
     "events_error_rate_hourly": (events_error_rate_hourly, ERROR_RATE_ORACLE),
+    "multimodal_phash_hamming": (multimodal_phash_hamming, _phash_hamming_oracle()),
+    "events_markov_transitions": (events_markov_transitions, MARKOV_ORACLE),
+    "docs_length_percentiles_by_lang": (
+        docs_length_percentiles_by_lang,
+        LENGTH_PCT_ORACLE,
+    ),
 }
