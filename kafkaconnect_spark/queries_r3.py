@@ -883,7 +883,9 @@ FROM events GROUP BY 1
 # phash Hamming-LSH, Markov transitions, histogram-exact percentiles
 # ---------------------------------------------------------------------------
 
-def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_phash_hamming(
+    spark: SparkSession, sf_dir: str, max_band_postings: int = 256
+) -> DataFrame:
     """NEAR-duplicate image candidates: Hamming-LSH over the aHash
     fingerprints — 4 bands of 16 bits, so any pair at Hamming < 4
     (of 64) shares a band by pigeonhole; candidates carry the exact
@@ -891,7 +893,15 @@ def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_simhash_pairs, completing the image-dedup story beyond
     equal-hash buckets. The 64-bit hash rides as two 32-bit BIGINTs
     (a single 64-bit value would overflow the signed conv in both
-    engines)."""
+    engines).
+
+    ``max_band_postings`` (default ON) drops DEGENERATE band values
+    from the candidate join — aHash has natural megabuckets (an
+    all-bright quarter hashes to 0xFFFF; ~20% of this corpus shares
+    it, and one such bucket alone contributed ~480k of 632k pairs at
+    sf0.1). Docs in a megabucket are still reachable through their
+    other three bands; the cap bounds per-band join fan-out at cap²
+    — the hot-shingle-cap discipline. Mirrored in the oracle."""
     from kafkaconnect_spark.operators.multimodal import (
         make_fake_ppm,
         perceptual_ahash,
@@ -915,6 +925,12 @@ def multimodal_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_val"),
     )
+    sizes = banded.groupBy("band", "band_val").agg(
+        F.count(F.lit(1)).alias("__bc")
+    )
+    banded = banded.join(
+        sizes.where(F.col("__bc") <= max_band_postings), ["band", "band_val"]
+    ).drop("__bc")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "band_val"])
@@ -939,12 +955,16 @@ def _phash_hamming_oracle() -> str:
               ('0x' || substr(phash, 1, 8))::BIGINT AS hi,
               ('0x' || substr(phash, 9, 8))::BIGINT AS lo
        FROM ph),
-bands AS (SELECT doc_id, hi, lo, band,
-                 CASE band WHEN 0 THEN (hi // 65536) % 65536
-                           WHEN 1 THEN hi % 65536
-                           WHEN 2 THEN (lo // 65536) % 65536
-                           ELSE lo % 65536 END AS band_val
-          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band))
+bands0 AS (SELECT doc_id, hi, lo, band,
+                  CASE band WHEN 0 THEN (hi // 65536) % 65536
+                            WHEN 1 THEN hi % 65536
+                            WHEN 2 THEN (lo // 65536) % 65536
+                            ELSE lo % 65536 END AS band_val
+           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+bsz AS (SELECT band, band_val, count(*) AS bc
+        FROM bands0 GROUP BY 1, 2),
+bands AS (SELECT bands0.* FROM bands0 JOIN bsz USING (band, band_val)
+          WHERE bsz.bc <= 256)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT
          AS hamming
