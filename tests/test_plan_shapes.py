@@ -405,3 +405,16 @@ def test_erasure_audit_joins_are_broadcast(spark):
     p = plan(spark, "events_user_erasure_audit", mode="simple")
     assert "CartesianProduct" not in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_r3_catalog_has_no_cartesian_or_row_python(spark):
+    """Blanket guard over every round-3 query: no CartesianProduct
+    (the 1-row global-scalar crossJoins compile to BroadcastNestedLoop
+    with a single-row side — allowed, documented) and no row-at-a-time
+    Python in any plan."""
+    from kafkaconnect_spark.queries_r3 import R3_CATALOG
+
+    for name in R3_CATALOG:
+        p = plan(spark, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
