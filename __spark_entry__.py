@@ -90,6 +90,11 @@ _DEFER_NEW: set[str] = {
     "multimodal_phash_hamming",
     "events_markov_transitions",
     "docs_length_percentiles_by_lang",
+    "events_cms_error_audit",
+    "embedding_hard_negatives",
+    "docs_trigram_vocab_growth",
+    "docs_zipf_slope",
+    "events_watermark_late_drop",
 }
 
 

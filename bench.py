@@ -81,6 +81,10 @@ HEADLINE = [
     "events_cumulative_users",
     "lineitem_price_histogram",
     "referential_integrity_audit",
+    "events_cms_error_audit",
+    "embedding_hard_negatives",
+    "docs_trigram_vocab_growth",
+    "events_watermark_late_drop",
 ]
 
 

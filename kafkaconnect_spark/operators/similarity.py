@@ -100,6 +100,60 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    (anchor), the top-k most cosine-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable).
+
+    Same shape discipline as brute_force_topk: the (small) anchor set
+    broadcasts with hoisted norms, the corpus never shuffles, only the
+    per-anchor candidate ranking does. The label-mismatch predicate
+    rides the broadcast join condition, so Catalyst prunes same-label
+    pairs before scoring. For web-scale anchor sets route candidates
+    through lsh_ann_topk / ivf first and re-rank the bucket.
+
+    Returns (query_id, neighbor_id, neighbor_label, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__nq"),
+    )
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__nv"),
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col(label_col) != F.col("__qlabel")
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.round(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__nq") * F.col("__nv")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
 def hyperplane_signature(vec_col: str, num_planes: int, dim: int) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 

@@ -156,6 +156,87 @@ def frequent_items_sketch(
     return _track_cached(out, [merged])
 
 
+def count_min_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch counter table (Cormode & Muthukrishnan 2005,
+    "An improved data stream summary: the count-min sketch and its
+    applications", public): ``depth`` independent md5-derived hash
+    rows of ``width`` counters each. The build is one explode (depth
+    rows per input row) into a groupBy of BOUNDED cardinality
+    (depth·width groups, e.g. 1024) — map-side combine collapses each
+    partition to ≤ depth·width partial rows, so the exchange is
+    constant-size regardless of input rows. This is the production
+    artifact at 100 TB: a point-frequency estimate for ANY key from
+    O(depth·width) integers, over-count-only error ≤ ε·n with
+    ε = e/width at failure probability e^-depth.
+
+    Deterministic (shared md5 hash64) → oracle-able, unlike
+    engine-internal sketch registers. NULL keys excluded. Returns
+    (depth, bucket, cnt)."""
+    from kafkaconnect_spark.functions.text import hash64
+
+    keyed = df.select(F.col(key_col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    # posexplode keeps (depth index, bucket) together in one pass
+    pairs = keyed.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (hash64(F.col("k"), f"{seed}{d}") % width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("depth", "bucket")
+    )
+    return pairs.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Per-distinct-key CMS point estimates next to the exact counts —
+    the sketch-accuracy AUDIT (the estimate-vs-truth comparison a
+    pipeline runs at small scale to size width/depth before trusting
+    the counters alone at 100 TB; it necessarily groups by key, same
+    cost as the exact count it validates against — the production
+    read path is count_min_counters + a constant-time probe).
+
+    Returns (key, exact_count, cms_est); cms_est ≥ exact_count always
+    (CMS never undercounts), asserted in tests/test_sketches.py."""
+    from kafkaconnect_spark.functions.text import hash64
+
+    counters = count_min_counters(df, key_col, depth, width, seed)
+    keyed = df.select(F.col(key_col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    keys = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    kd = keys.select(
+        "k",
+        "exact_count",
+        F.posexplode(
+            F.array(
+                *[(hash64(F.col("k"), f"{seed}{d}") % width) for d in range(depth)]
+            )
+        ).alias("depth", "bucket"),
+    )
+    return (
+        kd.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("k", "exact_count")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(F.col("k").alias(key_col), "exact_count", "cms_est")
+    )
+
+
 def _kmv_bottom_hashes(
     df: DataFrame,
     group_col: str,

@@ -3676,3 +3676,7 @@ QUERY_CATALOG.update(
 from kafkaconnect_spark.queries_r3 import R3_CATALOG as _R3  # noqa: E402
 
 QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3.items()})
+
+from kafkaconnect_spark.queries_r3b import R3B_CATALOG as _R3B  # noqa: E402
+
+QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3B.items()})

@@ -1,0 +1,400 @@
+"""Round-3 catalog additions, batch B — Count-Min frequency sketch,
+hard-negative mining, Heaps-law vocabulary growth, Zipf fit, and a
+micro-batch watermark replay (beyond-reference Phase E surface; the
+reference has no aggregations at all, SURVEY §2.7).
+
+Same determinism rules as queries.py: md5-derived hashes shared with
+DuckDB, per-row rounding → DECIMAL sums → final double cast, integer
+arithmetic wherever a float rounding convention would otherwise have
+to match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.queries import _events, _hash64_sql, _t
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch accuracy audit
+# ---------------------------------------------------------------------------
+
+def events_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 × width 256) frequency estimates for
+    every distinct user audited against the exact counts — the
+    width/depth sizing run a pipeline does at small scale before
+    trusting the O(depth·width) counter table alone at 100 TB
+    (operators/sketches.count_min_counters is the production
+    artifact; its build shuffles ≤ depth·width counter rows per
+    partition, never the key space). One row out: key count, total
+    rows, how many keys estimate exactly, and the worst / summed
+    over-counts (CMS never undercounts — asserted in
+    tests/test_sketches.py)."""
+    from kafkaconnect_spark.operators.sketches import count_min_estimates
+
+    est = count_min_estimates(_events(spark, sf_dir), "user_id")
+    return est.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("exact_count").alias("n_rows"),
+        F.sum((F.col("cms_est") == F.col("exact_count")).cast("long")).alias(
+            "n_exact"
+        ),
+        F.max(F.col("cms_est") - F.col("exact_count")).alias("max_overcount"),
+        F.sum(F.col("cms_est") - F.col("exact_count")).alias("sum_overcount"),
+    )
+
+
+def _cms_oracle(depth: int = 4, width: int = 256, seed: str = "cms") -> str:
+    hashes = ", ".join(
+        f"{_hash64_sql('k', f'{seed}{d}')} % {width} AS b{d}" for d in range(depth)
+    )
+    counter_ctes = ",\n".join(
+        f"c{d} AS (SELECT b{d} AS bucket, count(*) AS cnt FROM b GROUP BY 1)"
+        for d in range(depth)
+    )
+    joins = " ".join(f"JOIN c{d} ON k.b{d} = c{d}.bucket" for d in range(depth))
+    least = ", ".join(f"c{d}.cnt" for d in range(depth))
+    return f"""
+WITH r AS (SELECT user_id::VARCHAR AS k FROM events WHERE user_id IS NOT NULL),
+b AS (SELECT k, {hashes} FROM r),
+{counter_ctes},
+k AS (SELECT k, any_value(b0) b0, any_value(b1) b1, any_value(b2) b2,
+             any_value(b3) b3, count(*) AS exact FROM b GROUP BY k),
+est AS (SELECT k.k, k.exact, least({least}) AS est FROM k {joins})
+SELECT count(*)::BIGINT AS n_keys,
+       sum(exact)::BIGINT AS n_rows,
+       sum(CASE WHEN est = exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       max(est - exact)::BIGINT AS max_overcount,
+       sum(est - exact)::BIGINT AS sum_overcount
+FROM est
+"""
+
+
+CMS_AUDIT_ORACLE = _cms_oracle()
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training)
+# ---------------------------------------------------------------------------
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives (most-similar different-label vectors)
+    for 10 anchor vectors — the negative-sampling stage of a
+    contrastive-training pipeline (operators/similarity.
+    hard_negative_topk: broadcast anchors with hoisted norms, corpus
+    never shuffles)."""
+    from kafkaconnect_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negative_topk(emb, q, k=5)
+
+
+HARD_NEG_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         round(list_dot_product(qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               6) AS cosine
+  FROM embeddings e, q WHERE e.label != q.qlabel),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (word trigrams)
+# ---------------------------------------------------------------------------
+
+def docs_trigram_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over word trigrams: per
+    100-doc ingestion bucket, trigram occurrences, first-seen (novel)
+    trigrams, and the cumulative vocabulary/occurrence totals — the
+    corpus-health curve that tells you whether more data is still
+    adding new content or re-treading (flattening curve ⇒ diminishing
+    returns; the dedup-pipeline go/no-go signal).
+
+    Scale shape: first-seen bucket is min() per trigram (map-side
+    combined); both per-bucket frames are bucket-aggregated (≤
+    n_docs/100 rows) before the cumulative window runs — the global
+    window never sees data-sized input (allow-listed in
+    tools/plan_audit.py)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    arr = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__a")
+    )
+    tg = arr.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__a") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(__a) - 3), "
+                    "i -> concat_ws(' ', __a[i], __a[i + 1], __a[i + 2]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tg"),
+    )
+    occ = tg.groupBy(F.expr("doc_id div 100").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    first = (
+        tg.groupBy("tg")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.expr("first_doc div 100").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(first, "bucket", "left")
+        .select(
+            "bucket",
+            "n_occurrences",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new").over(w))
+        .withColumn("cum_occurrences", F.sum("n_occurrences").over(w))
+    )
+
+
+TRIGRAM_GROWTH_ORACLE = r"""
+WITH a AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+tg AS (SELECT doc_id, unnest(CASE WHEN len(arr) >= 3
+                  THEN list_transform(generate_series(1, len(arr) - 2),
+                       i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])
+                  ELSE [] END) AS tg
+       FROM a),
+occ AS (SELECT doc_id // 100 AS bucket, count(*)::BIGINT AS n_occurrences
+        FROM tg GROUP BY 1),
+fs AS (SELECT tg, min(doc_id) AS first_doc FROM tg GROUP BY 1),
+nw AS (SELECT first_doc // 100 AS bucket, count(*)::BIGINT AS n_new
+       FROM fs GROUP BY 1)
+SELECT occ.bucket, n_occurrences, coalesce(n_new, 0)::BIGINT AS n_new,
+       sum(coalesce(n_new, 0)) OVER (ORDER BY occ.bucket
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab,
+       sum(n_occurrences) OVER (ORDER BY occ.bucket
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_occurrences
+FROM occ LEFT JOIN nw ON occ.bucket = nw.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit of the corpus token distribution: OLS slope/intercept
+    of log2(freq) on log2(rank) over the top-100 tokens — the
+    one-number language-health check (natural text ≈ −1; synthetic or
+    templated corpora drift far from it).
+
+    Determinism: each (x, y) = (log2 rank, log2 freq) is rounded to
+    7 and the five OLS sums run as DECIMAL (order-independent); only
+    the final closed-form division happens in double (round 6). The
+    rank is a row_number over the post-limit ≤100-row frame
+    (allow-listed global window), never over the vocabulary."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(100)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+        ),
+    )
+    terms = ranked.select(
+        F.expr("cast(round(log2(cast(rank as double)), 7) as decimal(20,7))").alias("x"),
+        F.expr("cast(round(log2(cast(freq as double)), 7) as decimal(20,7))").alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.expr(
+            "cast(round(cast(x as double) * cast(y as double), 7) as decimal(20,7))"
+        ).alias("xy"),
+        F.expr(
+            "cast(round(cast(x as double) * cast(x as double), 7) as decimal(20,7))"
+        ).alias("xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    return s.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_ORACLE = r"""
+WITH tf AS (
+  SELECT tok AS token, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  WHERE tok != '' GROUP BY 1),
+top AS (SELECT * FROM tf ORDER BY freq DESC, token LIMIT 100),
+ranked AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+           FROM top),
+terms AS (SELECT round(log2(rank::DOUBLE), 7)::DECIMAL(20,7) AS x,
+                 round(log2(freq::DOUBLE), 7)::DECIMAL(20,7) AS y
+          FROM ranked),
+t2 AS (SELECT x, y,
+              round(x::DOUBLE * y::DOUBLE, 7)::DECIMAL(20,7) AS xy,
+              round(x::DOUBLE * x::DOUBLE, 7)::DECIMAL(20,7) AS xx
+       FROM terms),
+s AS (SELECT count(*)::BIGINT AS n_terms, sum(x) AS sx, sum(y) AS sy,
+             sum(xy) AS sxy, sum(xx) AS sxx
+      FROM t2)
+SELECT n_terms,
+       round((n_terms * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+             (n_terms * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS zipf_slope,
+       round((sy::DOUBLE - ((n_terms * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+             (n_terms * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+             / n_terms, 6) AS zipf_intercept
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# micro-batch watermark replay (late-data accounting)
+# ---------------------------------------------------------------------------
+
+def watermark_late_flags(
+    ev: DataFrame,
+    block_rows: int = 1000,
+    delay_us: int = 600_000_000,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    arrival_block_col: str | None = None,
+) -> DataFrame:
+    """Row-level late flags under micro-batch watermark replay: a
+    row's arrival block is its micro-batch; the watermark entering
+    block b is max(event time over blocks < b) − delay, exactly
+    Structured Streaming's advance-at-trigger-end rule (a row is
+    dropped by stateful ops like streaming dropDuplicates when its
+    event time is older than the watermark entering its batch). The
+    equivalence against a REAL withWatermark + dropDuplicates stream
+    is pinned in tests/test_streaming_windows.py.
+
+    ``arrival_block_col``: optional precomputed arrival-block column
+    (to model cohorts whose events arrive later than their position
+    in the log); defaults to ``id_col div block_rows``."""
+    if arrival_block_col is None:
+        ev = ev.withColumn("__block", F.expr(f"{id_col} div {block_rows}"))
+    else:
+        ev = ev.withColumn("__block", F.col(arrival_block_col))
+    bmax = ev.groupBy("__block").agg(F.max(ts_col).alias("__bm"))
+    w = Window.orderBy("__block").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "__block",
+        (F.unix_micros(F.max("__bm").over(w)) - F.lit(delay_us)).alias("__wm_us"),
+    )
+    return ev.join(F.broadcast(wm), "__block").withColumn(
+        "__late",
+        F.coalesce(F.unix_micros(ts_col) < F.col("__wm_us"), F.lit(False)),
+    )
+
+
+def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of Structured Streaming's watermark semantics:
+    events arrive in event_id order in 1000-event micro-batches —
+    except the offline-upload cohort (user_id % 20 == 0, standing in
+    for mobile clients that sync in bulk) whose events arrive 3
+    batches after their log position. The watermark entering batch b
+    is max(event-time over batches < b) − 10 min, exactly how a
+    `withWatermark("ts", "10 minutes")` query advances per trigger.
+    Per event type: how many rows a streaming stateful op would have
+    DROPPED as too-late — the accounting you run to pick a watermark
+    delay before deploying the streaming engine's windowed
+    aggregations (streaming/windows.py); the replay's row-level drop
+    set is pinned against a real withWatermark+dropDuplicates stream
+    in tests/test_streaming_windows.py.
+
+    Scale shape: per-block max is map-side combined; the cumulative
+    prior-max runs over the block-aggregated frame (≤ n/1000 rows =
+    the micro-batch count, allow-listed); the per-event comparison is
+    a broadcast join on block id."""
+    ev = _events(spark, sf_dir).withColumn(
+        "__arr",
+        F.expr("event_id div 1000")
+        + F.when(F.col("user_id") % 20 == 0, F.lit(3)).otherwise(F.lit(0)),
+    )
+    flagged = watermark_late_flags(ev, arrival_block_col="__arr")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("__late").cast("long")).alias("n_late_dropped"),
+        F.round(
+            F.sum(F.col("__late").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_frac"),
+    )
+
+
+WATERMARK_LATE_ORACLE = """
+WITH b AS (SELECT event_type, ts,
+                  event_id // 1000
+                  + CASE WHEN user_id % 20 = 0 THEN 3 ELSE 0 END AS block
+           FROM events),
+bm AS (SELECT block, max(ts) AS bmax FROM b GROUP BY 1),
+wm AS (SELECT block,
+              epoch_us(max(bmax) OVER (ORDER BY block
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              - 600000000 AS wm_us
+       FROM bm),
+f AS (SELECT event_type,
+             coalesce(epoch_us(ts) < wm_us, false) AS late
+      FROM b JOIN wm USING (block))
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late_dropped,
+       round(sum(CASE WHEN late THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS late_frac
+FROM f GROUP BY event_type
+"""
+
+
+R3B_CATALOG: dict[str, tuple] = {
+    "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
+    "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
+    "docs_trigram_vocab_growth": (
+        docs_trigram_vocab_growth,
+        TRIGRAM_GROWTH_ORACLE,
+    ),
+    "docs_zipf_slope": (docs_zipf_slope, ZIPF_ORACLE),
+    "events_watermark_late_drop": (
+        events_watermark_late_drop,
+        WATERMARK_LATE_ORACLE,
+    ),
+}

@@ -118,3 +118,36 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
     for b in range(3):
         blob_ids = inv[b * 30 : (b + 1) * 30]
         assert len({got[int(i)] for i in blob_ids}) == 1
+
+
+def test_hard_negative_topk_label_filter_and_ranking(spark, sf_dir):
+    """Hard negatives: no same-label neighbor ever appears, ranking
+    matches the brute-force cosine order restricted to other labels."""
+    from kafkaconnect_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_topk,
+    )
+    from kafkaconnect_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negative_topk(emb, q, k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert labels[r.neighbor_id] == r.neighbor_label
+        assert r.neighbor_label != labels[r.query_id]
+    # cross-check against brute-force top-k over the pre-filtered corpus
+    for qid in (0, 1, 2):
+        other = emb.where(F.col("label") != labels[qid])
+        ref = brute_force_topk(
+            other, q.where(F.col("query_id") == qid).drop("label"), k=5
+        ).collect()
+        mine = sorted(
+            ((r.rank, r.neighbor_id, r.cosine) for r in out if r.query_id == qid)
+        )
+        theirs = sorted(((r.rank, r.neighbor_id, r.cosine) for r in ref))
+        assert mine == theirs

@@ -182,3 +182,47 @@ def test_kmv_set_overlap_accuracy_and_determinism(spark):
         assert abs(r.jaccard_est - 1 / 3) <= 2 * tol
         outs.append(sorted(map(tuple, out)))
     assert outs[0] == outs[1]
+
+
+def test_count_min_never_undercounts_and_is_deterministic(spark):
+    """CMS contract (Cormode & Muthukrishnan 2005): est >= exact for
+    every key, exact for collision-free keys, error <= ~e/width * n in
+    expectation, and bit-identical across partitionings (md5 hashes,
+    no RNG)."""
+    from kafkaconnect_spark.operators.sketches import (
+        count_min_counters,
+        count_min_estimates,
+    )
+
+    rows = [("hot", None)] * 500 + [(f"k{i}", None) for i in range(300)]
+    df = spark.createDataFrame(rows, "key STRING, pad STRING")
+    outs = []
+    for parts in (1, 7):
+        est = count_min_estimates(df.repartition(parts), "key", width=64)
+        got = {r.key: (r.exact_count, r.cms_est) for r in est.collect()}
+        assert got["hot"][0] == 500
+        for key, (exact, cms) in got.items():
+            assert cms >= exact, (key, exact, cms)
+        # CMS bound: P[overcount > e*n/width] <= e^-depth per key;
+        # with n=800, width=64 that's ~34 — allow the rare 2x outlier,
+        # and the MEAN overcount should sit well under n/width (12.5)
+        overs = [c - e for e, c in got.values()]
+        assert max(overs) <= 2 * 2.718 * 800 / 64
+        assert sum(overs) / len(overs) <= 800 / 64
+        outs.append(sorted(got.items()))
+    assert outs[0] == outs[1]
+    # counter table is bounded by depth x width regardless of input
+    counters = count_min_counters(df, "key", depth=4, width=64)
+    assert counters.count() <= 4 * 64
+    total = counters.groupBy("depth").sum("cnt").collect()
+    assert all(r["sum(cnt)"] == 800 for r in total)  # each row sees every key
+
+
+def test_count_min_null_keys_excluded(spark):
+    from kafkaconnect_spark.operators.sketches import count_min_estimates
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "key STRING"
+    )
+    got = {r.key: r.exact_count for r in count_min_estimates(df, "key").collect()}
+    assert got == {"a": 2}

@@ -319,3 +319,74 @@ def test_windowed_kmv_distinct_stream_equals_batch_sketch(spark, events_stream_d
     exact = {r.ws: r.n for r in b.groupBy("ws").agg(
         F.countDistinct("user_id").alias("n")).collect()}
     assert any(exact[w] > k for w in exact)
+
+
+def test_watermark_late_drop_replay_matches_real_stream(
+    spark, tmp_path_factory
+):
+    """The batch micro-batch watermark replay (queries_r3b.
+    watermark_late_flags) must predict EXACTLY which rows a real
+    `withWatermark + dropDuplicates` stream drops, when the stream's
+    micro-batches are the replay's blocks: one parquet file per
+    100-event block, maxFilesPerTrigger=1, availableNow."""
+    import glob
+    import os
+    import shutil
+
+    from kafkaconnect_spark.queries import _events
+    from kafkaconnect_spark.queries_r3b import watermark_late_flags
+
+    ev = (
+        _events(spark, "/root/testdata/sf0.001")
+        .select("event_id", "ts", "event_type", "user_id")
+        .withColumn(
+            # the delayed-arrival cohort from events_watermark_late_drop,
+            # scaled to the 100-row blocks of this fixture
+            "arr",
+            F.expr("event_id div 100")
+            + F.when(F.col("user_id") % 20 == 0, F.lit(3)).otherwise(F.lit(0)),
+        )
+    )
+    d = str(tmp_path_factory.mktemp("wm_blocks"))
+    tmp = str(tmp_path_factory.mktemp("wm_stage"))
+    block_rows, delay_us = 100, 600_000_000
+    n_blocks = ev.agg(F.max("arr")).first()[0] + 1
+    for b in range(n_blocks):
+        stage = os.path.join(tmp, f"b{b}")
+        ev.where(F.col("arr") == b).drop("arr").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        # sequential copy => strictly increasing mtimes => the file
+        # stream source replays blocks in id order
+        shutil.copy(part, os.path.join(d, f"block{b:04d}.parquet"))
+
+    batch = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_survivors")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survived = {r.event_id for r in spark.table("wm_survivors").collect()}
+
+    flagged = watermark_late_flags(
+        ev, block_rows=block_rows, delay_us=delay_us, arrival_block_col="arr"
+    )
+    expected = {
+        r.event_id for r in flagged.where(~F.col("__late")).collect()
+    }
+    dropped_expected = {
+        r.event_id for r in flagged.where(F.col("__late")).collect()
+    }
+    assert dropped_expected, "fixture must actually contain late rows"
+    assert survived == expected
