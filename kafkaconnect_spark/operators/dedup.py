@@ -626,9 +626,20 @@ def duplicate_clusters(
     # without lineage TRUNCATION (persist alone doesn't truncate) the
     # logical plan grows exponentially with iterations and analysis
     # itself OOMs on high-diameter graphs.
+    # symmetrize by EXPLODE, not union: the union's two arms would
+    # each re-execute the (expensive) candidate-pair pipeline during
+    # this persist's materialization; explode emits both directions
+    # from one pass
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -43,10 +43,13 @@ def pagerank(
     HALF_UP while e.g. DuckDB rounds the binary value — the two
     disagree on knife-edge values). Damping is taken at integer
     percent resolution. Dangling nodes (no out-edges) keep rank
-    (1−d). Each round's rank vector is lineage-truncated — without
-    it the plan nests one join level per round and analysis dies
-    long before compute does (same pathology as connected
-    components)."""
+    (1−d). Unlike connected components — whose per-round plan
+    references the previous labels MULTIPLE times (exponential plan
+    growth without truncation) — each PageRank round references the
+    previous rank vector exactly once, so lineage grows LINEARLY and
+    a checkpoint every few rounds (not every round) bounds plan
+    depth; skipping the per-round materialization lets consecutive
+    rounds fuse into one job."""
     p = int(round(damping * 100))
     if abs(p / 100.0 - damping) > 1e-12:
         raise ValueError(f"damping must have integer-percent resolution: {damping}")
@@ -75,7 +78,7 @@ def pagerank(
     e.unpersist()  # ed and nodes are materialized — e is done
     base6 = (100 - p) * 10**4  # (1-d) in 1e-6 rank units
     ranks = nodes.select("node", F.lit(10**6).cast("long").alias("__r6"))
-    for _ in range(n_rounds):
+    for rnd in range(n_rounds):
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
             .select(
@@ -86,16 +89,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c7").alias("__s7"))
         )
-        ranks = ckpt(
-            nodes.join(contrib, "node", "left").select(
-                "node",
-                # base + round_half_up(p·s7 / 1000), all in 1e-6 units
-                F.expr(
-                    f"cast({base6} + ({2 * p} * coalesce(__s7, 0) + 1000) "
-                    "div 2000 as bigint)"
-                ).alias("__r6"),
-            )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            # base + round_half_up(p·s7 / 1000), all in 1e-6 units
+            F.expr(
+                f"cast({base6} + ({2 * p} * coalesce(__s7, 0) + 1000) "
+                "div 2000 as bigint)"
+            ).alias("__r6"),
         )
+        # linear lineage: truncate every 5th round and after the last
+        # round (the final ckpt also materializes ranks, making the
+        # unpersists below safe — the returned frame has no lineage
+        # back to the cached inputs)
+        if (rnd + 1) % 5 == 0 or rnd == n_rounds - 1:
+            ranks = ckpt(ranks)
+    if n_rounds == 0:  # still materialize before the unpersists below
+        ranks = ckpt(ranks)
     ed.unpersist()
     nodes.unpersist()  # ranks is checkpointed — no lineage back to nodes
     return ranks.select(

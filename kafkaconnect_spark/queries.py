@@ -2965,15 +2965,22 @@ def parts_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
     )
-    edges = und.select("part_a", "part_b").unionByName(
-        und.select(
-            F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b")
-        )
-    )
-    deg = edges.groupBy(F.col("part_a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    contrib = edges.join(deg, edges.part_a == deg.node).select(
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("part_a"), F.col("part_b")),
+                F.struct(
+                    F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b")
+    # degree via a keyed window over the SAME shuffle as the
+    # contribution grouping's input — one pass over the (expensive)
+    # self-join output; a groupBy-then-join-back would execute the
+    # basket self-join twice (or force a persist)
+    deg_w = Window.partitionBy("part_a")
+    contrib = edges.withColumn("deg", F.count(F.lit(1)).over(deg_w)).select(
         F.col("part_b").alias("node"),
         F.expr("cast(round(cast(1.0 as double) / deg, 7) as decimal(20,7))").alias("__c"),
     )
@@ -3015,9 +3022,17 @@ def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkaconnect_spark.operators.graph import pagerank as pr
 
     und = parts_copurchase_edges(spark, sf_dir).select("part_a", "part_b")
-    edges = und.unionByName(
-        und.select(F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"))
-    ).select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    # symmetrize by EXPLODE, not union: a union's two arms each
+    # re-execute the expensive co-purchase self-join (or force a
+    # persist); explode emits both directions in the same single pass
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("part_a").alias("src"), F.col("part_b").alias("dst")),
+                F.struct(F.col("part_b").alias("src"), F.col("part_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pr(edges, n_rounds=3)
 
 
