@@ -95,6 +95,9 @@ _DEFER_NEW: set[str] = {
     "docs_trigram_vocab_growth",
     "docs_zipf_slope",
     "events_watermark_late_drop",
+    "docs_curriculum_phases",
+    "docs_weighted_sample",
+    "orders_open_backlog_monthly",
 }
 
 

@@ -385,6 +385,189 @@ FROM f GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# curriculum scheduling (quality-quantile phases)
+# ---------------------------------------------------------------------------
+
+def docs_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: docs bucketed into 4 training
+    phases by normalized token-entropy quartile (low-entropy
+    boilerplate first, high-diversity text last) with per-phase
+    corpus stats — the stage that orders training data from easy to
+    hard before packing.
+
+    SCALE-CORRECT quantiles (same discipline as the RFM segmenter): a
+    1-row exact-percentile aggregate broadcasts as a fence and the
+    phase is a narrow comparison sum — never a global ntile() that
+    would serialize the corpus through one task."""
+    from kafkaconnect_spark.operators import pipeline
+
+    ent = pipeline.token_entropy(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "norm_entropy"
+    )
+    fence = ent.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(norm_entropy, cast({q} as double))"), 6
+            ).alias(f"__p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    phased = ent.crossJoin(F.broadcast(fence)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(1)
+            + (F.col("norm_entropy") > F.col("__p25")).cast("int")
+            + (F.col("norm_entropy") > F.col("__p50")).cast("int")
+            + (F.col("norm_entropy") > F.col("__p75")).cast("int")
+        ).alias("phase"),
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+CURRICULUM_ORACLE = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM d WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*)::INT AS n_distinct
+        FROM c GROUP BY doc_id),
+e AS (SELECT c.doc_id,
+             sum(round(-(c.n / tot.n_tokens::DOUBLE)
+                 * log2(c.n / tot.n_tokens::DOUBLE), 7)::DECIMAL(20,7)) AS ent
+      FROM c JOIN tot ON c.doc_id = tot.doc_id GROUP BY c.doc_id),
+ne AS (SELECT tot.doc_id, tot.n_tokens,
+              CASE WHEN tot.n_distinct > 1
+                   THEN round(ent::DOUBLE / log2(tot.n_distinct), 6)
+                   ELSE 0.0 END AS norm_entropy
+       FROM tot JOIN e ON tot.doc_id = e.doc_id
+       UNION ALL
+       SELECT doc_id, 0, 0.0 FROM d WHERE length(trim(text)) = 0),
+f AS (SELECT round(quantile_cont(norm_entropy, 0.25), 6) AS p25,
+             round(quantile_cont(norm_entropy, 0.5), 6) AS p50,
+             round(quantile_cont(norm_entropy, 0.75), 6) AS p75
+      FROM ne)
+SELECT 1 + (norm_entropy > p25)::INT + (norm_entropy > p50)::INT
+         + (norm_entropy > p75)::INT AS phase,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens
+FROM ne, f GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# length-weighted (importance) sampling
+# ---------------------------------------------------------------------------
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling audit: each doc is
+    kept with probability min(1, n_chars/10000) via the deterministic
+    hash threshold hash64(doc_id) % 10^6 < n_chars·100 — the
+    token-budget-biased sampler (long docs carry more training signal
+    per row) that, unlike rand(), is reproducible across runs and
+    stable under corpus growth. Per language: totals vs sampled
+    counts/chars. Pure narrow expressions over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    from kafkaconnect_spark.functions.text import hash64
+
+    flagged = docs.withColumn(
+        "__keep",
+        hash64(F.col("doc_id").cast("string"), "wsample") % 1_000_000
+        < F.least(F.lit(1_000_000), F.col("n_chars") * 100),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("__keep").cast("long")).alias("n_sampled"),
+        F.sum(F.when(F.col("__keep"), F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "sampled_chars"
+        ),
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = rf"""
+WITH f AS (SELECT lang, n_chars,
+                  {_hash64_sql('doc_id', 'wsample')} % 1000000
+                      < least(1000000, n_chars * 100) AS keep
+           FROM documents)
+SELECT lang, count(*)::BIGINT AS n_total,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       sum(CASE WHEN keep THEN n_chars ELSE 0 END)::BIGINT AS sampled_chars
+FROM f GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# open-order backlog time series (interval -> delta trick)
+# ---------------------------------------------------------------------------
+
+def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end open-order backlog: an order is open from its order
+    month through the month of its last shipment. Computed with the
+    interval→delta trick — +1 at the start month, −1 after the close
+    month, cumulative sum over the MONTH-aggregated frame — so the
+    corpus-sized work is two keyed aggregations and the global window
+    only ever sees ≤ #months rows (allow-listed). The naive
+    per-month-per-order range join would be |months|×|orders|."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__close"))
+    spans = orders.join(
+        close, orders.o_orderkey == close.l_orderkey
+    ).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("__m0"),
+        (F.year("__close") * 12 + F.month("__close") - 1).alias("__m1"),
+    )
+    starts = spans.groupBy(F.col("__m0").alias("month_key")).agg(
+        F.count(F.lit(1)).alias("n_started")
+    )
+    closes = spans.groupBy(F.col("__m1").alias("month_key")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    spine = starts.join(closes, "month_key", "full").select(
+        "month_key",
+        F.coalesce("n_started", F.lit(0)).alias("n_started"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = Window.orderBy("month_key").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("month_key").rowsBetween(Window.unboundedPreceding, -1)
+    return spine.select(
+        (F.floor(F.col("month_key") / 12)).cast("int").alias("year"),
+        (F.col("month_key") % 12 + 1).cast("int").alias("month"),
+        "n_started",
+        "n_closed",
+        (
+            F.sum("n_started").over(w)
+            - F.coalesce(F.sum("n_closed").over(wprev), F.lit(0))
+        ).alias("open_backlog"),
+    )
+
+
+BACKLOG_ORACLE = """
+WITH close AS (SELECT l_orderkey, max(l_shipdate) AS cl
+               FROM lineitem GROUP BY 1),
+spans AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m0,
+                 year(cl) * 12 + month(cl) - 1 AS m1
+          FROM orders JOIN close ON o_orderkey = l_orderkey),
+s AS (SELECT m0 AS month_key, count(*)::BIGINT AS n_started FROM spans GROUP BY 1),
+c AS (SELECT m1 AS month_key, count(*)::BIGINT AS n_closed FROM spans GROUP BY 1),
+spine AS (SELECT coalesce(s.month_key, c.month_key) AS month_key,
+                 coalesce(n_started, 0) AS n_started,
+                 coalesce(n_closed, 0) AS n_closed
+          FROM s FULL JOIN c ON s.month_key = c.month_key)
+SELECT (month_key // 12)::INT AS year, (month_key % 12 + 1)::INT AS month,
+       n_started, n_closed,
+       (sum(n_started) OVER (ORDER BY month_key ROWS UNBOUNDED PRECEDING)
+        - coalesce(sum(n_closed) OVER (ORDER BY month_key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       )::BIGINT AS open_backlog
+FROM spine
+"""
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -396,5 +579,11 @@ R3B_CATALOG: dict[str, tuple] = {
     "events_watermark_late_drop": (
         events_watermark_late_drop,
         WATERMARK_LATE_ORACLE,
+    ),
+    "docs_curriculum_phases": (docs_curriculum_phases, CURRICULUM_ORACLE),
+    "docs_weighted_sample": (docs_weighted_sample, WEIGHTED_SAMPLE_ORACLE),
+    "orders_open_backlog_monthly": (
+        orders_open_backlog_monthly,
+        BACKLOG_ORACLE,
     ),
 }

@@ -39,6 +39,9 @@ _ALLOWED_GLOBAL_WINDOW = {
     "events_watermark_late_drop": (
         "cumulative max over the micro-batch-aggregated frame"
     ),
+    "orders_open_backlog_monthly": (
+        "interval->delta cumsum over the month-aggregated frame"
+    ),
 }
 
 
