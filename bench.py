@@ -230,7 +230,14 @@ def _vs_prev(
         for name in timings
         if prev["queries"].get(name)
     }
-    flagged = sorted(n for n, r in ratios.items() if r > 2.0)
+    # flag only MATERIAL regressions: ratio > 2 alone fires constantly
+    # on sub-second queries (scheduler/GC noise swings 0.3 s ↔ 1 s
+    # between back-to-back runs); require an absolute slowdown too
+    flagged = sorted(
+        n
+        for n, r in ratios.items()
+        if r > 2.0 and timings[n] - prev["queries"][n] > 0.75
+    )
     # totals compare ONLY the intersection: the headline set grows
     # every round, so whole-total / whole-total would read as a fake
     # regression whenever new queries are added
