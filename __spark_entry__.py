@@ -98,6 +98,9 @@ _DEFER_NEW: set[str] = {
     "docs_curriculum_phases",
     "docs_weighted_sample",
     "orders_open_backlog_monthly",
+    "multimodal_audio_vad",
+    "events_session_duration_histogram",
+    "orders_customer_ltv_cohort",
 }
 
 

@@ -568,6 +568,158 @@ FROM spine
 """
 
 
+# ---------------------------------------------------------------------------
+# audio VAD features (short-time energy + zero-crossing rate)
+# ---------------------------------------------------------------------------
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-40-sample-frame short-time energy + zero-crossing count
+    over the REAL wav decoder (the Rabiner–Schafer VAD front end) —
+    the silence/speech screen an audio-training pipeline runs before
+    transcription. All integer math ⇒ value-hash oracle-able from the
+    text→PCM fixture (operators/multimodal.audio_frame_features)."""
+    from kafkaconnect_spark.operators.multimodal import (
+        audio_frame_features,
+        make_fake_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    return audio_frame_features(make_fake_wav(docs))
+
+
+AUDIO_VAD_ORACLE = r"""
+WITH a AS (SELECT doc_id,
+                  regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS t
+           FROM documents),
+d AS (SELECT doc_id, t, strlen(t) AS n FROM a),
+s AS (SELECT doc_id,
+             CASE WHEN n = 0 THEN [0]
+                  ELSE [ascii(t[i]) * 256 - 16384
+                        FOR i IN range(1, n + 1)] END AS sm
+      FROM d),
+f AS (SELECT doc_id, sm,
+             unnest(range(((len(sm) + 39) // 40)::INT)) AS frame_id
+      FROM s),
+sl AS (SELECT doc_id, frame_id,
+              sm[frame_id * 40 + 1 : least((frame_id + 1) * 40, len(sm))] AS w
+       FROM f)
+SELECT doc_id, frame_id::INT AS frame_id,
+       len(w)::INT AS n_samples,
+       list_sum([x * x FOR x IN w])::BIGINT AS energy,
+       coalesce(list_sum([CASE WHEN (w[i] < 0) != (w[i + 1] < 0)
+                               THEN 1 ELSE 0 END
+                          FOR i IN range(1, len(w))]), 0)::INT AS n_crossings
+FROM sl
+"""
+
+
+# ---------------------------------------------------------------------------
+# session-duration histogram
+# ---------------------------------------------------------------------------
+
+def events_session_duration_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution of session lengths (30-min-inactivity sessions,
+    same rule as events_sessionization) in 5-minute buckets — the
+    engagement histogram behind session-window sizing. Bucketing is
+    INTEGER µs division (no float knife-edges); both windows are
+    keyed by user (one shuffle), the histogram groupBy is
+    bucket-cardinality."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "__sid").agg(
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("__dur_us"),
+        F.count(F.lit(1)).alias("__n_events"),
+    )
+    return per_session.groupBy(
+        F.expr("__dur_us div 300000000").alias("duration_bucket_5min")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("__n_events").alias("n_events"),
+    )
+
+
+SESSION_DURATION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+p AS (SELECT user_id, sid,
+             max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2)
+SELECT dur_us // 300000000 AS duration_bucket_5min,
+       count(*)::BIGINT AS n_sessions,
+       sum(n_events)::BIGINT AS n_events
+FROM p GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer-LTV cohort matrix
+# ---------------------------------------------------------------------------
+
+def orders_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month; per (cohort month, months since first order) cell — active
+    customers and decimal-exact revenue. The retention/LTV triangle
+    every subscription dashboard draws. First-order month rides a
+    keyed window over the single orders shuffle; the cell groupBy has
+    (months)² bounded cardinality."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey")
+    mk = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    with_cohort = orders.withColumn("__mk", mk).withColumn(
+        "__cohort", F.min("__mk").over(w)
+    )
+    return with_cohort.groupBy(
+        (F.floor(F.col("__cohort") / 12)).cast("int").alias("cohort_year"),
+        (F.col("__cohort") % 12 + 1).cast("int").alias("cohort_month"),
+        (F.col("__mk") - F.col("__cohort")).cast("int").alias("months_since"),
+    ).agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+        ).cast("double").alias("revenue"),
+    )
+
+
+LTV_COHORT_ORACLE = """
+WITH o AS (SELECT o_custkey,
+                  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mk,
+                  o_totalprice
+           FROM orders),
+c AS (SELECT *, min(mk) OVER (PARTITION BY o_custkey) AS cohort FROM o)
+SELECT (cohort // 12)::INT AS cohort_year,
+       (cohort % 12 + 1)::INT AS cohort_month,
+       (mk - cohort)::INT AS months_since,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS revenue
+FROM c GROUP BY 1, 2, 3
+"""
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -585,5 +737,14 @@ R3B_CATALOG: dict[str, tuple] = {
     "orders_open_backlog_monthly": (
         orders_open_backlog_monthly,
         BACKLOG_ORACLE,
+    ),
+    "multimodal_audio_vad": (multimodal_audio_vad, AUDIO_VAD_ORACLE),
+    "events_session_duration_histogram": (
+        events_session_duration_histogram,
+        SESSION_DURATION_ORACLE,
+    ),
+    "orders_customer_ltv_cohort": (
+        orders_customer_ltv_cohort,
+        LTV_COHORT_ORACLE,
     ),
 }

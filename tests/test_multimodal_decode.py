@@ -332,3 +332,39 @@ def test_perceptual_ahash_matches_python_reference_property(spark):
     df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
     got = {r.doc_id: r.phash for r in perceptual_ahash(df).collect()}
     assert got == want
+
+
+def test_audio_frame_features_hand_computed(spark):
+    """STE/ZCR per frame against a hand-computed PCM-16 wav: 5 samples
+    with known signs and squares, frame size 3 -> two frames."""
+    import numpy as np
+
+    from kafkaconnect_spark.operators.multimodal import audio_frame_features
+
+    samples = np.array([100, -200, 300, -400, 500], dtype="<i2")
+    pcm = samples.tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id LONG, media BINARY")
+    rows = {
+        r.frame_id: r
+        for r in audio_frame_features(df, frame_samples=3).collect()
+    }
+    assert set(rows) == {0, 1}
+    # frame 0: [100, -200, 300] -> 2 sign flips, energy 100²+200²+300²
+    assert rows[0].n_samples == 3
+    assert rows[0].energy == 100**2 + 200**2 + 300**2
+    assert rows[0].n_crossings == 2
+    # frame 1: [-400, 500] -> 1 flip; the 300/-400 pair straddles the
+    # frame boundary and must NOT count in either frame
+    assert rows[1].n_samples == 2
+    assert rows[1].energy == 400**2 + 500**2
+    assert rows[1].n_crossings == 1
