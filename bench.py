@@ -99,13 +99,15 @@ def main() -> None:
     spark = get_spark("kafkaconnect-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from kafkaconnect_spark.operators.dedup import release_cached
+
     # one untimed pass: JIT/codegen warmup + parquet footer cache, so
     # the timed pass measures steady-state query cost (cold q1 is ~4×
     # its warm time purely from JVM warmup)
     for name in HEADLINE:
-        QUERY_CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        df = QUERY_CATALOG[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        release_cached(df)
 
     # best-of-2 timed passes per query: the metric is steady-state
     # engine cost, and min-of-N is the standard way to strip scheduler
@@ -118,6 +120,12 @@ def main() -> None:
             df = QUERY_CATALOG[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # outside the timed window: unpersist this run's tracked
+            # intermediates so 64 queries × 3 passes of caches don't
+            # accumulate and slow every LATER query — the leak showed
+            # up as dedup_minhash_lsh at 5 s in bench context vs
+            # 0.7 s in a fresh session
+            release_cached(df)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

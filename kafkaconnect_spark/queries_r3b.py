@@ -397,9 +397,14 @@ def docs_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard before packing.
 
     SCALE-CORRECT quantiles (same discipline as the RFM segmenter): a
-    1-row exact-percentile aggregate broadcasts as a fence and the
-    phase is a narrow comparison sum — never a global ntile() that
-    would serialize the corpus through one task."""
+    1-row percentile aggregate broadcasts as a fence and the phase is
+    a narrow comparison sum — never a global ntile() that would
+    serialize the corpus through one task. The exact percentile()
+    here exists for the value-hash oracle; at 100 TB swap it for
+    approx_percentile (bounded Greenwald-Khanna state instead of
+    per-partition value buffers) — same one-row fence shape, same
+    downstream plan (the orders_profile / orders_profile_approx
+    twin-variant argument)."""
     from kafkaconnect_spark.operators import pipeline
 
     ent = pipeline.token_entropy(_t(spark, sf_dir, "documents")).select(

@@ -116,6 +116,17 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             continue
+        finally:
+            # full-catalog runs materialize 150+ queries in one
+            # session — without releasing each query's tracked
+            # persisted intermediates the executor cache fills and
+            # every later query pays eviction churn
+            try:
+                from kafkaconnect_spark.operators.dedup import release_cached
+
+                release_cached(df)
+            except NameError:  # fn() itself raised — nothing to release
+                pass
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
             continue
