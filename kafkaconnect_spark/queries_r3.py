@@ -633,17 +633,20 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    first = sh.groupBy("__h").agg(F.min("doc_id").alias("__first"))
-    per_doc = (
-        sh.join(first, "__h")
+    # n_novel per doc WITHOUT joining the vocab-sized first-occurrence
+    # table back onto the data-sized shingle frame: a shingle is novel
+    # for exactly the doc that is its min(doc_id), so grouping the
+    # first-occurrence table BY that doc gives the per-doc novel
+    # counts directly — both aggregates are map-side combined and the
+    # only joins left are between doc-cardinality frames
+    novel = (
+        sh.groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("__first") == F.col("doc_id")).cast("long")).alias(
-                "n_novel"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    per_doc = counts.join(novel, "doc_id", "left")
     from kafkaconnect_spark.operators.dedup import _track_cached
 
     return _track_cached(
@@ -655,7 +658,7 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
             F.when(
                 F.coalesce("n_shingles", F.lit(0)) > 0,
-                F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+                F.round(F.coalesce("n_novel", F.lit(0)) / F.col("n_shingles"), 6),
             )
             .otherwise(F.lit(0.0))
             .alias("novelty"),
