@@ -103,6 +103,8 @@ _DEFER_NEW: set[str] = {
     "multimodal_audio_vad",
     "events_session_duration_histogram",
     "orders_customer_ltv_cohort",
+    "embedding_dim_truncation_recall",
+    "events_ab_test_lift",
 }
 
 

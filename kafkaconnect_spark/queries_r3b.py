@@ -725,6 +725,167 @@ FROM c GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding dimension-truncation recall (Matryoshka-style evaluation)
+# ---------------------------------------------------------------------------
+
+def embedding_dim_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval quality of TRUNCATED embeddings: top-5 neighbors
+    using only the first 16 of 64 dimensions vs the full-dimension
+    top-5, per query — the evaluation behind Matryoshka-style
+    dimension reduction (Kusupati et al. 2022, public): how much
+    recall do you keep at 4× less vector memory? Two broadcast-anchor
+    exact top-k passes (operators/similarity.brute_force_topk) joined
+    on (query, neighbor)."""
+    from kafkaconnect_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = brute_force_topk(emb, q, k=5)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = q.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = brute_force_topk(emb16, q16, k=5)
+    hits = full.join(
+        trunc.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / F.col("k"), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+DIM_TRUNC_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+fs AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+fr AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       FROM fs),
+full_k AS (SELECT query_id, neighbor_id FROM fr WHERE rnk <= 5),
+ts AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(list_slice(qv, 1, 16),
+                                list_slice(e.embedding::DOUBLE[], 1, 16)) /
+               (sqrt(list_dot_product(list_slice(qv, 1, 16),
+                                      list_slice(qv, 1, 16))) *
+                sqrt(list_dot_product(list_slice(e.embedding::DOUBLE[], 1, 16),
+                                      list_slice(e.embedding::DOUBLE[], 1, 16)))),
+               6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+tr AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       FROM ts),
+trunc_k AS (SELECT query_id, neighbor_id FROM tr WHERE rnk <= 5)
+SELECT f.query_id,
+       count(t.neighbor_id)::BIGINT AS n_overlap,
+       round(count(t.neighbor_id) / count(*)::DOUBLE, 6) AS recall_at_5
+FROM full_k f LEFT JOIN trunc_k t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic A/B assignment + lift
+# ---------------------------------------------------------------------------
+
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout on a DETERMINISTIC hash assignment
+    (user_id md5 → variant, the reproducible alternative to rand()
+    bucketing): per-variant event counts, purchase events, purchase
+    rates, and the two-proportion z-score — the significance readout
+    every growth dashboard runs (event-level proportions; a user-
+    level conversion metric degenerates on this corpus where every
+    user eventually purchases, making the pooled rate exactly 1).
+    All corpus-sized work is one narrow flag + one bounded groupBy;
+    the z arithmetic is a 1-row computation, NULL when degenerate."""
+    from kafkaconnect_spark.functions.text import hash64
+
+    ev = _events(spark, sf_dir).withColumn(
+        "__variant", hash64(F.col("user_id").cast("string"), "ab") % 2
+    )
+    agg = ev.groupBy().agg(
+        F.sum(F.when(F.col("__variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(
+                (F.col("__variant") == 0) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when(
+                (F.col("__variant") == 1) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    z = F.when(var > 0, F.round((pb - pa) / F.sqrt(var), 6))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+AB_LIFT_ORACLE = rf"""
+WITH e AS (SELECT event_type,
+                  {_hash64_sql('user_id', 'ab')} % 2 AS variant
+           FROM events),
+a AS (SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN variant = 0 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END)::BIGINT AS conv_a,
+             sum(CASE WHEN variant = 1 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END)::BIGINT AS conv_b
+      FROM e),
+v AS (SELECT *,
+             ((conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+             * (1 - (conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+             * (1.0 / n_a + 1.0 / n_b) AS var
+      FROM a)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a / n_a::DOUBLE, 6) AS rate_a,
+       round(conv_b / n_b::DOUBLE, 6) AS rate_b,
+       CASE WHEN var > 0
+            THEN round((conv_b / n_b::DOUBLE - conv_a / n_a::DOUBLE)
+                       / sqrt(var), 6) END AS z_score
+FROM v
+"""
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -752,4 +913,9 @@ R3B_CATALOG: dict[str, tuple] = {
         orders_customer_ltv_cohort,
         LTV_COHORT_ORACLE,
     ),
+    "embedding_dim_truncation_recall": (
+        embedding_dim_truncation_recall,
+        DIM_TRUNC_ORACLE,
+    ),
+    "events_ab_test_lift": (events_ab_test_lift, AB_LIFT_ORACLE),
 }
