@@ -105,6 +105,28 @@ def main() -> None:
     total_tokens = seg.agg(F.sum("n_tokens")).collect()[0][0]
     print(f"bpe tokenize      : {len(merges)} merges, {total_tokens} tokens")
 
+    # 5b. curriculum: entropy-quartile phases (easy/boilerplate first)
+    ent = pipeline.token_entropy(train_split).select("doc_id", "norm_entropy")
+    fence = ent.agg(
+        F.round(F.expr("percentile(norm_entropy, cast(0.5 as double))"), 6).alias(
+            "p50"
+        )
+    )
+    phases = (
+        ent.crossJoin(F.broadcast(fence))
+        .select(
+            (F.col("norm_entropy") > F.col("p50")).cast("int").alias("late_phase")
+        )
+        .groupBy("late_phase")
+        .count()
+        .collect()
+    )
+    by_phase = {r.late_phase: r["count"] for r in phases}
+    print(
+        f"curriculum        : {by_phase.get(0, 0)} early-phase docs, "
+        f"{by_phase.get(1, 0)} late-phase"
+    )
+
     # 6. pack + shard
     packed = pipeline.pack_sequences(
         train_split.withColumn("lang", F.lit("en")), budget=512
@@ -115,6 +137,17 @@ def main() -> None:
         f"pack + shard      : {n_bins} bins of 512 tokens, "
         f"{shards.select('shard_id').distinct().count()} shards"
     )
+
+    # 7. contrastive negatives over the embeddings table: the
+    # hard-negative mining stage of a retrieval-training pipeline
+    from kafkaconnect_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    negs = hard_negative_topk(emb, anchors, k=4)
+    print(f"hard negatives    : {negs.count()} pairs for 5 anchors (k=4)")
     spark.stop()
 
 
