@@ -469,7 +469,15 @@ def minhash_dedup_pairs(
     from pyspark import StorageLevel
 
     sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _signatures_from_arrays(sharr, num_hashes, id_col).select(id_col, "sig")
+    # the signature table (doc-cardinality, num_hashes longs per row)
+    # feeds BOTH sides of the band self-join, and the two sides plan
+    # independently (AQE broadcasts one — no exchange reuse): without
+    # this persist the num_hashes-fold minhash derivation runs twice
+    sigs = (
+        _signatures_from_arrays(sharr, num_hashes, id_col)
+        .select(id_col, "sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands = minhash_lsh_candidates(sigs, bands, id_col)
     # Verify by joining the candidate pairs (few, post-LSH) back to the
     # doc-level shingle SETS and intersecting per-row — the exploded
@@ -478,7 +486,7 @@ def minhash_dedup_pairs(
     # once and computes Jaccard narrowly.
     return _track_cached(
         _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col),
-        [sharr],
+        [sharr, sigs],
     )
 
 
@@ -722,8 +730,16 @@ def simhash_near_dup_pairs(
     """Near-dup candidates = docs sharing any of the bits/band_bits
     bands of the simhash (standard Hamming-LSH: distance < #bands
     guarantees a shared band). Returns pairs + hamming distance."""
+    from pyspark import StorageLevel
+
     nbands = bits // band_bits
-    sims = simhash(df, bits, text_col, id_col)
+    # persist the (doc-cardinality) signature table: the band self-join
+    # plans its two sides independently (AQE turns one into a broadcast
+    # — no exchange reuse), so without this the whole
+    # tokenize→hash→bitsum simhash pipeline executes TWICE
+    sims = simhash(df, bits, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sims.select(
         F.col(id_col),
         "simhash",
@@ -745,7 +761,7 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
-    return pairs
+    return _track_cached(pairs, [sims])
 
 
 def duplicate_clusters_star(

@@ -910,13 +910,21 @@ def multimodal_phash_hamming(
         perceptual_ahash,
     )
 
+    from pyspark import StorageLevel
+
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
     docs = _t(spark, sf_dir, "documents", spread=True)
     hashes = perceptual_ahash(make_fake_ppm(docs))
+    # persist the (doc-cardinality) signature table: it feeds the band
+    # cardinality count AND both sides of the candidate self-join —
+    # without the cache the image-decode mapInPandas pipeline executes
+    # once per consumer (same fix as simhash_near_dup_pairs)
     sig = hashes.select(
         "doc_id",
         F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("lo"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "doc_id",
         "hi",
@@ -935,7 +943,7 @@ def multimodal_phash_hamming(
         sizes.where(F.col("__bc") <= max_band_postings), ["band", "band_val"]
     ).drop("__bc")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    return _track_cached(
         a.join(b, ["band", "band_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -946,7 +954,8 @@ def multimodal_phash_hamming(
                 + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
             ).alias("hamming"),
         )
-        .distinct()
+        .distinct(),
+        [sig],
     )
 
 
