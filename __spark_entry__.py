@@ -105,6 +105,8 @@ _DEFER_NEW: set[str] = {
     "orders_customer_ltv_cohort",
     "embedding_dim_truncation_recall",
     "events_ab_test_lift",
+    "events_sax_motifs",
+    "events_series_similarity",
 }
 
 

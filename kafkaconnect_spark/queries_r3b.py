@@ -886,6 +886,151 @@ FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# time-series symbolization (PAA + SAX-style) and series similarity
+# ---------------------------------------------------------------------------
+
+def _user_day_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared substrate: per (user, 5-day segment) event counts over
+    the 30-day corpus window, zero-filled via a (users × 6) spine —
+    the PAA (piecewise aggregate) reduction of each user's daily
+    activity series. Day 0 anchors at the global min event date
+    (1-row broadcast). Linear in users; the spine side is 6 rows."""
+    ev = _events(spark, sf_dir)
+    start = ev.agg(F.min(F.to_date("ts")).alias("__d0"))
+    seg = (
+        ev.crossJoin(F.broadcast(start))
+        .select(
+            "user_id",
+            (F.datediff(F.to_date("ts"), F.col("__d0")) / 5)
+            .cast("int")
+            .alias("seg"),
+        )
+        .where((F.col("seg") >= 0) & (F.col("seg") < 6))
+        .groupBy("user_id", "seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(
+        F.broadcast(
+            spark.range(6).select(F.col("id").cast("int").alias("seg"))
+        )
+    )
+    return spine.join(seg, ["user_id", "seg"], "left").select(
+        "user_id", "seg", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+_SEGMENTS_SQL = """
+d0 AS (SELECT min(ts::DATE) AS d0 FROM events),
+raw AS (SELECT user_id,
+               (date_diff('day', d0, ts::DATE) // 5)::INT AS seg,
+               count(*)::BIGINT AS n
+        FROM events, d0
+        WHERE date_diff('day', d0, ts::DATE) // 5 BETWEEN 0 AND 5
+        GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM events),
+segs AS (SELECT user_id, s.seg, coalesce(raw.n, 0)::BIGINT AS n
+         FROM users CROSS JOIN (SELECT unnest(range(6))::INT AS seg) s
+         LEFT JOIN raw USING (user_id, seg))
+"""
+
+
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style activity-pattern motifs (Lin et al. 2003, "A
+    symbolic representation of time series", public): each user's
+    30-day series reduces to 6 PAA segment counts, each segment maps
+    to a 4-letter alphabet by GLOBAL quartile fences (broadcast 1-row
+    percentile aggregate — the oracle-able stand-in for SAX's
+    Gaussian breakpoints), and the 6-letter word groups users with
+    the same activity shape. Returns (sax_word, n_users) — the motif
+    census behind behavioural cohorting.
+
+    Scale shape: one keyed corpus aggregation + a 6-row broadcast
+    spine; fences broadcast; the word groupBy is alphabet^6-bounded."""
+    segs = _user_day_segments(spark, sf_dir)
+    fence = segs.agg(
+        *[
+            F.round(F.expr(f"percentile(n, cast({q} as double))"), 6).alias(
+                f"__p{int(q * 100)}"
+            )
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    lettered = segs.crossJoin(F.broadcast(fence)).select(
+        "user_id",
+        "seg",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            (
+                F.lit(1)
+                + (F.col("n") > F.col("__p25")).cast("int")
+                + (F.col("n") > F.col("__p50")).cast("int")
+                + (F.col("n") > F.col("__p75")).cast("int")
+            ),
+        ).alias("sym"),
+    )
+    words = lettered.groupBy("user_id").agg(
+        F.concat_ws("", F.array_sort(F.collect_list(F.struct("seg", "sym"))).getField("sym")).alias(
+            "sax_word"
+        )
+    )
+    return words.groupBy("sax_word").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+SAX_ORACLE = rf"""
+WITH {_SEGMENTS_SQL},
+f AS (SELECT round(quantile_cont(n, 0.25), 6) AS p25,
+             round(quantile_cont(n, 0.5), 6) AS p50,
+             round(quantile_cont(n, 0.75), 6) AS p75
+      FROM segs),
+lettered AS (SELECT user_id, seg,
+                    ['a', 'b', 'c', 'd'][1 + (n > p25)::INT + (n > p50)::INT
+                                         + (n > p75)::INT] AS sym
+             FROM segs, f),
+words AS (SELECT user_id, string_agg(sym, '' ORDER BY seg) AS sax_word
+          FROM lettered GROUP BY user_id)
+SELECT sax_word, count(*)::BIGINT AS n_users
+FROM words GROUP BY sax_word
+"""
+
+
+def events_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users with the activity series closest (integer L1 on
+    the 6 PAA segment counts) to the lowest-id user — the distributed
+    whole-series similarity search (the shape of EDBT'19's streaming
+    time-series search, reduced to its batch core). The query vector
+    is a 6-row broadcast; distance is one map-side-combined keyed
+    aggregation; the top-10 is a TakeOrdered, never a global sort."""
+    segs = _user_day_segments(spark, sf_dir)
+    q_user = segs.groupBy().agg(F.min("user_id").alias("__qu"))
+    qvec = (
+        segs.join(F.broadcast(q_user), segs.user_id == F.col("__qu"))
+        .select(F.col("seg"), F.col("n").alias("__qn"))
+    )
+    dist = (
+        segs.join(F.broadcast(q_user), segs.user_id == F.col("__qu"), "left_anti")
+        .join(F.broadcast(qvec), "seg")
+        .groupBy("user_id")
+        .agg(F.sum(F.abs(F.col("n") - F.col("__qn"))).alias("l1_dist"))
+    )
+    return dist.orderBy(F.col("l1_dist").asc(), F.col("user_id").asc()).limit(10)
+
+
+SERIES_SIM_ORACLE = rf"""
+WITH {_SEGMENTS_SQL},
+qu AS (SELECT min(user_id) AS qu FROM segs),
+qvec AS (SELECT seg, n AS qn FROM segs, qu WHERE user_id = qu),
+dist AS (SELECT user_id, sum(abs(segs.n - qn))::BIGINT AS l1_dist
+         FROM segs JOIN qvec USING (seg), qu
+         WHERE user_id != qu
+         GROUP BY user_id)
+SELECT user_id, l1_dist FROM dist ORDER BY l1_dist, user_id LIMIT 10
+"""
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -918,4 +1063,9 @@ R3B_CATALOG: dict[str, tuple] = {
         DIM_TRUNC_ORACLE,
     ),
     "events_ab_test_lift": (events_ab_test_lift, AB_LIFT_ORACLE),
+    "events_sax_motifs": (events_sax_motifs, SAX_ORACLE),
+    "events_series_similarity": (
+        events_series_similarity,
+        SERIES_SIM_ORACLE,
+    ),
 }
