@@ -390,3 +390,54 @@ def test_watermark_late_drop_replay_matches_real_stream(
     }
     assert dropped_expected, "fixture must actually contain late rows"
     assert survived == expected
+
+
+def test_watermark_late_flags_matches_python_reference(spark):
+    """Property-style check on randomized streams: the Spark replay's
+    row-level late set must equal a direct Python simulation of
+    Structured Streaming's rule (watermark entering block b =
+    max event time over blocks < b, minus delay; late iff strictly
+    older). Uses a seeded RNG grid instead of hypothesis (a Spark job
+    per example is too slow for shrinking)."""
+    import datetime
+    import random
+
+    from kafkaconnect_spark.queries_r3b import watermark_late_flags
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for i in range(400):
+            # event time wanders around arrival order with heavy jitter
+            ts = base + datetime.timedelta(
+                seconds=i * 30 + rng.randint(-900, 900)
+            )
+            rows.append((i, ts))
+        block_rows, delay_us = 50, 120_000_000  # 2-minute watermark
+        # python reference
+        blocks: dict[int, list] = {}
+        for i, ts in rows:
+            blocks.setdefault(i // block_rows, []).append((i, ts))
+        expected_late = set()
+        running_max = None
+        for b in sorted(blocks):
+            wm = (
+                None
+                if running_max is None
+                else running_max - datetime.timedelta(microseconds=delay_us)
+            )
+            for i, ts in blocks[b]:
+                if wm is not None and ts < wm:
+                    expected_late.add(i)
+            block_max = max(ts for _i, ts in blocks[b])
+            running_max = (
+                block_max if running_max is None else max(running_max, block_max)
+            )
+        df = spark.createDataFrame(rows, "event_id LONG, ts TIMESTAMP")
+        flagged = watermark_late_flags(
+            df, block_rows=block_rows, delay_us=delay_us
+        )
+        got_late = {r.event_id for r in flagged.where(F.col("__late")).collect()}
+        assert got_late == expected_late, seed
+        assert expected_late, f"seed {seed} produced no late rows"
