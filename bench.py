@@ -85,6 +85,12 @@ HEADLINE = [
     "embedding_hard_negatives",
     "docs_trigram_vocab_growth",
     "events_watermark_late_drop",
+    "docs_curriculum_phases",
+    "orders_customer_ltv_cohort",
+    "multimodal_audio_vad",
+    "events_sax_motifs",
+    "embedding_dim_truncation_recall",
+    "orders_open_backlog_monthly",
 ]
 
 
