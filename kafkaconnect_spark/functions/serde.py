@@ -124,17 +124,38 @@ def json_deserialize(
     raw_col: Column | str,
     schema: T.StructType,
     schemas_enable: bool = False,
+    permissive: bool = False,
 ) -> Column:
     """JSON string → typed struct; NULL bytes stay NULL (tombstone).
 
     FAILFAST like Connect's JsonConverter: malformed bytes throw a
     parse error instead of PERMISSIVE's silent all-NULL row (which
     would flow downstream as a garbage upsert — or, worse, read as a
-    tombstone where NULL value means DELETE)."""
+    tombstone where NULL value means DELETE). ``permissive=True`` is
+    for the KIP-298 errors.tolerance=all path ONLY: it returns the
+    schema EXTENDED with a ``_corrupt_record`` string column (Spark's
+    corrupt-record channel) — non-null there ⇔ the bytes were
+    malformed. A bare PERMISSIVE parse instead yields an all-null
+    STRUCT for poison input, indistinguishable from a legitimately
+    all-null record."""
     c = F.col(raw_col) if isinstance(raw_col, str) else raw_col
     c = c.cast("string")
-    opts = {"mode": "FAILFAST"}
+    if not permissive:
+        opts = {"mode": "FAILFAST"}
+        if schemas_enable:
+            wrapper = T.StructType([T.StructField("payload", schema, True)])
+            return F.from_json(c, wrapper, opts)["payload"]
+        return F.from_json(c, schema, opts)
+    corrupt = T.StructField("_corrupt_record", T.StringType(), True)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"}
+    ext = T.StructType(list(schema.fields) + [corrupt])
     if schemas_enable:
-        wrapper = T.StructType([T.StructField("payload", schema, True)])
-        return F.from_json(c, wrapper, opts)["payload"]
-    return F.from_json(c, schema, opts)
+        wrapper = T.StructType([T.StructField("payload", schema, True), corrupt])
+        x = F.from_json(c, wrapper, opts)
+        return F.when(c.isNull(), F.lit(None).cast(ext)).otherwise(
+            F.struct(
+                *[x["payload"][f.name].alias(f.name) for f in schema.fields],
+                x["_corrupt_record"].alias("_corrupt_record"),
+            )
+        )
+    return F.from_json(c, ext, opts)

@@ -278,7 +278,13 @@ class Engine:
     # ------------------------------------------------------------------
     # converters (C1/C2 JSON, C3 Avro+registry)
     # ------------------------------------------------------------------
-    def _value_serde(self, cfg: dict, value_schema: T.StructType, topic: str):
+    def _value_serde(
+        self,
+        cfg: dict,
+        value_schema: T.StructType,
+        topic: str,
+        permissive: bool = False,
+    ):
         """Returns (serialize_col_fn, deserialize_col_fn) per the
         spec's value.converter. Avro values are framed Confluent wire
         bytes (functions/avro_wire.py); on the file transport they are
@@ -328,7 +334,10 @@ class Engine:
         schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
         return (
             lambda col: json_serialize(col, value_schema, schemas_enable=schemas_enable),
-            lambda col: json_deserialize(col, value_schema, schemas_enable=schemas_enable),
+            lambda col: json_deserialize(
+                col, value_schema, schemas_enable=schemas_enable,
+                permissive=permissive,
+            ),
         )
 
     def _resolve_sink_schema(self, cfg: dict, topics: list[str]) -> T.StructType:
@@ -588,10 +597,37 @@ class Engine:
         schemas_enable = str(cfg.get("value.converter.schemas.enable", "true")).lower() == "true"
         chain = build_transform_chain(spec.transforms)
 
+        # error handling per KIP-298 (public Connect semantics):
+        # errors.tolerance=none (default) fails the task on a malformed
+        # record; =all skips it, optionally routing the raw record to a
+        # dead-letter topic (errors.deadletterqueue.topic.name).
+        tolerance = str(cfg.get("errors.tolerance", "none")).lower()
+        if tolerance not in ("none", "all"):
+            raise SpecError(
+                f"errors.tolerance must be 'none' or 'all', got {tolerance!r}"
+            )
+        dlq_topic = cfg.get("errors.deadletterqueue.topic.name")
+        if dlq_topic is not None and tolerance != "all":
+            raise SpecError(
+                "errors.deadletterqueue.topic.name requires "
+                "errors.tolerance=all (a tolerance-none task fails the "
+                "batch before anything could reach the DLQ)"
+            )
+        if tolerance == "all" and str(
+            cfg.get("value.converter", "JsonConverter")
+        ).rsplit(".", 1)[-1] == "AvroConverter":
+            raise SpecError(
+                "errors.tolerance=all is implemented for the JSON "
+                "converter only — the Avro decode UDF fails the batch on "
+                "a bad frame (per-record Avro tolerance not built yet)"
+            )
+
         # Schema resolution at registration (SURVEY §1.3): explicit DDL
         # wins; else Schema Registry (Avro); else sample the topic.
         value_schema = self._resolve_sink_schema(cfg, topics)
-        _, deserialize = self._value_serde(cfg, value_schema, topics[0])
+        _, deserialize = self._value_serde(
+            cfg, value_schema, topics[0], permissive=tolerance == "all"
+        )
 
         pk = spec.pk_fields
         writer = JdbcSinkWriter(
@@ -610,24 +646,60 @@ class Engine:
             [T.StructField(c, T.StringType(), True) for c in pk]
         )
 
+        transport = self.transport
+
         def process(batch_df: DataFrame, batch_id: int) -> None:
             recs = batch_df
             # poison-pill guard: from_json yields NULL for malformed
             # input, and NULL value == tombstone == DELETE downstream —
-            # a corrupt record must fail loudly, not delete live data.
+            # a corrupt record must not silently delete live data.
             # Only a null WIRE value is a genuine tombstone.
             parse_err = (
                 f"pipeline {spec.name!r}: malformed value record (parse "
                 "returned NULL for non-null bytes) — not a tombstone; "
-                "check the converter config or dead-letter the record"
+                "check the converter config, or set errors.tolerance=all "
+                "(+ errors.deadletterqueue.topic.name) to skip/route it"
             )
             parsed = deserialize("value")
-            recs = recs.withColumn(
-                "value",
-                F.when(F.col("value").isNull(), parsed).otherwise(
-                    F.coalesce(parsed, F.raise_error(F.lit(parse_err)).cast(value_schema))
-                ),
-            )
+            if tolerance == "all":
+                # permissive serde: parsed carries a _corrupt_record
+                # channel — non-null there ⇔ poison bytes (null wire
+                # value stays a genuine tombstone: parsed is NULL and
+                # the flag coalesces to false)
+                malformed = F.coalesce(
+                    parsed["_corrupt_record"].isNotNull(), F.lit(False)
+                )
+                if dlq_topic is not None:
+                    bad = recs.where(malformed)
+                    transport.append(
+                        bad.select(
+                            F.col("key").cast("string").alias("key"),
+                            F.col("value").cast("string").alias("value"),
+                            F.lit(str(dlq_topic)).alias("topic"),
+                        )
+                    )
+                clean = F.when(
+                    F.col("value").isNull() | parsed.isNull(),
+                    F.lit(None).cast(value_schema),
+                ).otherwise(
+                    F.struct(
+                        *[
+                            parsed[f.name].alias(f.name)
+                            for f in value_schema.fields
+                        ]
+                    )
+                )
+                recs = recs.where(~malformed).withColumn("value", clean)
+            else:
+                recs = recs.withColumn(
+                    "value",
+                    F.when(F.col("value").isNull(), parsed).otherwise(
+                        F.coalesce(
+                            parsed,
+                            F.raise_error(F.lit(parse_err)).cast(value_schema),
+                        )
+                    ),
+                )
             recs = chain(recs)
             # key: json struct of pk fields, or scalar pk — normalize to
             # struct keyed by pk names, casting to the value's pk types.

@@ -392,3 +392,57 @@ def test_standard_smt_chain_in_sink_pipeline(spark, tmp_path):
     assert "full_name" in cols and "name" not in cols
     assert len(got) == 20
     assert got[0] == (0, "name0", None, "spooldir")  # email masked, src injected
+
+
+def test_sink_errors_tolerance_and_dlq(spark, tmp_path):
+    """KIP-298 error handling: a malformed value among good records
+    fails the batch under the default errors.tolerance=none, and under
+    =all the good rows land, the poison pill is skipped, and the raw
+    record reaches the dead-letter topic."""
+    db = str(tmp_path / "dlq_sink.db")
+    url = "jdbc:sqlite:" + db
+    eng = make_engine(spark, tmp_path, dbs={url: functools.partial(sqlite3.connect, db)})
+
+    good = [
+        ("1", '{"id": 1, "name": "a"}'),
+        ("2", '{"id": 2, "name": "b"}'),
+    ]
+    poison = [("3", "{this is not json")]
+    recs = spark.createDataFrame(good + poison, "key STRING, value STRING")
+    eng.transport.append(recs.withColumn("topic", F.lit("dlq_topic")))
+
+    base = sink_spec(url, "dlq_topic", "dlq_sink", name="strict_sink")
+    base["config"]["transforms"] = ""
+    base["config"]["value.converter.schemas.enable"] = "false"
+    base["config"]["value.schema.ddl"] = "id INT, name STRING"
+    eng.register(base)
+    with pytest.raises(Exception, match="(?i)malformed"):
+        eng.run_once("strict_sink")
+
+    tolerant = sink_spec(url, "dlq_topic", "dlq_sink2", name="tolerant_sink")
+    tolerant["config"]["transforms"] = ""
+    tolerant["config"]["value.converter.schemas.enable"] = "false"
+    tolerant["config"]["value.schema.ddl"] = "id INT, name STRING"
+    tolerant["config"]["errors.tolerance"] = "all"
+    tolerant["config"]["errors.deadletterqueue.topic.name"] = "my_dlq"
+    eng.register(tolerant)
+    eng.run_once("tolerant_sink")
+
+    with sqlite3.connect(db) as c:
+        got = sorted(c.execute("SELECT id, name FROM dlq_sink2").fetchall())
+    assert got == [(1, "a"), (2, "b")]
+
+    dlq = eng.transport.read_batch(["my_dlq"]).collect()
+    assert len(dlq) == 1
+    assert dlq[0].value == "{this is not json"
+    assert dlq[0].key == "3"
+
+
+def test_sink_dlq_requires_tolerance_all(spark, tmp_path):
+    db = str(tmp_path / "x.db")
+    url = "jdbc:sqlite:" + db
+    eng = make_engine(spark, tmp_path, dbs={url: functools.partial(sqlite3.connect, db)})
+    bad = sink_spec(url, "some_topic", "t", name="bad_sink")
+    bad["config"]["errors.deadletterqueue.topic.name"] = "dlq"
+    with pytest.raises(SpecError, match="errors.tolerance=all"):
+        eng.register(bad)
