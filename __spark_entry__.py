@@ -107,6 +107,7 @@ _DEFER_NEW: set[str] = {
     "events_ab_test_lift",
     "events_sax_motifs",
     "events_series_similarity",
+    "lineitem_rolling_7day_revenue",
 }
 
 

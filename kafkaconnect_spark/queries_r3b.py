@@ -1031,6 +1031,68 @@ SELECT user_id, l1_dist FROM dist ORDER BY l1_dist, user_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# keyed RANGE-frame rolling aggregate
+# ---------------------------------------------------------------------------
+
+def lineitem_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier 7-day rolling revenue — the RANGE-frame window
+    shape (value-based frame over day gaps, not ROWS): each day's
+    total plus the trailing-week sum, for a deterministic supplier
+    sample (suppkey % 100 == 0, filtered BEFORE the shuffle so the
+    predicate reaches the scan). Revenue is per-row rounded →
+    DECIMAL-summed; the frame key is integer days-since-epoch so the
+    range arithmetic has no calendar/float edge; revenue uses the q1
+    decimal-factor convention. Keyed window → one
+    shuffle on suppkey; rows per partition bounded by the date span."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") % 100 == 0)
+    daily = (
+        li.select(
+            "l_suppkey",
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date"))
+            .alias("day_int"),
+            # decimal-cast factors, exact decimal multiply — the q1
+            # convention; a per-row round(·, 2) of the double product
+            # hits the Spark-vs-DuckDB half-up/binary rounding
+            # knife-edge (it did, at sf0.01)
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+            ).alias("__rev"),
+        )
+        .groupBy("l_suppkey", "day_int")
+        .agg(F.sum("__rev").alias("__daily"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day_int")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "l_suppkey",
+        "day_int",
+        F.col("__daily").cast("double").alias("daily_revenue"),
+        F.sum("__daily").over(w).cast("double").alias("rolling_7day_revenue"),
+    )
+
+
+ROLLING_7DAY_ORACLE = """
+WITH d AS (
+  SELECT l_suppkey,
+         date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS day_int,
+         sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(8,2))
+             AS daily
+  FROM lineitem WHERE l_suppkey % 100 = 0
+  GROUP BY 1, 2)
+SELECT l_suppkey, day_int,
+       daily::DOUBLE AS daily_revenue,
+       sum(daily) OVER (PARTITION BY l_suppkey ORDER BY day_int
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                       )::DOUBLE AS rolling_7day_revenue
+FROM d
+"""
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -1067,5 +1129,9 @@ R3B_CATALOG: dict[str, tuple] = {
     "events_series_similarity": (
         events_series_similarity,
         SERIES_SIM_ORACLE,
+    ),
+    "lineitem_rolling_7day_revenue": (
+        lineitem_rolling_7day_revenue,
+        ROLLING_7DAY_ORACLE,
     ),
 }
