@@ -466,33 +466,62 @@ def avro_serialize_udf(avro_schema: dict, schema_id: int):
 
 
 def avro_deserialize_udf(
-    value_schema: T.StructType, avro_schema: dict, expected_id: int | None = None
+    value_schema: T.StructType,
+    avro_schema: dict,
+    expected_id: int | None = None,
+    permissive: bool = False,
 ):
     """Framed wire bytes → struct rows. Assumes a single writer schema
     per pipeline (SURVEY §1.3); when ``expected_id`` is given, a
     message carrying a DIFFERENT embedded schema id fails loudly —
     positional decode against the wrong field list would silently
     corrupt columns (evolved topics need a registry lookup in the
-    reader, which is the restart-on-evolution path)."""
+    reader, which is the restart-on-evolution path).
+
+    ``permissive=True`` (KIP-298 errors.tolerance=all): the output
+    struct gains a ``_corrupt_record`` string column and any
+    per-record decode failure — bad framing, truncated body, wrong
+    schema id — lands there as the error text instead of failing the
+    batch, so the caller can dead-letter the record. NOTE a schema-id
+    mismatch after topic evolution becomes a per-record DLQ entry in
+    this mode (the loud restart-on-evolution signal is traded away;
+    that is what tolerance=all means)."""
     from pyspark.sql.functions import pandas_udf
 
-    names = [f.name for f in value_schema.fields]
+    out_schema = value_schema
+    if permissive:
+        out_schema = T.StructType(
+            list(value_schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType(), True)]
+        )
+    names = [f.name for f in out_schema.fields]
 
-    @pandas_udf(value_schema)
+    @pandas_udf(out_schema)
     def _de(s: pd.Series) -> pd.DataFrame:
         rows = []
         for wire in s:
             if wire is None:
                 rows.append({n: None for n in names})
                 continue
-            sid, body = unframe(bytes(wire))
-            if expected_id is not None and sid != expected_id:
-                raise ValueError(
-                    f"message written with schema id {sid}, reader bound to "
-                    f"{expected_id} — schema evolved mid-stream; restart the "
-                    "pipeline against the new version"
-                )
-            rows.append(_decode_record(avro_schema, io.BytesIO(body)))
+            try:
+                sid, body = unframe(bytes(wire))
+                if expected_id is not None and sid != expected_id:
+                    raise ValueError(
+                        f"message written with schema id {sid}, reader bound "
+                        f"to {expected_id} — schema evolved mid-stream; "
+                        "restart the pipeline against the new version"
+                    )
+                rec = _decode_record(avro_schema, io.BytesIO(body))
+                if permissive:
+                    rec = dict(rec)
+                    rec["_corrupt_record"] = None
+                rows.append(rec)
+            except Exception as e:  # noqa: BLE001
+                if not permissive:
+                    raise
+                bad = {n: None for n in names}
+                bad["_corrupt_record"] = f"{type(e).__name__}: {e}"
+                rows.append(bad)
         return pd.DataFrame(rows, columns=names)
 
     return _de

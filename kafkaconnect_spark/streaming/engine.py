@@ -305,7 +305,17 @@ class Engine:
             avro = avro_schema_for(value_schema, "ConnectDefault")
             sid = registry.register(f"{topic}-value", avro)
             ser_udf = avro_serialize_udf(avro, sid)
-            de_udf = avro_deserialize_udf(value_schema, avro, expected_id=sid)
+            de_udf = avro_deserialize_udf(
+                value_schema, avro, expected_id=sid, permissive=permissive
+            )
+            de_out_schema = (
+                T.StructType(
+                    list(value_schema.fields)
+                    + [T.StructField("_corrupt_record", T.StringType(), True)]
+                )
+                if permissive
+                else value_schema
+            )
 
             # tombstones need guards on BOTH sides of the UDF boundary:
             # a null struct entering a pandas UDF arrives as an all-NaN
@@ -319,7 +329,7 @@ class Engine:
 
             def _null_preserving_de(raw_col):
                 return F.when(
-                    raw_col.isNull(), F.lit(None).cast(value_schema)
+                    raw_col.isNull(), F.lit(None).cast(de_out_schema)
                 ).otherwise(de_udf(raw_col))
 
             if self.transport.is_file:
@@ -613,15 +623,6 @@ class Engine:
                 "errors.tolerance=all (a tolerance-none task fails the "
                 "batch before anything could reach the DLQ)"
             )
-        if tolerance == "all" and str(
-            cfg.get("value.converter", "JsonConverter")
-        ).rsplit(".", 1)[-1] == "AvroConverter":
-            raise SpecError(
-                "errors.tolerance=all is implemented for the JSON "
-                "converter only — the Avro decode UDF fails the batch on "
-                "a bad frame (per-record Avro tolerance not built yet)"
-            )
-
         # Schema resolution at registration (SURVEY §1.3): explicit DDL
         # wins; else Schema Registry (Avro); else sample the topic.
         value_schema = self._resolve_sink_schema(cfg, topics)

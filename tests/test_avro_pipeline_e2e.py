@@ -96,3 +96,79 @@ def test_avro_source_to_sink(spark, tmp_path):
     with sqlite3.connect(db) as c:
         n = c.execute("SELECT count(*) FROM customers_sink").fetchone()[0]
     assert n == 3
+
+
+def test_avro_sink_tolerance_all_dead_letters_bad_frames(spark, tmp_path):
+    """KIP-298 over the Avro path: a corrupt wire frame among good
+    records is skipped and routed to the DLQ under
+    errors.tolerance=all; good rows still land."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    db = str(tmp_path / "avro_dlq.db")
+    url = "jdbc:sqlite:" + db
+    registry_url = f"file://{tmp_path}/registry.json"
+
+    eng = Engine(
+        spark,
+        servers=f"file://{tmp_path}/topics",
+        checkpoint_root=tmp_path / "ckpt",
+        table_resolver=lambda t: spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", 1.5)], "id int, name string, score double"
+        ),
+        connection_factories={url: functools.partial(sqlite3.connect, db)},
+    )
+    eng.register(
+        {
+            "name": "avro_source2",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSourceConnector",
+                "connection.url": "jdbc:mysql://fake:3306/om",
+                "topic.prefix": "avrodlq_",
+                "table.whitelist": "customers",
+                "mode": "incrementing",
+                "incrementing.column.name": "id",
+                "value.converter": "io.confluent.connect.avro.AvroConverter",
+                "value.converter.schema.registry.url": registry_url,
+                "transforms": "create_key, extract_key",
+                "transforms.create_key.type": "org.apache.kafka.connect.transforms.ValueToKey",
+                "transforms.create_key.fields": "id",
+                "transforms.extract_key.type": "org.apache.kafka.connect.transforms.ExtractField$Key",
+                "transforms.extract_key.field": "id",
+            },
+        }
+    )
+    assert eng.run_once()["avro_source2"] == 2
+
+    # inject a truncated/garbage frame (valid base64, broken avro)
+    poison = base64.b64encode(b"\x00\x00\x00\x00\x01\xff").decode()
+    eng.transport.append(
+        spark.createDataFrame([("9", poison)], "key STRING, value STRING")
+        .withColumn("topic", F.lit("avrodlq_customers"))
+    )
+
+    eng.register(
+        {
+            "name": "avro_dlq_sink",
+            "config": {
+                "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
+                "topics": "avrodlq_customers",
+                "connection.url": url,
+                "insert.mode": "upsert",
+                "pk.mode": "record_key",
+                "pk.fields": "id",
+                "table.name.format": "customers_sink2",
+                "value.converter": "io.confluent.connect.avro.AvroConverter",
+                "value.converter.schema.registry.url": registry_url,
+                "errors.tolerance": "all",
+                "errors.deadletterqueue.topic.name": "avro_dlq",
+            },
+        }
+    )
+    eng.run_once("avro_dlq_sink")
+    with sqlite3.connect(db) as c:
+        got = sorted(c.execute("SELECT id, name FROM customers_sink2").fetchall())
+    assert got == [(1, "a"), (2, "b")]
+    dlq = eng.transport.read_batch(["avro_dlq"]).collect()
+    assert len(dlq) == 1 and dlq[0].key == "9" and dlq[0].value == poison
