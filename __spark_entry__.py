@@ -108,6 +108,8 @@ _DEFER_NEW: set[str] = {
     "events_sax_motifs",
     "events_series_similarity",
     "lineitem_rolling_7day_revenue",
+    "embedding_centroid_drift",
+    "events_anomaly_mad",
 }
 
 

@@ -1093,6 +1093,151 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# centroid drift across splits (training-data drift monitor)
+# ---------------------------------------------------------------------------
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the train and valid/test hash
+    splits — the distribution-shift monitor a training pipeline runs
+    before trusting a data refresh: if a label's train-split centroid
+    moves away from its held-out centroid, the split is no longer
+    i.i.d. for that class. Per label: vector counts per side and the
+    squared L2 distance between the two centroids.
+
+    Determinism without rounding: per-dim sums are DECIMAL-exact;
+    every later step is a deterministic IEEE op on identical inputs
+    (decimal→double conversion, two divisions, subtract, square), and
+    the 64 per-dim terms reduce through an EXPLICIT sequential fold
+    over the dim-sorted array — a plain sum() would be
+    partition-order-dependent, and any round() on the way reopens
+    the Spark-vs-DuckDB half-up/binary knife-edge (both variants
+    failed at sf0.001 before this shape). Reduce output is
+    |labels|×dims however large the corpus."""
+    from kafkaconnect_spark.functions.text import hash64
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "__side",
+        F.when(hash64(F.col("vec_id").cast("string"), "split") % 16 <= 13, "train")
+        .otherwise("heldout"),
+    )
+    e = emb.select(
+        "label", "__side", F.posexplode("embedding").alias("dim", "__v")
+    )
+    cent = e.groupBy("label", "__side", "dim").agg(
+        F.sum(
+            F.expr("cast(round(cast(__v as double), 7) as decimal(20,7))")
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    tr = cent.where(F.col("__side") == "train").select(
+        "label", "dim", F.col("__s").alias("__st"), F.col("__n").alias("__nt")
+    )
+    ho = cent.where(F.col("__side") == "heldout").select(
+        "label", "dim", F.col("__s").alias("__sh"), F.col("__n").alias("__nh")
+    )
+    term = (
+        F.col("__st").cast("double") / F.col("__nt")
+        - F.col("__sh").cast("double") / F.col("__nh")
+    )
+    return (
+        tr.join(ho, ["label", "dim"])
+        .select(
+            "label",
+            "dim",
+            "__nt",
+            "__nh",
+            (term * term).alias("__t"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max("__nt").alias("n_train"),
+            F.max("__nh").alias("n_heldout"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(dim, __t))), x -> x.__t), cast(0.0 as double), "
+                "(acc, t) -> acc + t)"
+            ).alias("drift_sq_l2"),
+        )
+    )
+
+
+CENTROID_DRIFT_ORACLE = rf"""
+WITH s AS (SELECT label, embedding,
+                  CASE WHEN {_hash64_sql('vec_id', 'split')} % 16 <= 13
+                       THEN 'train' ELSE 'heldout' END AS side
+           FROM embeddings),
+e AS (SELECT label, side, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM s),
+c AS (SELECT label, side, dim,
+             sum(round(v, 7)::DECIMAL(20,7)) AS sm, count(*) AS n
+      FROM e GROUP BY 1, 2, 3),
+j AS (SELECT t.label, t.dim, t.n AS nt, h.n AS nh,
+             (t.sm::DOUBLE / t.n - h.sm::DOUBLE / h.n)
+             * (t.sm::DOUBLE / t.n - h.sm::DOUBLE / h.n) AS term
+      FROM c t JOIN c h ON t.label = h.label AND t.dim = h.dim
+      WHERE t.side = 'train' AND h.side = 'heldout')
+SELECT label,
+       max(nt)::BIGINT AS n_train,
+       max(nh)::BIGINT AS n_heldout,
+       list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY dim)),
+                   (acc, t) -> acc + t) AS drift_sq_l2
+FROM j GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# robust (MAD) anomaly screen
+# ---------------------------------------------------------------------------
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median / MAD fences
+    (median absolute deviation, the breakdown-resistant alternative
+    to the mean/σ z-score — one 10%-tail of corrupt values drags a
+    mean-based fence, but not the median). Two grouped exact-median
+    passes come back as a broadcast fence; the flag is a narrow
+    comparison. Exact percentile() is the oracle stand-in — at 100 TB
+    swap approx_percentile, same fence shape. Output per type:
+    totals, MAD, and outliers beyond 3·1.4826·MAD."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, cast(0.5 as double))"), 6).alias("__med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(
+            F.expr("percentile(abs(value - __med), cast(0.5 as double))"), 6
+        ).alias("__mad")
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type").withColumn(
+        "__out",
+        F.abs(F.col("value") - F.col("__med"))
+        > F.lit(3 * 1.4826) * F.col("__mad"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("__med").alias("median_value"),
+        F.max("__mad").alias("mad"),
+        F.sum(F.col("__out").cast("long")).alias("n_outliers"),
+    )
+
+
+ANOMALY_MAD_ORACLE = """
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM v GROUP BY 1),
+d AS (SELECT v.event_type, value, med FROM v JOIN m USING (event_type)),
+md AS (SELECT event_type, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+       FROM d GROUP BY 1)
+SELECT d.event_type, count(*)::BIGINT AS n_events,
+       max(med) AS median_value, max(mad) AS mad,
+       sum(CASE WHEN abs(value - med) > 3 * 1.4826 * mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM d JOIN md USING (event_type) GROUP BY d.event_type
+"""
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -1134,4 +1279,9 @@ R3B_CATALOG: dict[str, tuple] = {
         lineitem_rolling_7day_revenue,
         ROLLING_7DAY_ORACLE,
     ),
+    "embedding_centroid_drift": (
+        embedding_centroid_drift,
+        CENTROID_DRIFT_ORACLE,
+    ),
+    "events_anomaly_mad": (events_anomaly_mad, ANOMALY_MAD_ORACLE),
 }
