@@ -110,6 +110,7 @@ _DEFER_NEW: set[str] = {
     "lineitem_rolling_7day_revenue",
     "embedding_centroid_drift",
     "events_anomaly_mad",
+    "multimodal_phash_clusters",
 }
 
 

@@ -1238,6 +1238,51 @@ FROM d JOIN md USING (event_type) GROUP BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# image near-dup clusters (completes the multimodal dedup story)
+# ---------------------------------------------------------------------------
+
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the aHash Hamming-LSH candidate
+    pairs at Hamming ≤ 3 (the distance the 4-band pigeonhole
+    guarantees to surface) — image near-dup CLUSTERS, completing the
+    multimodal dedup story beyond equal-hash buckets and candidate
+    pairs: iterative min-label propagation on the same checkpoint
+    discipline as the text clusters, vs the oracle's recursive
+    transitive closure."""
+    from kafkaconnect_spark.operators.dedup import duplicate_clusters
+    from kafkaconnect_spark.queries_r3 import multimodal_phash_hamming
+
+    pairs = multimodal_phash_hamming(spark, sf_dir)
+    near = pairs.where(F.col("hamming") <= 3).select("id_a", "id_b")
+    return duplicate_clusters(near)
+
+
+def _phash_clusters_oracle() -> str:
+    from kafkaconnect_spark.queries_r3 import _phash_hamming_oracle
+
+    base = _phash_hamming_oracle()
+    head, tail = base.split("SELECT DISTINCT a.doc_id AS id_a", 1)
+    return (
+        head.replace("WITH ", "WITH RECURSIVE ", 1).rstrip().rstrip(",")
+        + ",\ncand AS (SELECT DISTINCT a.doc_id AS id_a"
+        + tail.rstrip()
+        + """),
+pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS n, a AS m FROM e
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.n)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+"""
+    )
+
+
+PHASH_CLUSTERS_ORACLE = _phash_clusters_oracle()
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -1284,4 +1329,8 @@ R3B_CATALOG: dict[str, tuple] = {
         CENTROID_DRIFT_ORACLE,
     ),
     "events_anomaly_mad": (events_anomaly_mad, ANOMALY_MAD_ORACLE),
+    "multimodal_phash_clusters": (
+        multimodal_phash_clusters,
+        PHASH_CLUSTERS_ORACLE,
+    ),
 }
