@@ -418,3 +418,56 @@ def test_r3_catalog_has_no_cartesian_or_row_python(spark):
         p = plan(spark, name, mode="simple")
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_r3b_catalog_has_no_cartesian_or_row_python(spark):
+    """Same blanket guard over the batch B-F queries (queries_r3b)."""
+    from kafkaconnect_spark.queries_r3b import R3B_CATALOG
+
+    for name in R3B_CATALOG:
+        p = plan(spark, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_hard_negatives_anchor_broadcast_corpus_no_shuffle(spark):
+    """The anchor set broadcasts; the corpus side reaches the join
+    without an Exchange (only the per-anchor ranking shuffles)."""
+    p = plan(spark, "embedding_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # exactly one shuffle exchange: the rank window on query_id
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert all("query_id" in s for s in shuffles), shuffles
+
+
+def test_cms_counter_groupby_is_mapside_combined(spark):
+    """The CMS counter build must show a partial_count before its
+    exchange — the bounded-cardinality map-side combine that keeps the
+    shuffle constant-size."""
+    p = plan(spark, "events_cms_error_audit")
+    assert "partial_count" in p
+
+
+def test_rolling_revenue_filter_pushed_and_pruned(spark):
+    p = plan(spark, "lineitem_rolling_7day_revenue")
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    for absent in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert absent not in read
+    assert "l_suppkey" in p.split("PushedFilters", 1)[1].splitlines()[0] or (
+        "IsNotNull(l_suppkey)" in p
+    )
+
+
+def test_weighted_sample_never_reads_text(spark):
+    """Length-proportional sampling works off n_chars — the text
+    column must not be scanned."""
+    p = plan(spark, "docs_weighted_sample")
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" not in read
+
+
+def test_watermark_replay_block_table_broadcasts(spark):
+    p = plan(spark, "events_watermark_late_drop")
+    assert "BroadcastHashJoin" in p
