@@ -540,10 +540,23 @@ class Engine:
 
         transport = self.transport
 
+        # KIP-298 parity on the source side: corrupt CSV lines can also
+        # route to a dead-letter TOPIC (same config key as the sink),
+        # in addition to the SpoolDir-style error.path directory
+        src_dlq = cfg.get("errors.deadletterqueue.topic.name")
+
         def process(batch_df: DataFrame, batch_id: int) -> None:
             good, bad = split_errors(batch_df)
             if error_path is not None:
                 bad.write.mode("append").text(str(error_path).rstrip("/") + "/corrupt")
+            if src_dlq is not None:
+                transport.append(
+                    bad.select(
+                        F.lit(None).cast("string").alias("key"),
+                        F.col(bad.columns[0]).cast("string").alias("value"),
+                        F.lit(str(src_dlq)).alias("topic"),
+                    )
+                )
             records = good.select(
                 F.struct(*[F.col(c).alias(c) for c in good.columns]).alias("value")
             ).withColumn("topic", F.lit(topic))

@@ -112,3 +112,26 @@ def test_spooldir_json_lines_variant(spark, tmp_path):
     got = spark.table("sdj_good")
     assert got.count() == 20
     assert {r.id for r in got.collect()} == set(range(20))
+
+
+def test_spooldir_corrupt_lines_route_to_dlq_topic(spark, tmp_path):
+    """Source-side KIP-298 parity: with errors.deadletterqueue.
+    topic.name set, corrupt CSV lines land on the DLQ topic (and the
+    good rows still flow), alongside the error.path file route."""
+    from tests.test_engine_e2e import make_engine, spooldir_spec
+
+    spec = spooldir_spec(tmp_path, topic="dlq_csv_topic")
+    spec["name"] = "csv_dlq"
+    spec["config"]["errors.deadletterqueue.topic.name"] = "csv_dlq_topic_errors"
+    (tmp_path / "spool" / "bad.csv").write_text(
+        "id,name,email\n1,a,a@x.com\nthis,is,not,a,valid,row,at,all\n2,b,b@x.com\n"
+    )
+    eng = make_engine(spark, tmp_path)
+    eng.register(spec)
+    eng.run_once("csv_dlq")
+
+    good = eng.transport.read_batch(["dlq_csv_topic"]).collect()
+    assert len(good) == 2
+    dlq = eng.transport.read_batch(["csv_dlq_topic_errors"]).collect()
+    assert len(dlq) == 1
+    assert "this,is,not,a,valid,row" in dlq[0].value
