@@ -111,6 +111,7 @@ _DEFER_NEW: set[str] = {
     "embedding_centroid_drift",
     "events_anomaly_mad",
     "multimodal_phash_clusters",
+    "dedup_lsh_recall_audit",
 }
 
 

@@ -1283,6 +1283,97 @@ SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
 PHASH_CLUSTERS_ORACLE = _phash_clusters_oracle()
 
 
+# ---------------------------------------------------------------------------
+# LSH recall/precision audit (the banding S-curve, measured in-engine)
+# ---------------------------------------------------------------------------
+
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the minhash banding (16 hashes, 4 bands)
+    against exact n-gram Jaccard ground truth at threshold 0.2 — the
+    S-curve measured on the corpus itself, which is how you size
+    bands/rows before trusting LSH at 100 TB (the analytic
+    1-(1-s^r)^b curve assumes uniform shingling; real corpora don't).
+    Truth = the capped-inverted-index exact pairs; candidates = every
+    band collision with its verified Jaccard (threshold 0 keeps the
+    false positives so precision is measurable). One row out.
+
+    Scale shape: both inputs are the existing audited pipelines; the
+    audit adds only 1-row aggregates joined by broadcast."""
+    from kafkaconnect_spark.operators import dedup as DD
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    truth = DD.ngram_jaccard_pairs(docs, threshold=0.2)
+    cand = DD.minhash_dedup_pairs(docs, threshold=0.0, num_hashes=16, bands=4)
+    agg = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(
+            cand.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum((F.col("jaccard") >= 0.2).cast("long")).alias("n_hits"),
+            )
+        )
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+        )
+    )
+    cached = list(getattr(truth, "_kc_cached", [])) + list(
+        getattr(cand, "_kc_cached", [])
+    )
+    return _track_cached(agg, cached)
+
+
+def _lsh_recall_oracle() -> str:
+    from kafkaconnect_spark.queries import _MINHASH_AGGS, _SHINGLE_CTE, _SIG_LIST
+
+    return rf"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter_all AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+              FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b
+          FROM inter_all JOIN sizes sa ON sa.doc_id = id_a
+                         JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+cand_j AS (
+  SELECT c.id_a, c.id_b,
+         round(coalesce(i.inter, 0)
+               / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+  FROM cands c
+  LEFT JOIN inter_all i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b),
+s AS (SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+             (SELECT count(*) FROM cand_j)::BIGINT AS n_candidates,
+             (SELECT count(*) FROM cand_j WHERE jaccard >= 0.2)::BIGINT
+                 AS n_hits)
+SELECT n_truth, n_candidates, n_hits,
+       round(n_hits / n_truth::DOUBLE, 6) AS recall,
+       round(n_hits / n_candidates::DOUBLE, 6) AS precision
+FROM s
+"""
+
+
+LSH_RECALL_ORACLE = _lsh_recall_oracle()
+
+
 R3B_CATALOG: dict[str, tuple] = {
     "events_cms_error_audit": (events_cms_error_audit, CMS_AUDIT_ORACLE),
     "embedding_hard_negatives": (embedding_hard_negatives, HARD_NEG_ORACLE),
@@ -1333,4 +1424,5 @@ R3B_CATALOG: dict[str, tuple] = {
         multimodal_phash_clusters,
         PHASH_CLUSTERS_ORACLE,
     ),
+    "dedup_lsh_recall_audit": (dedup_lsh_recall_audit, LSH_RECALL_ORACLE),
 }
