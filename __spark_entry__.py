@@ -58,72 +58,26 @@ def _driver_covered() -> set[str]:
     return covered
 
 
-# Queries added AFTER this round's 50-entry priority prefix was fixed.
-# The driver records a bounded prefix (50 in r1), so a brand-new query
-# must not displace an older still-unproven one out of the window;
-# deferred names sort after the unproven block and clear naturally
-# once the older block gains rows (they then front-run the next round
-# as ordinary uncovered entries).
-# r3: the r2-deferred block IS this round's front window (30 unproven
-# queries); new r3-built queries sort AFTER it so they cannot displace
-# the older unproven block. The r3 catalog grew past one window
-# (30 old + 32 new > 50): the newest ~12 entries intentionally wait
-# for the r4 window — every one of them passes the full local gate at
-# all three scale factors (tools/verify_local.py).
-_DEFER_NEW: set[str] = {
-    "referential_integrity_audit",
-    "events_user_erasure_audit",
-    "events_key_skew_report",
-    "lineitem_price_histogram",
-    "mixture_epoch_schedule",
-    "events_sliding_distinct",
-    "events_funnel_timebound",
-    "docs_oov_rate",
-    "events_type_overlap_kmv",
-    "docs_tfidf_pairs",
-    "multimodal_phash",
-    "dedup_simhash_pairs",
-    "docs_shingle_novelty",
-    "events_cumulative_users",
-    "orders_pareto_share",
-    "embedding_pq_codes",
-    "docs_dedup_rate_by_source",
-    "events_error_rate_hourly",
-    "multimodal_phash_hamming",
-    "events_markov_transitions",
-    "docs_length_percentiles_by_lang",
-    "events_cms_error_audit",
-    "embedding_hard_negatives",
-    "docs_trigram_vocab_growth",
-    "docs_zipf_slope",
-    "events_watermark_late_drop",
-    "docs_curriculum_phases",
-    "docs_weighted_sample",
-    "orders_open_backlog_monthly",
-    "multimodal_audio_vad",
-    "events_session_duration_histogram",
-    "orders_customer_ltv_cohort",
-    "embedding_dim_truncation_recall",
-    "events_ab_test_lift",
-    "events_sax_motifs",
-    "events_series_similarity",
-    "lineitem_rolling_7day_revenue",
-    "embedding_centroid_drift",
-    "events_anomaly_mad",
-    "multimodal_phash_clusters",
-    "dedup_lsh_recall_audit",
-}
-
-
 def _ordered_names() -> list[str]:
+    """Not-yet-driver-verified names first, then verified ones; each
+    block in catalog insertion order.
+
+    The driver records a bounded prefix (50 rows per round), so the
+    invariant that matters is: a brand-new query must never displace
+    an older still-unproven one out of the window. That property is
+    DERIVED here, not hand-maintained (rounds 1-3 kept a literal
+    `_DEFER_NEW` name set, which a typo could silently misorder):
+    rounds only ever APPEND to `QUERY_CATALOG` (base dict → TPC-H →
+    r3 → r3b → r4 via `.update()`), so catalog insertion order IS
+    chronological addition order, and sorting the uncovered block by
+    insertion index puts the oldest unproven entries at the front
+    automatically. The ordering property is unit-tested in
+    tests/test_entry_ordering.py."""
     covered = _driver_covered()
     names = list(QUERY_CATALOG)
-    uncovered = [n for n in names if n not in covered]
-    return (
-        [n for n in uncovered if n not in _DEFER_NEW]
-        + [n for n in uncovered if n in _DEFER_NEW]
-        + [n for n in names if n in covered]
-    )
+    return [n for n in names if n not in covered] + [
+        n for n in names if n in covered
+    ]
 
 
 def entry(spark: SparkSession) -> DataFrame:
