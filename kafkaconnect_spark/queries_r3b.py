@@ -125,10 +125,13 @@ def docs_trigram_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns; the dedup-pipeline go/no-go signal).
 
     Scale shape: first-seen bucket is min() per trigram (map-side
-    combined); both per-bucket frames are bucket-aggregated (≤
-    n_docs/100 rows) before the cumulative window runs — the global
-    window never sees data-sized input (allow-listed in
-    tools/plan_audit.py)."""
+    combined); the cumulative totals run as a TILED prefix scan
+    (operators/prefix.tiled_prefix_sum) — the bucket frame grows with
+    the corpus (10M rows at 1B docs), so a partitionless running-sum
+    window over it would serialize data-sized input through one task
+    (the r3 scale flag); the tiled scan keeps every window partitioned
+    and the only global step is a bounded triangular broadcast join
+    over the tile totals."""
     docs = _t(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
@@ -156,16 +159,19 @@ def docs_trigram_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("first_doc div 100").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        occ.join(first, "bucket", "left")
-        .select(
-            "bucket",
-            "n_occurrences",
-            F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        )
-        .withColumn("cum_vocab", F.sum("n_new").over(w))
-        .withColumn("cum_occurrences", F.sum("n_occurrences").over(w))
+    from kafkaconnect_spark.operators.prefix import tiled_prefix_sum
+
+    spine = occ.join(first, "bucket", "left").select(
+        "bucket",
+        "n_occurrences",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    return tiled_prefix_sum(spine, "bucket", ["n_new", "n_occurrences"]).select(
+        "bucket",
+        "n_occurrences",
+        "n_new",
+        F.col("cum_n_new").alias("cum_vocab"),
+        F.col("cum_n_occurrences").alias("cum_occurrences"),
     )
 
 
@@ -311,15 +317,19 @@ def watermark_late_flags(
     ``arrival_block_col``: optional precomputed arrival-block column
     (to model cohorts whose events arrive later than their position
     in the log); defaults to ``id_col div block_rows``."""
+    from kafkaconnect_spark.operators.prefix import tiled_prefix_max_exclusive
+
     if arrival_block_col is None:
         ev = ev.withColumn("__block", F.expr(f"{id_col} div {block_rows}"))
     else:
         ev = ev.withColumn("__block", F.col(arrival_block_col))
     bmax = ev.groupBy("__block").agg(F.max(ts_col).alias("__bm"))
-    w = Window.orderBy("__block").rowsBetween(Window.unboundedPreceding, -1)
-    wm = bmax.select(
+    # the block frame grows with the data (n/block_rows micro-batches),
+    # so the prior-max runs as a tiled exclusive prefix scan instead of
+    # a partitionless window (operators/prefix.py)
+    wm = tiled_prefix_max_exclusive(bmax, "__block", "__bm", "__prev_max").select(
         "__block",
-        (F.unix_micros(F.max("__bm").over(w)) - F.lit(delay_us)).alias("__wm_us"),
+        (F.unix_micros("__prev_max") - F.lit(delay_us)).alias("__wm_us"),
     )
     return ev.join(F.broadcast(wm), "__block").withColumn(
         "__late",
@@ -343,9 +353,10 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_streaming_windows.py.
 
     Scale shape: per-block max is map-side combined; the cumulative
-    prior-max runs over the block-aggregated frame (≤ n/1000 rows =
-    the micro-batch count, allow-listed); the per-event comparison is
-    a broadcast join on block id."""
+    prior-max is a tiled exclusive prefix scan over the
+    block-aggregated frame (the micro-batch count grows with the data,
+    so no partitionless window — operators/prefix.py); the per-event
+    comparison is a broadcast join on block id."""
     ev = _events(spark, sf_dir).withColumn(
         "__arr",
         F.expr("event_id div 1000")
@@ -513,10 +524,13 @@ def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-end open-order backlog: an order is open from its order
     month through the month of its last shipment. Computed with the
     interval→delta trick — +1 at the start month, −1 after the close
-    month, cumulative sum over the MONTH-aggregated frame — so the
-    corpus-sized work is two keyed aggregations and the global window
-    only ever sees ≤ #months rows (allow-listed). The naive
-    per-month-per-order range join would be |months|×|orders|."""
+    month, cumulative sums over the MONTH-aggregated frame — so the
+    corpus-sized work is two keyed aggregations. The cumulative sums
+    run as a tiled prefix scan (operators/prefix.py): the month spine
+    is calendar-bounded today, but the shape is shared with the
+    data-growing bucket scans, and removing the partitionless window
+    costs nothing. The naive per-month-per-order range join would be
+    |months|×|orders|."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__close"))
@@ -537,16 +551,18 @@ def orders_open_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_started", F.lit(0)).alias("n_started"),
         F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
     )
-    w = Window.orderBy("month_key").rowsBetween(Window.unboundedPreceding, 0)
-    wprev = Window.orderBy("month_key").rowsBetween(Window.unboundedPreceding, -1)
-    return spine.select(
+    from kafkaconnect_spark.operators.prefix import tiled_prefix_sum
+
+    cum = tiled_prefix_sum(spine, "month_key", ["n_started", "n_closed"])
+    return cum.select(
         (F.floor(F.col("month_key") / 12)).cast("int").alias("year"),
         (F.col("month_key") % 12 + 1).cast("int").alias("month"),
         "n_started",
         "n_closed",
+        # inclusive started minus EXCLUSIVE closed (= inclusive − own)
         (
-            F.sum("n_started").over(w)
-            - F.coalesce(F.sum("n_closed").over(wprev), F.lit(0))
+            F.col("cum_n_started")
+            - (F.col("cum_n_closed") - F.col("n_closed"))
         ).alias("open_backlog"),
     )
 

@@ -34,14 +34,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     "events_cumulative_users": "running sum over day-aggregated frame (calendar-bounded)",
     "events_key_skew_report": "rank over a post-limit 10-row frame",
     "sampling_reservoir": "keyed window (partition col parsed from spec)",
-    "docs_trigram_vocab_growth": "cumsum over 100-doc-bucket-aggregated frame",
     "docs_zipf_slope": "row_number over a post-limit 100-row frame",
-    "events_watermark_late_drop": (
-        "cumulative max over the micro-batch-aggregated frame"
-    ),
-    "orders_open_backlog_monthly": (
-        "interval->delta cumsum over the month-aggregated frame"
-    ),
+    # docs_trigram_vocab_growth / events_watermark_late_drop /
+    # orders_open_backlog_monthly were de-listed in r4: their
+    # cumulative aggregates now run as tiled prefix scans
+    # (operators/prefix.py) with no partitionless window in the plan.
 }
 
 
