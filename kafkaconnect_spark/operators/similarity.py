@@ -154,6 +154,56 @@ def hard_negative_topk(
     )
 
 
+def series_l1_topk(
+    series: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    id_col: str = "user_id",
+    seg_col: str = "seg",
+    val_col: str = "n",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-anchor whole-series similarity search: for each anchor
+    series, the top-k corpus series by integer L1 distance over the
+    shared segment axis — the batch core of streaming whole-series
+    search (UCR-suite-style, reduced to its PAA representation).
+
+    Same broadcast-anchor discipline as hard_negative_topk: `anchors`
+    is a LONG-FORM frame (query_id, seg, val) small enough to
+    broadcast (anchor_count × segment_count rows); the corpus series
+    frame never shuffles on its own — the only shuffles are the
+    per-(anchor, item) distance aggregation (map-side combined) and
+    the per-anchor top-k keyed window. `exclude_self` drops the
+    trivial zero-distance self match when anchors are drawn from the
+    corpus itself.
+
+    Both series must cover the same segment set (zero-filled
+    upstream, e.g. queries_r3b._user_day_segments); segments missing
+    from either side contribute nothing, exactly like the SQL join.
+
+    Returns (query_id, id_col, l1_dist, rank), rank 1..k per anchor,
+    ties broken by id."""
+    a = anchors.select(
+        query_id_col, seg_col, F.col(val_col).alias("__qn")
+    )
+    scored = (
+        series.join(F.broadcast(a), seg_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.abs(F.col(val_col) - F.col("__qn"))).alias("l1_dist"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("l1_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l1_dist", "rank")
+    )
+
+
 def hyperplane_signature(vec_col: str, num_planes: int, dim: int) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 

@@ -3686,8 +3686,9 @@ QUERY_CATALOG.update(
     }
 )
 
-# round-3 additions (queries_r3.py; deferred in __spark_entry__
-# ordering until the r2 backlog has driver rows — see _DEFER_NEW)
+# per-round additions are APPENDED here, in round order — catalog
+# insertion order is the driver-window ordering contract
+# (__spark_entry__._ordered_names, tests/test_entry_ordering.py)
 from kafkaconnect_spark.queries_r3 import R3_CATALOG as _R3  # noqa: E402
 
 QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3.items()})
@@ -3695,3 +3696,7 @@ QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3.items()})
 from kafkaconnect_spark.queries_r3b import R3B_CATALOG as _R3B  # noqa: E402
 
 QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3B.items()})
+
+from kafkaconnect_spark.queries_r4 import R4_CATALOG as _R4  # noqa: E402
+
+QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R4.items()})

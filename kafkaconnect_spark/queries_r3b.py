@@ -1017,22 +1017,21 @@ def events_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users with the activity series closest (integer L1 on
     the 6 PAA segment counts) to the lowest-id user — the distributed
     whole-series similarity search (the shape of EDBT'19's streaming
-    time-series search, reduced to its batch core). The query vector
-    is a 6-row broadcast; distance is one map-side-combined keyed
-    aggregation; the top-10 is a TakeOrdered, never a global sort."""
+    time-series search, reduced to its batch core). Routed through
+    the general multi-anchor operator
+    (operators/similarity.series_l1_topk) with a single anchor: the
+    anchor vector is a 6-row broadcast, distance is one
+    map-side-combined keyed aggregation, the top-10 a keyed window —
+    never a global sort. The multi-anchor form is
+    events_series_topk_multi (queries_r4.py)."""
+    from kafkaconnect_spark.operators.similarity import series_l1_topk
+
     segs = _user_day_segments(spark, sf_dir)
     q_user = segs.groupBy().agg(F.min("user_id").alias("__qu"))
-    qvec = (
-        segs.join(F.broadcast(q_user), segs.user_id == F.col("__qu"))
-        .select(F.col("seg"), F.col("n").alias("__qn"))
-    )
-    dist = (
-        segs.join(F.broadcast(q_user), segs.user_id == F.col("__qu"), "left_anti")
-        .join(F.broadcast(qvec), "seg")
-        .groupBy("user_id")
-        .agg(F.sum(F.abs(F.col("n") - F.col("__qn"))).alias("l1_dist"))
-    )
-    return dist.orderBy(F.col("l1_dist").asc(), F.col("user_id").asc()).limit(10)
+    anchors = segs.join(
+        F.broadcast(q_user), segs.user_id == F.col("__qu")
+    ).select(F.col("user_id").alias("query_id"), "seg", "n")
+    return series_l1_topk(segs, anchors, k=10).select("user_id", "l1_dist")
 
 
 SERIES_SIM_ORACLE = rf"""
