@@ -16,8 +16,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kafkaconnect_spark.queries import QUERY_CATALOG
+from kafkaconnect_spark.queries import QUERY_CATALOG, orders_profile_approx
 from kafkaconnect_spark.session import get_spark
+
+# bench-only queries: in the headline set for a perf number but NOT in
+# the driver catalog (approximate results have no value-hash oracle;
+# accuracy is pinned in pytest instead — tests/test_pipeline_ops.py)
+BENCH_EXTRA = {
+    "orders_profile_approx": orders_profile_approx,
+}
+
+
+def _bench_fn(name: str):
+    return BENCH_EXTRA[name] if name in BENCH_EXTRA else QUERY_CATALOG[name].fn
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -66,6 +77,11 @@ HEADLINE = [
     "customers_rfm_segments",
     "parts_copurchase_edges",
     "orders_profile",
+    # the documented 100 TB scale path for orders_profile: HLL++
+    # approx-distinct instead of the 5-way exact countDistinct Expand
+    # — benched side by side so the scale path has a number (r3
+    # judge directive #4)
+    "orders_profile_approx",
     # round-3 additions
     "parts_pagerank",
     "embedding_kmeans",
@@ -111,7 +127,7 @@ def main() -> None:
     # the timed pass measures steady-state query cost (cold q1 is ~4×
     # its warm time purely from JVM warmup)
     for name in HEADLINE:
-        df = QUERY_CATALOG[name].fn(spark, sf_dir)
+        df = _bench_fn(name)(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         release_cached(df)
 
@@ -123,7 +139,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()  # monotonic — immune to clock steps
-            df = QUERY_CATALOG[name].fn(spark, sf_dir)
+            df = _bench_fn(name)(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             # outside the timed window: unpersist this run's tracked
@@ -142,6 +158,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # the streaming pipeline itself (BASELINE.md operative workload):
+    # 25k mixed-DML ops source → topic → sink to end-state parity —
+    # recorded so the engine's ETL latency trends across rounds
+    # instead of living only in a pytest assertion
+    dml = _dml_parity_wall(spark)
+    if dml is not None:
+        out["dml_parity_wall"] = dml
     vs_prev = _vs_prev(timings, total, sf)
     if vs_prev is not None:
         out["vs_prev"] = vs_prev
@@ -157,6 +180,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
+    if dml is not None:
+        summary["dml_parity_wall"] = dml
     if vs_prev is not None:
         summary["vs_prev"] = {
             k: vs_prev[k]
@@ -184,6 +209,25 @@ def main() -> None:
             json.dump(rec, fh)
     except OSError:
         pass  # read-only checkout: vs_prev degrades, bench still reports
+
+
+def _dml_parity_wall(spark) -> dict | None:
+    """Wall-clock for the CONNECT_DML_TEST-analogue backlog drain
+    (kafkaconnect_spark/workloads.run_dml_parity, same harness as
+    tests/test_dml_parity.py). Never fails the bench — the driver
+    must still record the query metric — but a non-parity result is
+    reported as such instead of being silently dropped."""
+    import tempfile
+    import traceback
+
+    try:
+        from kafkaconnect_spark.workloads import run_dml_parity
+
+        with tempfile.TemporaryDirectory(prefix="dml_bench_") as d:
+            return run_dml_parity(spark, d, n_ops=25_000)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
+        return None
 
 
 def _git_head() -> str | None:

@@ -20,83 +20,7 @@ from pyspark.sql import functions as F
 from kafkaconnect_spark.functions.envelope import wrap_as_envelope
 from kafkaconnect_spark.functions.serde import json_serialize
 from kafkaconnect_spark.streaming.engine import Engine
-
-
-class SourceTable:
-    """Driver-side mutable table emitting CDC envelopes per change —
-    stands in for MySQL+binlog in CONNECT_DML_TEST."""
-
-    def __init__(self, rng: random.Random):
-        self.rng = rng
-        self.rows: dict[int, tuple[int, str, float]] = {}
-        self.pending: list[tuple[dict | None, dict | None, str]] = []  # before, after, op
-        self.next_id = 0
-
-    def step(self, n_ops: int) -> None:
-        for _ in range(n_ops):
-            op = self.rng.choices(["c", "u", "d"], weights=[6, 3, 1])[0]
-            if op == "c" or not self.rows:
-                rid = self.next_id
-                self.next_id += 1
-                row = (rid, f"name{rid}", round(self.rng.uniform(0, 100), 2))
-                self.rows[rid] = row
-                self.pending.append((None, self._d(row), "c"))
-            elif op == "u":
-                rid = self.rng.choice(list(self.rows))
-                before = self.rows[rid]
-                row = (rid, f"name{rid}-v{self.rng.randint(2, 9)}", round(self.rng.uniform(0, 100), 2))
-                self.rows[rid] = row
-                self.pending.append((self._d(before), self._d(row), "u"))
-            else:
-                rid = self.rng.choice(list(self.rows))
-                before = self.rows.pop(rid)
-                self.pending.append((self._d(before), None, "d"))
-
-    @staticmethod
-    def _d(row):
-        return {"id": row[0], "name": row[1], "score": row[2]}
-
-    def drain_to_topic(self, spark, eng: Engine, topic: str) -> int:
-        if not self.pending:
-            return 0
-        changes = [
-            (
-                (b or a)["id"],
-                b["id"] if b else None, b["name"] if b else None, b["score"] if b else None,
-                a["id"] if a else None, a["name"] if a else None, a["score"] if a else None,
-                op,
-            )
-            for b, a, op in self.pending
-        ]
-        self.pending = []
-        df = spark.createDataFrame(
-            changes,
-            "pk int, b_id int, b_name string, b_score double, "
-            "id int, name string, score double, op string",
-        )
-        # build the Debezium envelope manually: before/after structs + op
-        env = df.select(
-            F.col("pk"),
-            F.struct(
-                F.when(F.col("op") != "c", F.struct(
-                    F.col("b_id").alias("id"), F.col("b_name").alias("name"), F.col("b_score").alias("score")
-                )).alias("before"),
-                F.when(F.col("op") != "d", F.struct(
-                    F.col("id"), F.col("name"), F.col("score")
-                )).alias("after"),
-                F.struct(F.lit("dml").alias("db"), F.lit("t").alias("table")).alias("source"),
-                F.col("op"),
-                F.lit(0).cast("long").alias("ts_ms"),
-            ).alias("value"),
-        )
-        value_type = env.schema["value"].dataType
-        wire = env.select(
-            F.col("pk").cast("string").alias("key"),
-            json_serialize("value", value_type, schemas_enable=False).alias("value"),
-            F.lit(topic).alias("topic"),
-        )
-        eng.transport.append(wire)
-        return len(changes)
+from kafkaconnect_spark.workloads import SourceTable, run_dml_parity
 
 
 @pytest.mark.parametrize("seed", [7, 42])
@@ -238,69 +162,16 @@ def test_sink_fails_on_raw_envelope(spark, tmp_path):
 def test_baseline_scale_throughput(spark, tmp_path):
     """BASELINE.md operative workload: the reference's largest mixed-DML
     run (CONNECT_DML_TEST(0,5000,100,100) ≈ 25k change ops; here a
-    6/3/1 insert/update/delete mix) through source → topic → sink with end-state
-    parity. The reference spreads this over ≥50 s of 10 s poll cycles
-    and sleeps; the engine must clear the whole backlog in ONE cycle
-    well under that."""
-    import time
-
-    rng = random.Random(1234)
-    db = str(tmp_path / "bl.db")
-    url = "jdbc:sqlite:" + db
-    eng = Engine(
-        spark,
-        servers=f"file://{tmp_path}/topics",
-        checkpoint_root=tmp_path / "ckpt",
-        connection_factories={url: functools.partial(sqlite3.connect, db)},
-    )
-    src = SourceTable(rng)
-    eng.register(
-        {
-            "name": "bl_ingest",
-            "config": {
-                "connector.class": "io.debezium.connector.mysql.MySqlConnector",
-                "cdc.topic.pattern": "bl.t.raw",
-                "value.schema.ddl": "id int, name string, score double",
-                "transforms": "unwrap, route",
-                "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
-                "transforms.unwrap.drop.tombstones": "false",
-                "transforms.route.type": "org.apache.kafka.connect.transforms.RegexRouter",
-                "transforms.route.regex": "(.*)\\.(.*)\\.raw",
-                "transforms.route.replacement": "$1-$2-flat",
-            },
-        }
-    )
-    eng.register(
-        {
-            "name": "bl_sink",
-            "config": {
-                "connector.class": "io.confluent.connect.jdbc.JdbcSinkConnector",
-                "topics": "bl-t-flat",
-                "connection.url": url,
-                "insert.mode": "upsert",
-                "pk.mode": "record_key",
-                "pk.fields": "id",
-                "delete.enabled": "true",
-                "table.name.format": "t_sink",
-                "value.schema.ddl": "id int, name string, score double",
-                "value.converter.schemas.enable": "false",
-            },
-        }
-    )
-
-    src.step(n_ops=25_000)
-    n = src.drain_to_topic(spark, eng, "bl.t.raw")
-    assert n == 25_000
-    t0 = time.time()
-    eng.run_once()
-    elapsed = time.time() - t0
-    with sqlite3.connect(db) as c:
-        got = {
-            r[0]: (r[0], r[1], r[2])
-            for r in c.execute("SELECT id, name, score FROM t_sink").fetchall()
-        }
-    assert got == src.rows
+    6/3/1 insert/update/delete mix) through source → topic → sink with
+    end-state parity. The reference spreads this over ≥50 s of 10 s
+    poll cycles and sleeps; the engine must clear the whole backlog in
+    ONE cycle well under that. Shares the exact harness bench.py
+    records as `dml_parity_wall` (kafkaconnect_spark/workloads.py)."""
+    result = run_dml_parity(spark, str(tmp_path), n_ops=25_000)
+    assert result["n_ops"] == 25_000
+    assert result["parity"]
     # generous CI bound; the reference's own cadence implies >= 50 s
+    elapsed = result["elapsed_sec"]
     assert elapsed < 30, f"backlog took {elapsed:.1f}s"
     print(f"baseline workload: 25k ops end-to-end in {elapsed:.1f}s")
 
