@@ -107,6 +107,14 @@ HEADLINE = [
     "events_sax_motifs",
     "embedding_dim_truncation_recall",
     "orders_open_backlog_monthly",
+    # round-4 additions
+    "events_series_topk_multi",
+    "docs_weighted_reservoir",
+    "embedding_ivf_recall_audit",
+    "events_retention_cohort_matrix",
+    "events_session_paths_topk",
+    "events_peak_concurrency",
+    "multimodal_shot_boundaries",
 ]
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafkaconnect_spark.queries import _NTOK_SQL, _events, _hash64_sql, _t
+from kafkaconnect_spark.query_base import _NTOK_SQL, _events, _hash64_sql, _t
 
 
 # ---------------------------------------------------------------------------
@@ -576,7 +576,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_oracle() -> str:
-    from kafkaconnect_spark.queries import _SIMHASH_BITSUMS, _SIMHASH_VALUE
+    from kafkaconnect_spark.query_base import _SIMHASH_BITSUMS, _SIMHASH_VALUE
 
     return rf"""
 WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafkaconnect_spark.queries import _events, _hash64_sql, _t
+from kafkaconnect_spark.query_base import _events, _hash64_sql, _t
 
 
 # ---------------------------------------------------------------------------
@@ -1345,7 +1345,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_recall_oracle() -> str:
-    from kafkaconnect_spark.queries import _MINHASH_AGGS, _SHINGLE_CTE, _SIG_LIST
+    from kafkaconnect_spark.query_base import _MINHASH_AGGS, _SHINGLE_CTE, _SIG_LIST
 
     return rf"""
 WITH {_SHINGLE_CTE},
