@@ -430,6 +430,43 @@ def test_r3b_catalog_has_no_cartesian_or_row_python(spark):
         assert "BatchEvalPython" not in p, name
 
 
+def test_r4_catalog_has_no_cartesian_or_row_python(spark):
+    """Same blanket guard over the round-4 queries (queries_r4)."""
+    from kafkaconnect_spark.queries_r4 import R4_CATALOG
+
+    for name in R4_CATALOG:
+        p = plan(spark, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_tiled_catalog_queries_have_no_partitionless_window(spark):
+    """The r4 rework's whole point, pinned at the CATALOG level (the
+    helper-level property lives in test_prefix_scans.py): the three
+    formerly-allow-listed cumulative queries plus the sweep-line
+    query run with every windowspecdefinition carrying a partition
+    column."""
+    import re
+
+    for name in (
+        "docs_trigram_vocab_growth",
+        "events_watermark_late_drop",
+        "orders_open_backlog_monthly",
+        "events_peak_concurrency",
+    ):
+        p = plan(spark, name)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+            assert not re.match(r"^\s*\w+#\d+ (ASC|DESC)", m.group(1)), name
+
+
+def test_series_topk_multi_anchors_broadcast(spark):
+    """Multi-anchor series search: anchors reach the distance join as
+    a BroadcastExchange; the corpus side never sort-merge-joins."""
+    p = plan(spark, "events_series_topk_multi")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
 def test_hard_negatives_anchor_broadcast_corpus_no_shuffle(spark):
     """The anchor set broadcasts; the corpus side reaches the join
     without an Exchange (only the per-anchor ranking shuffles)."""
