@@ -2961,44 +2961,65 @@ PARTS_PAGERANK_ORACLE = _pagerank_full_oracle(3)
 
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the orders table in long format — per
-    column: null fraction, distinct count, min/max (as strings). One
-    pass per metric family, all map-side-combined aggregates; the
-    long-format output is a driver-side pivot of a 1-row aggregate
-    (control plane), never a per-row explode."""
+    column: null fraction, EXACT distinct count, min/max (as strings).
+
+    r4 rework: one two-phase distinct pipeline PER COLUMN (groupBy the
+    value with map-side partial counts, then fold the group frame to
+    one row), unioned — instead of a single 5-way `countDistinct`
+    aggregate, which compiles to an Expand (5× row multiplication)
+    and shuffles full rows including the PK column. Per-column
+    pipelines shuffle only Σ distinct-values-per-column narrow rows,
+    each scan prunes to ONE parquet column, and every metric (n,
+    nulls, min/max, distinct) falls out of the same grouped frame —
+    the exact plan now scales the same way the HLL++ twin
+    (`orders_profile_approx`) does, just with exact counts and
+    value-sized (not sketch-sized) shuffle state."""
     orders = _t(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
-    aggs = []
+    per_col = []
     for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
-        ]
-    row = orders.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
-        for c in cols
-    )
-    return row.select(
-        F.expr(
-            f"stack({len(cols)}, {stack}) AS "
-            "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        g = (
+            orders.groupBy(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .agg(
+                F.sum("__cnt").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__v").isNull(), F.col("__cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("n_nulls"),
+                F.sum(F.col("__v").isNotNull().cast("long")).alias("n_distinct"),
+                F.min(F.col("__v").cast("string")).alias("min_str"),
+                F.max(F.col("__v").cast("string")).alias("max_str"),
+            )
+            .select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_str",
+                "max_str",
+            )
         )
-    ).withColumn(
+        per_col.append(g)
+    out = per_col[0]
+    for g in per_col[1:]:
+        out = out.unionAll(g)
+    return out.withColumn(
         "null_frac", F.round(F.col("n_nulls") / F.col("n_rows"), 6)
     )
 
 
 def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of orders_profile: swaps the five exact
-    countDistinct — which compile to an Expand (5× row
-    multiplication) plus a full-value shuffle including the PK
-    column — for approx_count_distinct (HLL++): one pass, constant
-    sketch state per column, no Expand. This is the documented scale
-    path for the daily data-health dashboard (operators/sketches
-    module rationale); the exact twin stays for the oracle gate.
+    """The sketch variant of orders_profile: approx_count_distinct
+    (HLL++) in a single 1-row aggregate — one pass over the table,
+    constant sketch state per column, no shuffle proportional to the
+    value space. Since the r4 rework the EXACT twin is also
+    Expand-free (per-column two-phase distinct pipelines), so the
+    remaining trade is shuffle state: the exact plan shuffles
+    Σ distinct-values narrow rows, this one shuffles fixed-size
+    sketches — the difference that matters when a column's value
+    space itself is 10^10 (operators/sketches module rationale).
     Approximate → not in the driver catalog; accuracy pinned vs the
     exact profile in tests/test_pipeline_ops.py."""
     orders = _t(spark, sf_dir, "orders")

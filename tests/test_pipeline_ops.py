@@ -408,12 +408,16 @@ def test_orders_profile_approx_matches_exact_within_rsd(spark):
             e.n_rows, e.n_nulls, e.min_str, e.max_str, e.null_frac
         )
         assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.1 * e.n_distinct)
-    # the scale win is structural: no Expand (the 5x row multiplier
-    # exact multi-countDistinct compiles to) in the approx plan
-    p = orders_profile_approx(spark, sf)._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert "Expand" not in p, p
+    # the scale win is structural: no Expand (the 5x row multiplier a
+    # multi-countDistinct aggregate compiles to) in EITHER plan since
+    # the r4 exact rework (per-column two-phase distinct pipelines)
+    for fn in (orders_profile_approx, orders_profile):
+        p = fn(spark, sf)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Expand" not in p, p
 
 
 def test_tfidf_pairs_hand_computed(spark):
