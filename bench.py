@@ -115,6 +115,8 @@ HEADLINE = [
     "events_session_paths_topk",
     "events_peak_concurrency",
     "multimodal_shot_boundaries",
+    "parts_basket_lift",
+    "embedding_dim_stats",
 ]
 
 

@@ -442,6 +442,164 @@ FROM c GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+def parts_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: top-50 part pairs
+    by LIFT (co-occurrence vs independence), with support counts and
+    confidence — the classic market-basket step after the co-purchase
+    edge build (parts_copurchase_edges counts raw line pairs; this
+    query uses SET semantics — distinct (order, part) — so the
+    supports are true basket probabilities).
+
+    Scale shape: one distinct on (order, part) (keyed,
+    map-side-combined), the same ≤256-item basket cap as the edge
+    build BEFORE the self-join (a 10⁵-item bot order would alone be
+    10¹⁰ pairs), per-part supports as a keyed agg joined back on the
+    part keys, the 1-row basket total as a broadcast fence, and a
+    TakeOrdered top-50 — never a global sort. Lift arithmetic is
+    integer-exact in double (counts ≪ 2^53), so round(…, 6) is
+    engine-portable."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__bsz"))
+    li = li.join(sizes.where(F.col("__bsz") <= 256), "l_orderkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    nb = li.agg(F.countDistinct("l_orderkey").alias("__nb"))
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__c"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+    scored = (
+        pairs.join(
+            supp.select(F.col("l_partkey").alias("part_a"), F.col("__c").alias("__ca")),
+            "part_a",
+        )
+        .join(
+            supp.select(F.col("l_partkey").alias("part_b"), F.col("__c").alias("__cb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("__ca"), 6).alias("confidence"),
+            F.round(
+                F.col("n_orders") * F.col("__nb") / (F.col("__ca") * F.col("__cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(50)
+
+
+BASKET_LIFT_ORACLE = """
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sz AS (SELECT l_orderkey, count(*) AS c FROM li0 GROUP BY 1),
+li AS (SELECT li0.* FROM li0 JOIN sz USING (l_orderkey) WHERE c <= 256),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+supp AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+s AS (SELECT part_a, part_b, n_orders,
+             round(n_orders::DOUBLE / sa.c, 6) AS confidence,
+             round(n_orders::DOUBLE * n / (sa.c * sb.c), 6) AS lift
+      FROM p JOIN supp sa ON sa.l_partkey = part_a
+             JOIN supp sb ON sb.l_partkey = part_b, nb)
+SELECT part_a, part_b, n_orders, confidence, lift
+FROM s ORDER BY lift DESC, part_a, part_b LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics (whitening / standardization fences)
+# ---------------------------------------------------------------------------
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / variance / min / max over the embedding
+    corpus — the feature-standardization (whitening) fences computed
+    before quantization or PQ codebook training (a dimension with 10×
+    the variance dominates every L2 distance; these are the numbers
+    that say so).
+
+    Scale shape: posexplode is a narrow ×dim row expansion feeding a
+    64-key groupBy — fully map-side combined, shuffle bounded by
+    dims × partitions. Determinism: per-element round(·,7) → DECIMAL
+    sums (order-independent), moments finalized in double with
+    round(·,6) (the shared Spark/DuckDB convention)."""
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    vals = emb.select(
+        F.posexplode(F.col("embedding")).alias("__pos", "__v")
+    ).select(
+        (F.col("__pos") + 1).alias("dim"),
+        F.expr(
+            "cast(round(cast(__v as double), 7) as decimal(20,7))"
+        ).alias("__x"),
+        F.expr(
+            "cast(round(cast(__v as double) * cast(__v as double), 7) "
+            "as decimal(20,7))"
+        ).alias("__xx"),
+        F.col("__v").cast("double").alias("__raw"),
+    )
+    s = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__xx").alias("__sxx"),
+        F.round(F.min("__raw"), 6).alias("min_value"),
+        F.round(F.max("__raw"), 6).alias("max_value"),
+    )
+    n = F.col("n_vectors").cast("double")
+    mean = F.col("__sx").cast("double") / n
+    return s.select(
+        "dim",
+        "n_vectors",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.col("__sxx").cast("double") / n - mean * mean, 6).alias(
+            "variance"
+        ),
+        "min_value",
+        "max_value",
+    )
+
+
+DIM_STATS_ORACLE = """
+WITH e AS (SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                  unnest(embedding::DOUBLE[]) AS v
+           FROM embeddings),
+t AS (SELECT dim, round(v, 7)::DECIMAL(20,7) AS x,
+             round(v * v, 7)::DECIMAL(20,7) AS xx, v
+      FROM e),
+s AS (SELECT dim, count(*)::BIGINT AS n_vectors, sum(x) AS sx, sum(xx) AS sxx,
+             round(min(v), 6) AS min_value, round(max(v), 6) AS max_value
+      FROM t GROUP BY dim)
+SELECT dim, n_vectors,
+       round(sx::DOUBLE / n_vectors, 6) AS mean,
+       round(sxx::DOUBLE / n_vectors
+             - (sx::DOUBLE / n_vectors) * (sx::DOUBLE / n_vectors), 6)
+           AS variance,
+       min_value, max_value
+FROM s
+"""
+
+
 # name -> (fn, oracle_sql or None); queries.py merges this into
 # QUERY_CATALOG AFTER the r3b block, preserving chronological
 # insertion order (the driver-window ordering contract —
@@ -460,4 +618,6 @@ R4_CATALOG: dict = {
         multimodal_shot_boundaries,
         SHOT_BOUNDARIES_ORACLE,
     ),
+    "parts_basket_lift": (parts_basket_lift, BASKET_LIFT_ORACLE),
+    "embedding_dim_stats": (embedding_dim_stats, DIM_STATS_ORACLE),
 }

@@ -137,6 +137,47 @@ def test_peak_concurrency_bounds(spark):
     assert max(r.peak_concurrency for r in rows) >= 1
 
 
+def test_basket_lift_hand_computed(spark, tmp_path):
+    """3-basket toy: lift of a perfectly-correlated pair vs an
+    independent one, on a hand-checkable fixture written as parquet."""
+    from kafkaconnect_spark.queries_r4 import parts_basket_lift
+
+    rows = [
+        (1, 10), (1, 11),
+        (2, 10), (2, 11),
+        (3, 10), (3, 12),
+        (4, 10), (4, 12),
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r.part_a, r.part_b): (r.n_orders, r.confidence, r.lift)
+        for r in parts_basket_lift(spark, str(tmp_path)).collect()
+    }
+    # N=4 baskets; supp(10)=4, supp(11)=2, supp(12)=2
+    # pair (10,11): co=2, conf=2/4=0.5, lift=2*4/(4*2)=1.0
+    assert got[(10, 11)] == (2, 0.5, 1.0)
+    assert got[(10, 12)] == (2, 0.5, 1.0)
+    # (11,12) never co-occur -> absent (co >= 2 filter)
+    assert (11, 12) not in got
+
+
+def test_dim_stats_invariants(spark):
+    """64 dims, n_vectors = corpus size everywhere, variance >= 0,
+    min <= mean <= max."""
+    from kafkaconnect_spark.queries_r4 import embedding_dim_stats
+    from kafkaconnect_spark.query_base import _t
+
+    rows = embedding_dim_stats(spark, SF).collect()
+    assert len(rows) == 64
+    n = _t(spark, SF, "embeddings").count()
+    for r in rows:
+        assert r.n_vectors == n
+        assert r.variance >= 0
+        assert r.min_value <= r.mean <= r.max_value
+
+
 def test_shot_boundaries_semantics(spark):
     """n_shots ∈ [1, n_frames]; single-frame docs have exactly 1 shot;
     consecutive identical frames never open a new shot (pinned by a
