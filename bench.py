@@ -117,6 +117,8 @@ HEADLINE = [
     "multimodal_shot_boundaries",
     "parts_basket_lift",
     "embedding_dim_stats",
+    "parts_clustering_coefficient",
+    "orders_weekday_seasonality",
 ]
 
 

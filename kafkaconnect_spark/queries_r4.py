@@ -600,6 +600,173 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# triangle counting / local clustering coefficient (co-purchase graph)
+# ---------------------------------------------------------------------------
+
+def parts_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and local clustering coefficient per part over
+    the co-purchase graph — the node-iterator triangle algorithm
+    (Schank & Wagner 2005, public): wedges from one edge-edge
+    equi-join on the middle vertex under the a<b<c total order (each
+    triangle enumerated exactly once), closed by a second equi-join
+    back onto the edge set. cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) —
+    the community-density screen run after the edge build
+    (parts_copurchase_edges shares the same capped-basket edge
+    semantics: distinct baskets, co-count ≥ 2).
+
+    Scale shape: two keyed equi-joins on vertex ids (wedge count is
+    Σ deg², bounded here by the ≤256 basket cap upstream; production
+    graphs add degree-ordered orientation — already implicit in the
+    a<b<c constraint, which routes each wedge through its middle
+    vertex once). Per-node totals are one explode(3)+groupBy; all
+    arithmetic integer until the final rounded division."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__bsz"))
+    li = li.join(sizes.where(F.col("__bsz") <= 256), "l_orderkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .where(F.col("__w") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # wedges (x < y < z) through middle vertex y, closed by edge (x, z)
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(
+            edges.select(F.col("u").alias("x"), F.col("v").alias("z")),
+            ["x", "z"],
+        )
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+CLUSTERING_COEFF_ORACLE = """
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sz AS (SELECT l_orderkey, count(*) AS c FROM li0 GROUP BY 1),
+li AS (SELECT li0.* FROM li0 JOIN sz USING (l_orderkey) WHERE c <= 256),
+edges AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM
+          (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+             JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+pn AS (SELECT node, count(*)::BIGINT AS n_triangles FROM
+         (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+       GROUP BY 1)
+SELECT deg.node AS part, degree,
+       coalesce(n_triangles, 0)::BIGINT AS n_triangles,
+       round(coalesce(n_triangles, 0) * 2.0 / (degree * (degree - 1)), 6)
+           AS clustering_coeff
+FROM deg LEFT JOIN pn ON deg.node = pn.node
+WHERE degree >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekday seasonality indices
+# ---------------------------------------------------------------------------
+
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality of order revenue: per ISO weekday
+    (1=Monday), the average daily revenue and its index against the
+    overall daily average — the day-of-week profile a demand-forecast
+    or capacity plan starts from (index far from 1.0 ⇒ strong weekly
+    cycle).
+
+    Scale shape: one day-keyed aggregation (map-side combined,
+    ≤ calendar-days rows after it), a 7-key rollup, and a 1-row
+    overall average broadcast as a fence. Revenue sums are DECIMAL
+    (order-independent); only the final index division is double."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    )
+    daily = orders.groupBy("d").agg(F.sum("__p").alias("__rev"))
+    wk = daily.groupBy(
+        (F.expr("weekday(d)") + 1).cast("int").alias("isodow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("__rev").alias("__wrev"),
+    )
+    overall = daily.agg(
+        (F.sum("__rev").cast("double") / F.count(F.lit(1))).alias("__avg_all")
+    )
+    return (
+        wk.crossJoin(F.broadcast(overall))
+        .select(
+            "isodow",
+            "n_days",
+            F.round(F.col("__wrev").cast("double") / F.col("n_days"), 2).alias(
+                "avg_daily_revenue"
+            ),
+            F.round(
+                (F.col("__wrev").cast("double") / F.col("n_days"))
+                / F.col("__avg_all"),
+                6,
+            ).alias("seasonality_index"),
+        )
+    )
+
+
+WEEKDAY_SEASONALITY_ORACLE = """
+WITH daily AS (SELECT o_orderdate::DATE AS d,
+                      sum(o_totalprice::DECIMAL(18,2)) AS rev
+               FROM orders GROUP BY 1),
+wk AS (SELECT isodow(d)::INT AS isodow, count(*)::BIGINT AS n_days,
+              sum(rev) AS wrev
+       FROM daily GROUP BY 1),
+o AS (SELECT sum(rev)::DOUBLE / count(*) AS avg_all FROM daily)
+SELECT isodow, n_days,
+       round(wrev::DOUBLE / n_days, 2) AS avg_daily_revenue,
+       round((wrev::DOUBLE / n_days) / avg_all, 6) AS seasonality_index
+FROM wk, o
+"""
+
+
 # name -> (fn, oracle_sql or None); queries.py merges this into
 # QUERY_CATALOG AFTER the r3b block, preserving chronological
 # insertion order (the driver-window ordering contract —
@@ -620,4 +787,12 @@ R4_CATALOG: dict = {
     ),
     "parts_basket_lift": (parts_basket_lift, BASKET_LIFT_ORACLE),
     "embedding_dim_stats": (embedding_dim_stats, DIM_STATS_ORACLE),
+    "parts_clustering_coefficient": (
+        parts_clustering_coefficient,
+        CLUSTERING_COEFF_ORACLE,
+    ),
+    "orders_weekday_seasonality": (
+        orders_weekday_seasonality,
+        WEEKDAY_SEASONALITY_ORACLE,
+    ),
 }

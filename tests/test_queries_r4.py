@@ -178,6 +178,52 @@ def test_dim_stats_invariants(spark):
         assert r.min_value <= r.mean <= r.max_value
 
 
+def test_clustering_coefficient_hand_computed(spark, tmp_path):
+    """K3 plus a pendant vertex: the triangle's nodes have cc=1 (the
+    pendant edge raises node 10's degree, lowering its cc); the
+    pendant itself (degree 1) is excluded."""
+    from kafkaconnect_spark.queries_r4 import parts_clustering_coefficient
+
+    # each edge = 2 shared baskets (co-count >= 2 filter)
+    rows = []
+    for oid, (x, y) in enumerate(
+        [(10, 11), (10, 11), (10, 12), (10, 12), (11, 12), (11, 12),
+         (10, 13), (10, 13)]
+    ):
+        rows += [(oid, x), (oid, y)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.part: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in parts_clustering_coefficient(spark, str(tmp_path)).collect()
+    }
+    # node 10: degree 3 (11, 12, 13), 1 triangle -> cc = 2/(3*2) = 1/3
+    assert got[10] == (3, 1, round(1 / 3, 6))
+    assert got[11] == (2, 1, 1.0)
+    assert got[12] == (2, 1, 1.0)
+    assert 13 not in got  # degree 1 excluded
+
+
+def test_weekday_seasonality_invariants(spark):
+    """7 weekday rows; day counts sum to the distinct order dates;
+    the day-weighted mean of the indices is exactly 1."""
+    from kafkaconnect_spark.queries_r4 import orders_weekday_seasonality
+    from kafkaconnect_spark.query_base import _t
+
+    rows = orders_weekday_seasonality(spark, SF).collect()
+    assert sorted(r.isodow for r in rows) == [1, 2, 3, 4, 5, 6, 7]
+    n_days = (
+        _t(spark, SF, "orders")
+        .select(F.to_date("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_days for r in rows) == n_days
+    weighted = sum(r.seasonality_index * r.n_days for r in rows) / n_days
+    assert abs(weighted - 1.0) < 1e-3
+
+
 def test_shot_boundaries_semantics(spark):
     """n_shots ∈ [1, n_frames]; single-frame docs have exactly 1 shot;
     consecutive identical frames never open a new shot (pinned by a
