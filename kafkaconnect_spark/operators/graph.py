@@ -110,3 +110,75 @@ def pagerank(
     return ranks.select(
         "node", (F.col("__r6").cast("double") / F.lit(1000000.0)).alias("pagerank")
     )
+
+
+def orient_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Degree-order each undirected edge {u, v}: emit it once as
+    (src, dst) with rank(src) < rank(dst) under the total order
+    rank(n) = (degree(n), n). This is Schank & Wagner 2005's
+    node-iterator-core orientation: wedge enumeration over oriented
+    out-edges is Σ outdeg(n)² with outdeg bounded by O(√m) on ANY
+    graph (a node of degree d has out-edges only to neighbours of
+    degree ≥ d, and there are at most 2m/d of those) — a hub of
+    degree 100k contributes ZERO wedges as a middle vertex instead of
+    10^10. Columns: src, dst, src_deg, dst_deg.
+
+    Scale shape: one double keyed join of the edge list against the
+    degree table (itself one groupBy of the edge endpoints) — no
+    self-join, no window."""
+    deg = (
+        edges.select(F.col(u).alias("node"))
+        .unionAll(edges.select(F.col(v).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    e = (
+        edges.select(F.col(u), F.col(v))
+        .join(deg.select(F.col("node").alias(u), F.col("__deg").alias("__du")), u)
+        .join(deg.select(F.col("node").alias(v), F.col("__deg").alias("__dv")), v)
+    )
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col(u) < F.col(v))
+    )
+    return e.select(
+        F.when(u_first, F.col(u)).otherwise(F.col(v)).alias("src"),
+        F.when(u_first, F.col(v)).otherwise(F.col(u)).alias("dst"),
+        F.when(u_first, F.col("__du")).otherwise(F.col("__dv")).alias("src_deg"),
+        F.when(u_first, F.col("__dv")).otherwise(F.col("__du")).alias("dst_deg"),
+    )
+
+
+def oriented_wedges(oriented: DataFrame) -> DataFrame:
+    """All wedges (x; y, z) with rank(x) < rank(y) < rank(z) from a
+    degree-oriented edge list — each candidate triangle generated
+    exactly once, at its minimum-rank vertex. One self-equi-join on
+    the wedge apex; the rank comparison is the (degree, id) struct
+    order, matching orient_edges."""
+    e1 = oriented.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("y"),
+        F.col("dst_deg").alias("__dy"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("z"),
+        F.col("dst_deg").alias("__dz"),
+    )
+    return (
+        e1.join(e2, "x")
+        .where(F.struct("__dy", "y") < F.struct("__dz", "z"))
+        .select("x", "y", "z")
+    )
+
+
+def triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Every triangle of the undirected simple graph, one row (x, y, z)
+    per triangle (vertices in rank order). Degree-ordered
+    node-iterator (Schank & Wagner 2005): oriented wedges closed by
+    one equi-join back onto the oriented edge set — since
+    rank(y) < rank(z), the closing edge {y, z}, if present, is
+    oriented y→z, so the closure is a plain (src, dst) equi-join."""
+    oe = orient_edges(edges, u, v)
+    return oriented_wedges(oe).join(
+        oe.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
+    )

@@ -3544,14 +3544,27 @@ QUERY_CATALOG: dict[str, QueryDef] = {
     "scd2_user_history": QueryDef(scd2_user_history, SCD2_ORACLE),
 }
 
+def _merge(new: dict[str, QueryDef]) -> None:
+    """Append a round catalog. A name collision would silently replace
+    the fn/oracle while keeping the OLD insertion position — and the
+    driver-window ordering (__spark_entry__._ordered_names) is derived
+    from insertion order — so key-disjointness is a hard invariant,
+    asserted at every merge site (and pairwise-tested in
+    tests/test_entry_ordering.py)."""
+    dup = QUERY_CATALOG.keys() & new.keys()
+    if dup:
+        raise AssertionError(f"catalog name collision: {sorted(dup)}")
+    QUERY_CATALOG.update(new)
+
+
 # extended TPC-H-shape analytics (queries_tpch.py)
 from kafkaconnect_spark.queries_tpch import TPCH_CATALOG as _TPCH  # noqa: E402
 
-QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _TPCH.items()})
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _TPCH.items()})
 
 # round-2 additions (deferred in __spark_entry__ ordering until the
 # r1 backlog has driver rows — see _DEFER_NEW there)
-QUERY_CATALOG.update(
+_merge(
     {
         "docs_bigram_topk": QueryDef(docs_bigram_topk, BIGRAM_ORACLE),
         "embedding_norm_outliers": QueryDef(
@@ -3598,12 +3611,12 @@ QUERY_CATALOG.update(
 # (__spark_entry__._ordered_names, tests/test_entry_ordering.py)
 from kafkaconnect_spark.queries_r3 import R3_CATALOG as _R3  # noqa: E402
 
-QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3.items()})
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R3.items()})
 
 from kafkaconnect_spark.queries_r3b import R3B_CATALOG as _R3B  # noqa: E402
 
-QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R3B.items()})
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R3B.items()})
 
 from kafkaconnect_spark.queries_r4 import R4_CATALOG as _R4  # noqa: E402
 
-QUERY_CATALOG.update({k: QueryDef(fn, sql) for k, (fn, sql) in _R4.items()})
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R4.items()})

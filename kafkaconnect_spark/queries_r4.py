@@ -32,16 +32,26 @@ def events_series_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     same broadcast-anchor operator
     (operators/similarity.series_l1_topk).
 
-    Scale shape: the anchor frame is anchors×6 rows and broadcasts;
-    the corpus series frame never shuffles on its own — one
-    map-side-combined (anchor, user) distance aggregation plus the
-    per-anchor top-k keyed window. Anchor count scales sublinearly
-    with users (1 at sf0.001 → 30 at sf0.1), exactly the
-    few-queries-against-everything ANN serving shape."""
+    Scale shape: the anchor frame is HARD-CAPPED at 32 anchors — the
+    32 lowest qualifying user_ids via a TakeOrdered top-k, NOT a
+    fixed sampling rate (a rate-selected set grows linearly with the
+    user population and would eventually overrun the broadcast) — so
+    the broadcast is ≤ 32×6 rows at any corpus size; the corpus
+    series frame never shuffles on its own — one map-side-combined
+    (anchor, user) distance aggregation plus the per-anchor top-k
+    keyed window: exactly the few-queries-against-everything ANN
+    serving shape."""
     from kafkaconnect_spark.operators.similarity import series_l1_topk
 
     segs = _user_day_segments(spark, sf_dir)
-    anchors = segs.where(F.col("user_id") % 50 == 0).select(
+    anchor_ids = (
+        segs.where(F.col("user_id") % 50 == 0)
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(32)
+    )
+    anchors = segs.join(F.broadcast(anchor_ids), "user_id").select(
         F.col("user_id").alias("query_id"), "seg", "n"
     )
     return series_l1_topk(segs, anchors, k=5)
@@ -49,7 +59,10 @@ def events_series_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SERIES_TOPK_MULTI_ORACLE = rf"""
 WITH {_SEGMENTS_SQL},
-a AS (SELECT user_id AS query_id, seg, n AS qn FROM segs WHERE user_id % 50 = 0),
+a_ids AS (SELECT DISTINCT user_id FROM segs WHERE user_id % 50 = 0
+          ORDER BY user_id LIMIT 32),
+a AS (SELECT user_id AS query_id, seg, n AS qn
+      FROM segs JOIN a_ids USING (user_id)),
 dist AS (SELECT query_id, s.user_id, sum(abs(s.n - a.qn))::BIGINT AS l1_dist
          FROM segs s JOIN a USING (seg)
          WHERE s.user_id != a.query_id
@@ -297,19 +310,27 @@ def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives from the same sessionization the streaming engine runs
     incrementally (streaming/windows.py session windows).
 
-    Scale shape: sessionization is keyed windows; each session folds
-    to ONE bounded row (collect_list is per-session, ≤ session
-    events, sliced to 3 before leaving the aggregate); the path
-    census is a low-cardinality groupBy + TakeOrdered."""
-    paths = (
+    Scale shape: sessionization is keyed windows; a keyed
+    `row_number() ≤ 3` per (user_id, sid) runs BEFORE the groupBy, so
+    at most 3 rows per session ever enter the aggregate — a
+    never-closing session (a continuously-active bot under the
+    30-min-gap rule) cannot grow one group's collect_list state
+    without bound. The path census is a low-cardinality groupBy +
+    TakeOrdered."""
+    sw = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    first3 = (
         _sessions(spark, sf_dir)
-        .groupBy("user_id", "sid")
+        .withColumn("__rn", F.row_number().over(sw))
+        .where(F.col("__rn") <= 3)
+    )
+    paths = (
+        first3.groupBy("user_id", "sid")
         .agg(
             F.concat_ws(
                 ">",
                 F.expr(
-                    "transform(slice(array_sort(collect_list("
-                    "struct(ts, event_id, event_type))), 1, 3), "
+                    "transform(array_sort(collect_list("
+                    "struct(ts, event_id, event_type))), "
                     "x -> x.event_type)"
                 ),
             ).alias("path")
@@ -615,12 +636,15 @@ def parts_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parts_copurchase_edges shares the same capped-basket edge
     semantics: distinct baskets, co-count ≥ 2).
 
-    Scale shape: two keyed equi-joins on vertex ids (wedge count is
-    Σ deg², bounded here by the ≤256 basket cap upstream; production
-    graphs add degree-ordered orientation — already implicit in the
-    a<b<c constraint, which routes each wedge through its middle
-    vertex once). Per-node totals are one explode(3)+groupBy; all
-    arithmetic integer until the final rounded division."""
+    Scale shape: two keyed equi-joins on vertex ids, with the edges
+    DEGREE-ORDERED first (operators/graph.orient_edges — Schank &
+    Wagner's actual trick): wedges enumerate only at each triangle's
+    minimum-(degree, id) vertex, so the wedge count is Σ outdeg² with
+    outdeg = O(√m) on ANY graph — bounded even without the upstream
+    ≤256 basket cap (a degree-100k hub contributes zero wedges as an
+    apex). Per-node totals are one explode(3)+groupBy; all arithmetic
+    integer until the final rounded division."""
+    from kafkaconnect_spark.operators.graph import triangles
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -646,17 +670,7 @@ def parts_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    # wedges (x < y < z) through middle vertex y, closed by edge (x, z)
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    tri = (
-        e1.join(e2, "y")
-        .join(
-            edges.select(F.col("u").alias("x"), F.col("v").alias("z")),
-            ["x", "z"],
-        )
-        .select("x", "y", "z")
-    )
+    tri = triangles(edges)
     per_node = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")

@@ -26,6 +26,11 @@ class QueryDef(NamedTuple):
     oracle: str | None  # DuckDB SQL, or None → rows-only check
 
 
+# per-application pin for spark.sql.legacy.parquet.nanosAsLong — set
+# once by the first _t() call's capability probe (see _t docstring)
+_NANOS_PIN: dict[str, bool] = {}
+
+
 def _t(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -56,7 +61,17 @@ def _t(
     try:
         import pyarrow.parquet as pq  # driver-side, one footer read
 
-        arrow_schema = pq.read_schema(path)
+        footer_path = path
+        if os.path.isdir(path):  # Spark-written dataset: read one part
+            footer_path = os.path.join(
+                path,
+                sorted(
+                    f
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )[0],
+            )
+        arrow_schema = pq.read_schema(footer_path)
         ns_cols = {
             f.name
             for f in arrow_schema
@@ -65,13 +80,30 @@ def _t(
         footer_ok = True
     except Exception:  # no pyarrow / non-posix path (cluster deploy)
         ns_cols, footer_ok = set(), False
-    # nanosAsLong only when the footer inspection worked: if pyarrow is
-    # missing we can't know which bigints are disguised timestamps, so
-    # let Spark's reader reject a timestamp[ns] file loudly instead of
+    # nanosAsLong only when footer inspection works: without it we
+    # can't know which bigints are disguised timestamps, so Spark's
+    # reader must reject a timestamp[ns] file loudly instead of
     # silently reading it as bigint and filtering every temporal row.
-    spark.conf.set(
-        "spark.sql.legacy.parquet.nanosAsLong", "true" if footer_ok else "false"
-    )
+    # The conf is SET ONCE per session, pinned by the first read's
+    # capability probe (r4 ADVICE): Spark reads runtime confs lazily
+    # at analysis/execution, so per-read toggling could flip the value
+    # before an earlier interleaved plan executes. Mixed
+    # posix/non-posix paths in one session are rejected loudly in the
+    # dangerous direction (pinned true → later footer unreadable)
+    # rather than mis-read.
+    pinned = _NANOS_PIN.get(spark.sparkContext.applicationId)
+    if pinned is None:
+        _NANOS_PIN[spark.sparkContext.applicationId] = footer_ok
+        spark.conf.set(
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "true" if footer_ok else "false",
+        )
+    elif pinned and not footer_ok:
+        raise RuntimeError(
+            f"parquet footer for {path} is unreadable but this session is "
+            "pinned nanosAsLong=true from an earlier readable path; use "
+            "separate sessions for posix and non-posix table roots"
+        )
     df = spark.read.parquet(path)
     for c, t in df.dtypes:
         if c in ns_cols and t == "bigint":

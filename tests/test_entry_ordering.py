@@ -85,3 +85,38 @@ def test_covered_requires_strongest_check(tmp_path, monkeypatch):
     fake[oracled]["hash_match"] = True
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
     assert oracled in mod._driver_covered()
+
+
+def test_round_catalogs_pairwise_disjoint():
+    """r4 ADVICE: a name collision between round catalogs would make
+    the _merge() update silently replace fn/oracle while keeping the
+    old window position. _merge raises; this pins the current rounds
+    pairwise-disjoint explicitly."""
+    from kafkaconnect_spark.queries_r3 import R3_CATALOG
+    from kafkaconnect_spark.queries_r3b import R3B_CATALOG
+    from kafkaconnect_spark.queries_r4 import R4_CATALOG
+    from kafkaconnect_spark.queries_tpch import TPCH_CATALOG
+
+    rounds = {
+        "tpch": set(TPCH_CATALOG),
+        "r3": set(R3_CATALOG),
+        "r3b": set(R3B_CATALOG),
+        "r4": set(R4_CATALOG),
+    }
+    names = list(rounds)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            assert not rounds[a] & rounds[b], (a, b, rounds[a] & rounds[b])
+
+
+def test_merge_rejects_collision():
+    from kafkaconnect_spark import queries
+    from kafkaconnect_spark.query_base import QueryDef
+
+    existing = next(iter(queries.QUERY_CATALOG))
+    try:
+        queries._merge({existing: QueryDef(lambda s, d: None, None)})
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("_merge accepted a duplicate name")

@@ -73,3 +73,78 @@ def test_copurchase_basket_cap_noop_on_tpch(spark):
     assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
     # a cap of 1 removes every multi-item basket -> no pairs at all
     assert parts_copurchase_edges(spark, sf, max_basket=1).count() == 0
+
+
+def _brute_triangles(edge_list):
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for a, b in edge_list:
+        for c in adj[a] & adj[b]:
+            tris.add(frozenset((a, b, c)))
+    return tris
+
+
+def test_triangles_match_bruteforce(spark):
+    """K4 + pendant + disjoint triangle + isolated edge, vs a pure-
+    Python reference; each triangle emitted exactly once."""
+    from kafkaconnect_spark.operators.graph import triangles
+
+    el = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]  # K4
+        + [(4, 9)]                                              # pendant
+        + [(20, 21), (21, 22), (20, 22)]                        # triangle
+        + [(30, 31)]                                            # lone edge
+    )
+    df = spark.createDataFrame(el, "u long, v long")
+    got = [frozenset((r.x, r.y, r.z)) for r in triangles(df).collect()]
+    assert len(got) == len(set(got)), "a triangle was emitted twice"
+    assert set(got) == _brute_triangles(el)
+
+
+def test_degree_orientation_bounds_wedges(spark):
+    """Schank & Wagner's point, demonstrated: on a hub-and-spokes
+    graph whose hub sits mid-id-range, id-ordered wedge enumeration
+    routes O(deg_hub²) wedges through the hub while degree-ordered
+    orientation gives the hub zero out-edges — wedge count collapses
+    from quadratic-in-hub-degree to linear-in-edges."""
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.operators.graph import (
+        orient_edges,
+        oriented_wedges,
+        triangles,
+    )
+
+    hub = 20
+    leaves = [i for i in range(41) if i != hub]
+    el = [(min(i, hub), max(i, hub)) for i in leaves]  # star, deg(hub)=40
+    el += [(i, i + 1) for i in range(0, 10)]           # chain → 10 triangles
+    df = spark.createDataFrame(el, "u long, v long")
+
+    # id-ordered wedges (the pre-r5 shape): middle vertex y, x < y < z
+    e1 = df.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = df.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    id_wedges = e1.join(e2, "y").count()
+    deg_wedges = oriented_wedges(orient_edges(df)).count()
+    # hub alone contributes 20*20 = 400 id-ordered wedges
+    assert id_wedges >= 400
+    assert deg_wedges * 4 < id_wedges
+    # and the answer is unchanged
+    assert {frozenset((r.x, r.y, r.z)) for r in triangles(df).collect()} == (
+        _brute_triangles(el)
+    )
+
+
+def test_oriented_outdegree_bound(spark):
+    """Every out-edge of a degree-oriented node points at an equal-or-
+    higher-rank node, so rank order is a topological order of the
+    orientation (acyclicity = each triangle counted at one apex)."""
+    from kafkaconnect_spark.operators.graph import orient_edges
+
+    el = [(a, b) for a in range(1, 8) for b in range(a + 1, 8)]  # K7
+    oe = orient_edges(spark.createDataFrame(el, "u long, v long"))
+    for r in oe.collect():
+        assert (r.src_deg, r.src) < (r.dst_deg, r.dst)

@@ -94,3 +94,35 @@ def test_preserves_other_columns(frame):
 def test_bad_tile_width(frame):
     with pytest.raises(ValueError):
         tiled_prefix_sum(frame, "k", ["a"], tile_width=0)
+
+
+def test_pathological_tile_count_nested_level(spark):
+    """Thousands of distinct tiles (small width over a wide sparse key
+    range) — the case the r4 verdict flagged as quietly quadratic.
+    The nested super-tile level keeps the triangular term on
+    n_tiles / tile_width rows; correctness vs the global window."""
+    keys = list(range(0, 30000, 7))  # ~4.3k rows, ~3.7k tiles at width 8
+    df = spark.createDataFrame([(k, k % 13) for k in keys], "k long, a long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["c"]
+        for r in df.select("k", F.sum("a").over(w).alias("c")).collect()
+    }
+    got = {
+        r["k"]: r["cum_a"]
+        for r in tiled_prefix_sum(df, "k", ["a"], tile_width=8).collect()
+    }
+    assert got == want
+
+    wx = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want_m = {
+        r["k"]: r["m"]
+        for r in df.select("k", F.max("a").over(wx).alias("m")).collect()
+    }
+    got_m = {
+        r["k"]: r["prev"]
+        for r in tiled_prefix_max_exclusive(
+            df, "k", "a", "prev", tile_width=8
+        ).collect()
+    }
+    assert got_m == want_m

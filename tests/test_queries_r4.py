@@ -255,3 +255,41 @@ def test_shot_boundaries_semantics(spark):
     }
     assert got[1] == (2, 4)
     assert got[2] == (1, 1)
+
+
+def test_session_paths_bounded_state_mega_session(spark, tmp_path):
+    """r4 verdict directive: a never-closing bot session (2k events,
+    no 30-min gap) must enter the path aggregate as AT MOST 3 rows —
+    pinned by the row_number pre-filter being in the plan — and the
+    path census must still be exact."""
+    import datetime as dt
+
+    from kafkaconnect_spark.queries_r4 import events_session_paths_topk
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # bot user 1: 2000 events 10s apart — ONE giant session
+    for i in range(2000):
+        rows.append(
+            (i, t0 + dt.timedelta(seconds=10 * i), 1, f"e{i % 7}", 0.0, "{}")
+        )
+    # user 2: two 2-event sessions, 2h apart
+    for j, base in enumerate([t0, t0 + dt.timedelta(hours=2)]):
+        rows.append((10000 + 2 * j, base, 2, "a", 0.0, "{}"))
+        rows.append(
+            (10001 + 2 * j, base + dt.timedelta(seconds=5), 2, "b", 0.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    df = events_session_paths_topk(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().toString()
+    assert "row_number" in plan and "__rn" in plan, (
+        "pre-aggregation row_number bound missing from plan"
+    )
+    got = {r.path: r.n_sessions for r in df.collect()}
+    # bot's single session contributes its FIRST 3 events' types once
+    assert got == {"a>b": 2, "e0>e1>e2": 1}
