@@ -130,7 +130,21 @@ def main() -> None:
     except ValueError:  # path merely contains 'sf' (e.g. /mnt/sfdata)
         sf = -1.0
 
-    spark = get_spark("kafkaconnect-spark-bench", master=f"local[{cpus}]")
+    # UI on (random port) purely to expose the REST metrics API: the
+    # per-query shuffle/spill numbers come from stage metrics, so
+    # SCALE.md's "shuffle bounded by X" claims are measured, not
+    # narrated. Retention raised so 82 queries × 3 passes of jobs and
+    # stages survive until the end-of-run fetch.
+    spark = get_spark(
+        "kafkaconnect-spark-bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedJobs": "100000",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from kafkaconnect_spark.operators.dedup import release_cached
@@ -149,7 +163,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
+            # job group = attribution key for the REST stage-metrics
+            # fetch; pass 0 and 1 tagged separately so the recorded
+            # shuffle volume is ONE execution, not a 2-pass sum
+            spark.sparkContext.setJobGroup(f"bench:{name}:{i}", name)
             t0 = time.perf_counter()  # monotonic — immune to clock steps
             df = _bench_fn(name)(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -177,6 +195,15 @@ def main() -> None:
     dml = _dml_parity_wall(spark)
     if dml is not None:
         out["dml_parity_wall"] = dml
+    try:
+        stage_metrics = _stage_metrics(spark)
+    except Exception:  # noqa: BLE001 — metrics must never fail the bench
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        stage_metrics = None
+    if stage_metrics:
+        out["stage_metrics"] = stage_metrics
     vs_prev = _vs_prev(timings, total, sf)
     if vs_prev is not None:
         out["vs_prev"] = vs_prev
@@ -194,6 +221,23 @@ def main() -> None:
     }
     if dml is not None:
         summary["dml_parity_wall"] = dml
+    if stage_metrics:
+        top = sorted(
+            stage_metrics.items(),
+            key=lambda kv: -(
+                kv[1]["shuffle_read_bytes"] + kv[1]["shuffle_write_bytes"]
+            ),
+        )[:5]
+        summary["top_shufflers_mb"] = {
+            n: round(
+                (m["shuffle_read_bytes"] + m["shuffle_write_bytes"]) / 2**20, 1
+            )
+            for n, m in top
+        }
+        summary["total_spill_bytes"] = sum(
+            m["memory_spill_bytes"] + m["disk_spill_bytes"]
+            for m in stage_metrics.values()
+        )
     if vs_prev is not None:
         summary["vs_prev"] = {
             k: vs_prev[k]
@@ -221,6 +265,63 @@ def main() -> None:
             json.dump(rec, fh)
     except OSError:
         pass  # read-only checkout: vs_prev degrades, bench still reports
+
+
+_STAGE_FIELDS = {
+    "shuffleReadBytes": "shuffle_read_bytes",
+    "shuffleWriteBytes": "shuffle_write_bytes",
+    "memoryBytesSpilled": "memory_spill_bytes",
+    "diskBytesSpilled": "disk_spill_bytes",
+    "inputBytes": "input_bytes",
+}
+
+
+def _stage_metrics(spark) -> dict[str, dict[str, int]] | None:
+    """Per-query stage metrics (shuffle read/write, spill, input
+    bytes) from the UI REST API: jobs are attributed to queries via
+    the bench job group, and each query's SECOND timed pass (group
+    suffix ':1') is summed over its completed stages — one
+    execution's real data movement, the number SCALE.md's shuffle
+    claims are checked against. Skipped stages (reused exchanges)
+    never completed, so only cost actually paid is counted."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app_id = spark.sparkContext.applicationId
+
+    def get(path: str):
+        url = f"{base}/api/v1/applications/{app_id}{path}"
+        with urllib.request.urlopen(url, timeout=60) as r:
+            return json.loads(r.read().decode())
+
+    by_stage: dict[int, dict[str, int]] = {}
+    for s in get("/stages?details=false"):
+        if s.get("status") != "COMPLETE":
+            continue
+        agg = by_stage.setdefault(
+            s["stageId"], dict.fromkeys(_STAGE_FIELDS.values(), 0)
+        )
+        for k_json, k_out in _STAGE_FIELDS.items():
+            agg[k_out] += int(s.get(k_json) or 0)  # sum retry attempts
+
+    per_query: dict[str, set[int]] = {}
+    for j in get("/jobs"):
+        group = j.get("jobGroup") or ""
+        if not (group.startswith("bench:") and group.endswith(":1")):
+            continue
+        name = group[len("bench:"):-len(":1")]
+        per_query.setdefault(name, set()).update(j.get("stageIds", []))
+
+    out: dict[str, dict[str, int]] = {}
+    for name, stage_ids in per_query.items():
+        tot = dict.fromkeys(_STAGE_FIELDS.values(), 0)
+        for sid in stage_ids:
+            for k, v in by_stage.get(sid, {}).items():
+                tot[k] += v
+        out[name] = tot
+    return out
 
 
 def _dml_parity_wall(spark) -> dict | None:

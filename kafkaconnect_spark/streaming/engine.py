@@ -93,6 +93,35 @@ class Engine:
         self._claimed_tables: dict[tuple[str, str], str] = {}
         self._threads: dict[str, threading.Thread] = {}
         self._stop_flags: dict[str, threading.Event] = {}
+        # per-micro-batch StreamingQueryProgress durations, appended by
+        # every _drain_stream call — the operator-facing latency record
+        # (bench.py folds it into p50/p95 batch latency per round)
+        self.progress_log: list[dict] = []
+
+    def _drain_stream(self, name: str, stream, process, ckpt: str) -> int:
+        """One availableNow drain of a foreachBatch pipeline, recording
+        each micro-batch's StreamingQueryProgress durations (batch_id,
+        input rows, triggerExecution/addBatch ms) in progress_log so
+        batch-latency percentiles are measurable, not narrated."""
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for pr in q.recentProgress:
+            dur = pr.get("durationMs") or {}
+            self.progress_log.append(
+                {
+                    "pipeline": name,
+                    "batch_id": pr.get("batchId"),
+                    "num_input_rows": pr.get("numInputRows"),
+                    "trigger_ms": dur.get("triggerExecution"),
+                    "add_batch_ms": dur.get("addBatch"),
+                }
+            )
+        return -1  # streaming sources don't expose a row count cheaply
 
     # ------------------------------------------------------------------
     # lifecycle verbs (O4)
@@ -577,14 +606,7 @@ class Engine:
         ckpt = str(self.checkpoint_root / spec.name)
 
         def run_one() -> int:
-            q = (
-                stream.writeStream.foreachBatch(process)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            return -1  # file source doesn't expose a row count cheaply
+            return self._drain_stream(spec.name, stream, process, ckpt)
 
         return Pipeline(spec=spec, run_one=run_one, extras={"schema": schema})
 
@@ -746,14 +768,7 @@ class Engine:
         stream = self.transport.read_stream(topics)
 
         def run_one() -> int:
-            q = (
-                stream.writeStream.foreachBatch(process)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            return -1
+            return self._drain_stream(spec.name, stream, process, ckpt)
 
         return Pipeline(spec=spec, run_one=run_one, extras={"writer": writer})
 
@@ -805,14 +820,7 @@ class Engine:
         stream = self.transport.read_stream(topics)
 
         def run_one() -> int:
-            q = (
-                stream.writeStream.foreachBatch(process)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            return -1
+            return self._drain_stream(spec.name, stream, process, ckpt)
 
         return Pipeline(spec=spec, run_one=run_one, extras={"path": path})
 
@@ -868,13 +876,6 @@ class Engine:
         )
 
         def run_one() -> int:
-            q = (
-                stream.writeStream.foreachBatch(process)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            return -1
+            return self._drain_stream(spec.name, stream, process, ckpt)
 
         return Pipeline(spec=spec, run_one=run_one)

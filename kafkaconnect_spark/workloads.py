@@ -187,9 +187,23 @@ def run_dml_parity(
             r[0]: (r[0], r[1], r[2])
             for r in c.execute("SELECT id, name, score FROM t_sink").fetchall()
         }
-    return {
+    out = {
         "elapsed_sec": round(elapsed, 3),
         "n_ops": drained,
         "n_final_rows": len(got),
         "parity": got == src.rows,
     }
+    # per-micro-batch latency percentiles from the engine's
+    # StreamingQueryProgress log (r4 directive: trend batch latency,
+    # not just the wall) — nearest-rank percentiles over
+    # triggerExecution ms of every micro-batch the drain ran
+    lat = sorted(
+        e["trigger_ms"]
+        for e in eng.progress_log
+        if e.get("trigger_ms") is not None
+    )
+    if lat:
+        out["n_micro_batches"] = len(lat)
+        out["batch_p50_ms"] = lat[max(0, -(-len(lat) * 50 // 100) - 1)]
+        out["batch_p95_ms"] = lat[max(0, -(-len(lat) * 95 // 100) - 1)]
+    return out

@@ -212,3 +212,13 @@ def test_sink_poison_pill_does_not_delete(spark, tmp_path):
     )
     with pytest.raises(Exception, match="malformed|Malformed|FAILFAST"):
         eng.run_once("pp_sink")
+
+
+def test_parity_harness_reports_batch_latency(spark, tmp_path):
+    """run_dml_parity carries per-micro-batch latency percentiles from
+    the engine's StreamingQueryProgress log (bench trendline, r4
+    directive): every drained stream contributes progress rows."""
+    out = run_dml_parity(spark, str(tmp_path), n_ops=500)
+    assert out["parity"]
+    assert out["n_micro_batches"] >= 2  # ingest drain + sink drain
+    assert out["batch_p50_ms"] <= out["batch_p95_ms"]
