@@ -119,6 +119,15 @@ HEADLINE = [
     "embedding_dim_stats",
     "parts_clustering_coefficient",
     "orders_weekday_seasonality",
+    # round-5 additions
+    "dedup_lsh_index_lifecycle",
+    "embedding_ivf_nprobe_sweep",
+    "dedup_drift_snapshots",
+    "docs_contamination_ngram_overlap",
+    "embedding_knn_label_agreement",
+    "docs_minhash_similarity_histogram",
+    "parts_degree_distribution",
+    "events_user_activity_gini",
 ]
 
 
@@ -204,7 +213,12 @@ def main() -> None:
         stage_metrics = None
     if stage_metrics:
         out["stage_metrics"] = stage_metrics
-    vs_prev = _vs_prev(timings, total, sf)
+    # ladder mode (tools/scale_ladder.py): SPARK_GRAFT_BENCH_OUT
+    # redirects the full record and suppresses vs_prev — a generated-
+    # data run must neither overwrite the committed driver-data
+    # baseline nor be compared against it
+    bench_out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    vs_prev = None if bench_out else _vs_prev(timings, total, sf)
     if vs_prev is not None:
         out["vs_prev"] = vs_prev
     # two lines: the FULL record first (per-query map + ratios), then a
@@ -258,7 +272,7 @@ def main() -> None:
     try:
         rec = dict(out)
         rec["head"] = _git_head()
-        path = os.path.join(
+        path = bench_out or os.path.join(
             os.path.dirname(os.path.abspath(__file__)), f"bench_full_sf{sf}.json"
         )
         with open(path, "w") as fh:

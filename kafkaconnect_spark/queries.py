@@ -3620,3 +3620,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R3B.items()})
 from kafkaconnect_spark.queries_r4 import R4_CATALOG as _R4  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R4.items()})
+
+from kafkaconnect_spark.queries_r5 import R5_CATALOG as _R5  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R5.items()})

@@ -95,6 +95,7 @@ def test_round_catalogs_pairwise_disjoint():
     from kafkaconnect_spark.queries_r3 import R3_CATALOG
     from kafkaconnect_spark.queries_r3b import R3B_CATALOG
     from kafkaconnect_spark.queries_r4 import R4_CATALOG
+    from kafkaconnect_spark.queries_r5 import R5_CATALOG
     from kafkaconnect_spark.queries_tpch import TPCH_CATALOG
 
     rounds = {
@@ -102,6 +103,7 @@ def test_round_catalogs_pairwise_disjoint():
         "r3": set(R3_CATALOG),
         "r3b": set(R3B_CATALOG),
         "r4": set(R4_CATALOG),
+        "r5": set(R5_CATALOG),
     }
     names = list(rounds)
     for i, a in enumerate(names):

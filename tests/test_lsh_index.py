@@ -1,0 +1,101 @@
+"""Persistent LSH index lifecycle (operators/lsh_index.py): append
+matches the pre-append generation only, compaction preserves content
+while collapsing files, and the manifest pins generations."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.operators import lsh_index
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = [
+    (1, "a b c d e f g h"),
+    (2, "a b c d e f g x"),   # near-dup of 1
+    (3, "p q r s t u v w"),
+]
+BATCH1 = [
+    (10, "a b c d e f g h"),  # exact dup of 1
+    (11, "m n o p q r s t"),  # overlaps 3 partially
+]
+BATCH2 = [
+    (20, "m n o p q r s t"),  # exact dup of 11 — only matches via the APPEND
+    (21, "zz yy xx ww vv uu"),
+]
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    lsh_index.build(_docs(spark, BASE), d, num_hashes=16, bands=4)
+    return d
+
+
+def test_append_matches_only_preappend_state(spark, index):
+    p1 = lsh_index.append(spark, index, _docs(spark, BATCH1), threshold=0.5)
+    got1 = {(r.id_new, r.id_corpus) for r in p1.collect()}
+    assert (10, 1) in got1
+    # batch1 members never pair with each other or themselves
+    assert all(c in {1, 2, 3} for _, c in got1)
+
+    p2 = lsh_index.append(spark, index, _docs(spark, BATCH2), threshold=0.5)
+    got2 = {(r.id_new, r.id_corpus) for r in p2.collect()}
+    # 20 duplicates 11, which entered the index via batch1's append
+    assert (20, 11) in got2
+    assert all(c in {1, 2, 3, 10, 11} for _, c in got2)
+    # the report is durable: re-collect after further writes
+    lsh_index.compact(spark, index)
+    assert {(r.id_new, r.id_corpus) for r in p1.collect()} == got1
+
+
+def test_compact_preserves_content_and_collapses_files(spark, index):
+    lsh_index.append(spark, index, _docs(spark, BATCH1), threshold=0.5)
+    lsh_index.append(spark, index, _docs(spark, BATCH2), threshold=0.5)
+    sh_before, bands_before, v = lsh_index._tables(spark, index)
+    docs_before = {r[0] for r in sh_before.select("doc_id").collect()}
+    band_rows_before = bands_before.distinct().count()
+    stats = lsh_index.compact(spark, index)
+    assert stats["version"] == v + 1
+    assert stats["n_docs"] == len(docs_before) == 7
+    assert stats["n_band_rows"] == band_rows_before
+    sh_after, _, v_after = lsh_index._tables(spark, index)
+    assert v_after == v + 1
+    assert {r[0] for r in sh_after.select("doc_id").collect()} == docs_before
+    # old generation stays on disk for pinned readers
+    assert os.path.isdir(lsh_index._table_path(index, "bands", v))
+    with open(os.path.join(index, "MANIFEST.json")) as fh:
+        assert json.load(fh)["version"] == v + 1
+
+
+def test_append_after_compact_uses_new_generation(spark, index):
+    lsh_index.compact(spark, index)
+    p = lsh_index.append(spark, index, _docs(spark, BATCH1), threshold=0.5)
+    assert (10, 1) in {(r.id_new, r.id_corpus) for r in p.collect()}
+
+
+def test_build_refuses_overwrite(spark, index):
+    with pytest.raises(Exception):
+        lsh_index.build(_docs(spark, BASE), index)
+
+
+def test_degree_distribution_buckets(spark):
+    """length(bin(d)) - 1 is exact at powers of two (the float-log2
+    edge the query avoids)."""
+    df = spark.createDataFrame(
+        [(d,) for d in (1, 2, 3, 4, 7, 8, 1024)], "d long"
+    )
+    got = {
+        r.d: r.k
+        for r in df.select(
+            "d", (F.length(F.bin(F.col("d"))) - 1).cast("int").alias("k")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 7: 2, 8: 3, 1024: 10}

@@ -1,0 +1,319 @@
+"""Self-generated scale-ladder data: same tables/schemas/shape family
+as the driver's /root/testdata (TPC-H-ish star schema + events stream
++ documents/embeddings corpora), at ARBITRARY scale factor — the r4
+judge directive: everything above sf0.1 was argued, not measured, so
+generate an sf1-equivalent locally and measure the ladder.
+
+Deterministic (numpy PCG64 seeded per (sf, table)), distribution
+family matched to the observed driver data:
+
+- row counts scale linearly from the driver's sf0.1 counts
+  (lineitem 600k/0.1 → 6M at sf1); region/nation constant;
+- value domains match (order dates 1995..2001-08, shipdate = order
+  date + 1..95d, events over 30 days of 2024, 31-word doc vocab with
+  a Zipf-ish slope, 64-dim 10-cluster embeddings, ~0.16% exact-dup
+  docs);
+- timestamps written as timestamp[us] (the driver's current events
+  encoding; query_base._t normalizes either).
+
+Usage: python tools/gen_testdata.py <sf> [out_dir]
+Default out_dir: /root/repo/.data/gen_sf{sf} (gitignored).
+
+NOT a replacement for the driver data — correctness gates still run
+on /root/testdata; this exists purely so bench ratios at 10× scale
+are measured numbers (tools/scale_ladder.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# row counts at sf=1.0 (10× the driver's observed sf0.1 counts)
+COUNTS_SF1 = {
+    "customer": 150_000,
+    "supplier": 10_000,
+    "part": 200_000,
+    "orders": 1_500_000,
+    "events": 1_000_000,
+    "documents": 50_000,
+    "embeddings": 20_000,
+}
+N_USERS_SF1 = 15_000
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+NATIONS = [
+    "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+    "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
+    "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU", "CHINA",
+    "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA", "UNITED KINGDOM",
+    "UNITED STATES",
+]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+P_ADJ = ["large", "hot", "blue", "old", "small", "dark", "light", "new"]
+P_NOUN = ["ring", "bolt", "plate", "tube", "cap", "disk", "rod", "gear"]
+P_TYPE = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM"]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+
+US_PER_DAY = 86_400_000_000
+
+
+def _rng(sf: float, table: str) -> np.random.Generator:
+    # hashlib, not hash(): str hashing is salted per-process, and the
+    # whole point is byte-identical regeneration
+    import hashlib
+
+    digest = hashlib.md5(f"{round(sf, 6)}|{table}|42".encode()).digest()
+    return np.random.default_rng(int.from_bytes(digest[:8], "little"))
+
+
+def _n(sf: float, table: str) -> int:
+    return max(1, int(COUNTS_SF1[table] * sf))
+
+
+def _ts_us(days_from_epoch_us: np.ndarray) -> pa.Array:
+    return pa.array(days_from_epoch_us.astype("int64"), pa.timestamp("us")).cast(
+        pa.timestamp("us")
+    )
+
+
+def gen(sf: float, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+
+    def write(name: str, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+        print(f"  {name}: {table.num_rows} rows")
+
+    write(
+        "region",
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": REGIONS,
+            }
+        ),
+    )
+    write(
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": NATIONS,
+                "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+            }
+        ),
+    )
+
+    r = _rng(sf, "customer")
+    n = _n(sf, "customer")
+    write(
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n), pa.int64()),
+                "c_name": [f"Customer#{i:09d}" for i in range(n)],
+                "c_nationkey": pa.array(r.integers(0, 25, n), pa.int32()),
+                "c_acctbal": np.round(r.uniform(-999.99, 9999.99, n), 2),
+                "c_mktsegment": np.array(SEGMENTS)[r.integers(0, 5, n)],
+            }
+        ),
+    )
+
+    r = _rng(sf, "supplier")
+    n = _n(sf, "supplier")
+    write(
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n), pa.int64()),
+                "s_name": [f"Supplier#{i:09d}" for i in range(n)],
+                "s_nationkey": pa.array(r.integers(0, 25, n), pa.int32()),
+                "s_acctbal": np.round(r.uniform(-999.99, 9999.99, n), 2),
+            }
+        ),
+    )
+
+    r = _rng(sf, "part")
+    n = _n(sf, "part")
+    adj = np.array(P_ADJ)[r.integers(0, len(P_ADJ), n)]
+    noun = np.array(P_NOUN)[r.integers(0, len(P_NOUN), n)]
+    write(
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n), pa.int64()),
+                "p_name": np.char.add(np.char.add(adj, " "), noun),
+                "p_brand": np.array(
+                    [f"Brand#{b}" for b in range(1, 26)]
+                )[r.integers(0, 25, n)],
+                "p_type": np.array(P_TYPE)[r.integers(0, len(P_TYPE), n)],
+                "p_size": pa.array(r.integers(1, 51, n), pa.int32()),
+                "p_retailprice": np.round(900.0 + (np.arange(n) % 1000) / 10, 1),
+            }
+        ),
+    )
+
+    r = _rng(sf, "orders")
+    n_ord = _n(sf, "orders")
+    n_cust = _n(sf, "customer")
+    epoch_1995 = np.datetime64("1995-01-01").astype("datetime64[us]").astype("int64")
+    span_days = (
+        np.datetime64("2001-08-01") - np.datetime64("1995-01-01")
+    ).astype(int)
+    o_day = r.integers(0, span_days + 1, n_ord)
+    o_date_us = epoch_1995 + o_day * US_PER_DAY
+    write(
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_ord), pa.int64()),
+                "o_custkey": pa.array(r.integers(0, n_cust, n_ord), pa.int64()),
+                "o_orderstatus": np.array(["O", "F", "P"])[r.integers(0, 3, n_ord)],
+                "o_totalprice": np.round(r.uniform(1000, 500000, n_ord), 2),
+                "o_orderdate": _ts_us(o_date_us),
+                "o_orderpriority": np.array(PRIORITIES)[r.integers(0, 5, n_ord)],
+            }
+        ),
+    )
+
+    r = _rng(sf, "lineitem")
+    # ~4 lines per order (1..k, capped like the observed max 17)
+    n_lines = np.minimum(1 + r.poisson(3.1, n_ord), 17)
+    okeys = np.repeat(np.arange(n_ord), n_lines)
+    m = okeys.size
+    linenum = np.concatenate([np.arange(1, k + 1) for k in n_lines]) if m else np.array([], dtype=int)
+    n_part = _n(sf, "part")
+    n_supp = _n(sf, "supplier")
+    qty = r.integers(1, 51, m).astype("float64")
+    price = np.round(qty * (900.0 + r.integers(0, 1000, m) / 10), 2)
+    ship_us = (
+        epoch_1995
+        + np.repeat(o_day, n_lines) * US_PER_DAY
+        + r.integers(1, 96, m) * US_PER_DAY
+    )
+    write(
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(okeys, pa.int64()),
+                "l_partkey": pa.array(r.integers(0, n_part, m), pa.int64()),
+                "l_suppkey": pa.array(r.integers(0, n_supp, m), pa.int64()),
+                "l_linenumber": pa.array(linenum, pa.int32()),
+                "l_quantity": qty,
+                "l_extendedprice": price,
+                "l_discount": np.round(r.integers(0, 11, m) / 100, 2),
+                "l_tax": np.round(r.integers(0, 9, m) / 100, 2),
+                "l_returnflag": np.array(["A", "N", "R"])[r.integers(0, 3, m)],
+                "l_linestatus": np.array(["O", "F"])[r.integers(0, 2, m)],
+                "l_shipdate": _ts_us(ship_us),
+            }
+        ),
+    )
+
+    r = _rng(sf, "events")
+    n_ev = _n(sf, "events")
+    n_users = max(1, int(N_USERS_SF1 * sf))
+    epoch_2024 = np.datetime64("2024-01-01").astype("datetime64[us]").astype("int64")
+    ts = np.sort(
+        epoch_2024 + r.integers(0, 30 * US_PER_DAY, n_ev, dtype=np.int64)
+    )
+    write(
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "ts": _ts_us(ts),
+                "user_id": pa.array(r.integers(0, n_users, n_ev), pa.int64()),
+                "event_type": np.array(EVENT_TYPES)[r.integers(0, 5, n_ev)],
+                "value": np.round(r.exponential(80.0, n_ev), 2),
+                "props": [f'{{"k": {k}}}' for k in r.integers(0, 100, n_ev)],
+            }
+        ),
+    )
+
+    r = _rng(sf, "documents")
+    n_doc = _n(sf, "documents")
+    # Zipf-ish word weights over the 31-word vocab
+    w = 1.0 / np.arange(1, len(VOCAB) + 1) ** 0.7
+    w /= w.sum()
+    vocab = np.array(VOCAB)
+    n_words = np.maximum(8, r.normal(50, 18, n_doc).astype(int))
+    flat = vocab[r.choice(len(VOCAB), n_words.sum(), p=w)]
+    texts: list[str] = []
+    pos = 0
+    for k in n_words:
+        texts.append(" ".join(flat[pos : pos + k]))
+        pos += k
+    # exact duplicates at the observed ~0.16% rate
+    for i in r.integers(0, n_doc, max(1, n_doc // 625)):
+        texts[i] = texts[(i * 7 + 1) % n_doc]
+    n_chars = np.array([len(t) for t in texts], dtype="int64")
+    write(
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_doc), pa.int64()),
+                "text": texts,
+                "lang": np.array(LANGS)[
+                    r.choice(len(LANGS), n_doc, p=LANG_P)
+                ],
+                "source": np.array(
+                    [f"src{i}" for i in range(20)]
+                )[r.integers(0, 20, n_doc)],
+                "n_chars": n_chars,
+            }
+        ),
+    )
+
+    r = _rng(sf, "embeddings")
+    n_vec = _n(sf, "embeddings")
+    dim, n_lab = 64, 10
+    centers = r.normal(0, 1, (n_lab, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = r.integers(0, n_lab, n_vec)
+    vecs = centers[labels] * 0.8 + r.normal(0, 0.45, (n_vec, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype("float32")
+    write(
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vec), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+    )
+
+
+def main() -> int:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".data",
+            f"gen_sf{sf}",
+        )
+    )
+    print(f"generating sf={sf} -> {out}")
+    gen(sf, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
