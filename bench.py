@@ -128,6 +128,8 @@ HEADLINE = [
     "docs_minhash_similarity_histogram",
     "parts_degree_distribution",
     "events_user_activity_gini",
+    "dedup_keep_policy",
+    "embedding_cell_purity",
 ]
 
 

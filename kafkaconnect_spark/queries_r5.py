@@ -623,6 +623,155 @@ FROM s
 """
 
 
+
+# ---------------------------------------------------------------------------
+# dedup keep policy — the ACTION after detect + cluster
+# ---------------------------------------------------------------------------
+
+def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step: per near-dup cluster
+    (connected components over the verified minhash-LSH pairs), the
+    document KEPT under the standard policy "longest doc wins, tie →
+    lowest doc_id", plus how many copies the policy drops — the step
+    that turns pair/cluster detection into an actual corpus edit
+    (detect → cluster → act).
+
+    Scale shape: reuses the proven pair + label-propagation plans;
+    the keeper selection is one keyed row_number per cluster and a
+    cluster-sized agg — nothing new shuffles at corpus size."""
+    from kafkaconnect_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
+    clusters = dedup.duplicate_clusters(pairs)
+    members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+        )
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return kept.join(sizes, "cluster_id").select(
+        "cluster_id",
+        "kept_doc_id",
+        "kept_n_chars",
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
+
+
+KEEP_POLICY_ORACLE = rf"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) inter
+  FROM cands JOIN sh a ON a.doc_id = id_a
+       JOIN sh b ON b.doc_id = id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS n, a AS m FROM e
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.n),
+clusters AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+members AS (SELECT cluster_id, c.doc_id, d.n_chars
+            FROM clusters c JOIN documents d USING (doc_id)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id) rn FROM members),
+sz2 AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+        FROM members GROUP BY 1)
+SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+       n_members, n_members - 1 AS n_dropped
+FROM ranked JOIN sz2 USING (cluster_id) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF cell label purity — index quality screen
+# ---------------------------------------------------------------------------
+
+def embedding_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of each IVF cell (same deterministic 8-centroid
+    index as the ANN queries): per cell, the vector count, majority
+    label, and majority fraction — the screen that tells you whether
+    the coarse quantizer respects the label structure (low purity ⇒
+    probing one cell cross-contaminates classes; ties break count
+    desc, label asc).
+
+    Scale shape: cell assignment is the production _ivf_index NARROW
+    argmax (corpus never shuffles for it); purity is one (cell,
+    label) count plus a per-cell keyed rank."""
+    from kafkaconnect_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    corpus, _, _ = similarity._ivf_index(emb, 8, "vec_id", "embedding")
+    assigned = corpus.select("vec_id", "cell").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    by_label = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    totals = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        by_label.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .join(totals, "cell")
+        .select(
+            "cell",
+            "n_vectors",
+            F.col("label").alias("majority_label"),
+            F.col("__c").alias("n_majority"),
+            F.round(F.col("__c") / F.col("n_vectors"), 6).alias("purity"),
+        )
+    )
+
+
+CELL_PURITY_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] vec FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v
+          ORDER BY vec_id LIMIT 8),
+cells AS (
+  SELECT vec_id, label, cent_id AS cell FROM (
+    SELECT v.vec_id, v.label, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS6.format(a='v.vec', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1),
+by_label AS (SELECT cell, label, count(*) AS c FROM cells GROUP BY 1, 2),
+totals AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM cells GROUP BY 1),
+top AS (SELECT cell, label, c FROM (
+          SELECT *, row_number() OVER (PARTITION BY cell
+                     ORDER BY c DESC, label) rn FROM by_label) WHERE rn = 1)
+SELECT cell, n_vectors, label AS majority_label, c::BIGINT AS n_majority,
+       round(c::DOUBLE / n_vectors, 6) AS purity
+FROM top JOIN totals USING (cell)
+"""
+
+
 R5_CATALOG = {
     "dedup_lsh_index_lifecycle": (dedup_lsh_index_lifecycle, LSH_LIFECYCLE_ORACLE),
     "embedding_ivf_nprobe_sweep": (embedding_ivf_nprobe_sweep, IVF_NPROBE_SWEEP_ORACLE),
@@ -641,4 +790,6 @@ R5_CATALOG = {
     ),
     "parts_degree_distribution": (parts_degree_distribution, DEGREE_DIST_ORACLE),
     "events_user_activity_gini": (events_user_activity_gini, ACTIVITY_GINI_ORACLE),
+    "dedup_keep_policy": (dedup_keep_policy, KEEP_POLICY_ORACLE),
+    "embedding_cell_purity": (embedding_cell_purity, CELL_PURITY_ORACLE),
 }
