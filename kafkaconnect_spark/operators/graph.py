@@ -112,7 +112,12 @@ def pagerank(
     )
 
 
-def orient_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+def orient_edges(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    degrees: DataFrame | None = None,
+) -> DataFrame:
     """Degree-order each undirected edge {u, v}: emit it once as
     (src, dst) with rank(src) < rank(dst) under the total order
     rank(n) = (degree(n), n). This is Schank & Wagner 2005's
@@ -125,12 +130,18 @@ def orient_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
 
     Scale shape: one double keyed join of the edge list against the
     degree table (itself one groupBy of the edge endpoints) — no
-    self-join, no window."""
+    self-join, no window. ``degrees`` (node, degree) lets a caller
+    that already built the degree table pass it in; when it is the
+    same plan, Spark's ReuseExchange dedupes the shuffle."""
     deg = (
-        edges.select(F.col(u).alias("node"))
-        .unionAll(edges.select(F.col(v).alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("__deg"))
+        degrees.select("node", F.col("degree").alias("__deg"))
+        if degrees is not None
+        else (
+            edges.select(F.col(u).alias("node"))
+            .unionAll(edges.select(F.col(v).alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
     )
     e = (
         edges.select(F.col(u), F.col(v))
@@ -171,14 +182,19 @@ def oriented_wedges(oriented: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+def triangles(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    degrees: DataFrame | None = None,
+) -> DataFrame:
     """Every triangle of the undirected simple graph, one row (x, y, z)
     per triangle (vertices in rank order). Degree-ordered
     node-iterator (Schank & Wagner 2005): oriented wedges closed by
     one equi-join back onto the oriented edge set — since
     rank(y) < rank(z), the closing edge {y, z}, if present, is
     oriented y→z, so the closure is a plain (src, dst) equi-join."""
-    oe = orient_edges(edges, u, v)
+    oe = orient_edges(edges, u, v, degrees=degrees)
     return oriented_wedges(oe).join(
         oe.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
     )

@@ -670,7 +670,7 @@ def parts_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangles(edges)
+    tri = triangles(edges, degrees=deg)
     per_node = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
