@@ -508,3 +508,53 @@ def test_weighted_sample_never_reads_text(spark):
 def test_watermark_replay_block_table_broadcasts(spark):
     p = plan(spark, "events_watermark_late_drop")
     assert "BroadcastHashJoin" in p
+
+
+def test_r5_catalog_has_no_cartesian_or_row_python(spark):
+    """Blanket guard over the round-5 queries (queries_r5). The
+    lifecycle query is excluded here — it executes eagerly (index
+    writes) and is plan-pinned operator-level in test_lsh_index.py —
+    and covered by tools/plan_audit.py's full-catalog sweep."""
+    from kafkaconnect_spark.queries_r5 import R5_CATALOG
+
+    for name in R5_CATALOG:
+        if name == "dedup_lsh_index_lifecycle":
+            continue
+        p = plan(spark, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+
+
+def test_knn_and_sweep_queries_broadcast(spark):
+    """The query side of every r5 ANN audit broadcasts; the corpus
+    never shuffles to be scored."""
+    for name in ("embedding_knn_label_agreement", "embedding_ivf_nprobe_sweep"):
+        p = plan(spark, name, mode="simple")
+        assert "BroadcastExchange" in p, name
+
+
+def test_contamination_semi_join_shape(spark):
+    """Test docs reach the train side via LeftSemi on the shingle key
+    — no doc-payload join, no pair explosion."""
+    p = plan(spark, "docs_contamination_ngram_overlap", mode="simple")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gini_has_no_partitionless_window(spark):
+    """The Gini query's whole point: the rank formula runs on the
+    tiled prefix scan, never a global sort/window."""
+    import re
+
+    p = plan(spark, "events_user_activity_gini")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert not re.match(r"^\s*\w+#\d+ (ASC|DESC)", m.group(1))
+    assert "CartesianProduct" not in p
+
+
+def test_drift_snapshot_fence_is_broadcast(spark):
+    """The v1-baseline and cutoff 1-row frames ride broadcast joins —
+    the only join shapes in the query."""
+    p = plan(spark, "dedup_drift_snapshots", mode="simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
