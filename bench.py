@@ -206,6 +206,9 @@ def main() -> None:
     dml = _dml_parity_wall(spark)
     if dml is not None:
         out["dml_parity_wall"] = dml
+    staged = _dml_staged(spark)
+    if staged is not None:
+        out["dml_staged"] = staged
     try:
         stage_metrics = _stage_metrics(spark)
     except Exception:  # noqa: BLE001 — metrics must never fail the bench
@@ -237,6 +240,8 @@ def main() -> None:
     }
     if dml is not None:
         summary["dml_parity_wall"] = dml
+    if staged is not None:
+        summary["dml_staged"] = staged
     if stage_metrics:
         top = sorted(
             stage_metrics.items(),
@@ -354,6 +359,23 @@ def _dml_parity_wall(spark) -> dict | None:
 
         with tempfile.TemporaryDirectory(prefix="dml_bench_") as d:
             return run_dml_parity(spark, d, n_ops=25_000)
+    except Exception:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
+def _dml_staged(spark) -> dict | None:
+    """Poll-cadence form of the DML workload (5 ingest→drain cycles):
+    micro-batch latency percentiles over 10 real batches instead of
+    the single-drain run's two (workloads.run_dml_staged)."""
+    import tempfile
+    import traceback
+
+    try:
+        from kafkaconnect_spark.workloads import run_dml_staged
+
+        with tempfile.TemporaryDirectory(prefix="dml_staged_") as d:
+            return run_dml_staged(spark, d, n_ops=10_000, n_cycles=5)
     except Exception:  # noqa: BLE001
         traceback.print_exc(file=sys.stderr)
         return None

@@ -222,3 +222,15 @@ def test_parity_harness_reports_batch_latency(spark, tmp_path):
     assert out["parity"]
     assert out["n_micro_batches"] >= 2  # ingest drain + sink drain
     assert out["batch_p50_ms"] <= out["batch_p95_ms"]
+
+
+def test_staged_dml_has_real_latency_distribution(spark, tmp_path):
+    """The poll-cadence form: 2 batches per cycle, parity at the end —
+    the bench's batch-latency percentiles come from here."""
+    from kafkaconnect_spark.workloads import run_dml_staged
+
+    out = run_dml_staged(spark, str(tmp_path), n_ops=1000, n_cycles=3)
+    assert out["parity"]
+    assert out["n_cycles"] == 3
+    assert out["n_micro_batches"] >= 6
+    assert out["batch_p50_ms"] <= out["batch_p95_ms"]
