@@ -90,10 +90,23 @@ def _ts_us(days_from_epoch_us: np.ndarray) -> pa.Array:
     )
 
 
-def gen(sf: float, out: str) -> None:
+def gen(
+    sf: float,
+    out: str,
+    vocab_n: int = len(VOCAB),
+    tables: set[str] | None = None,
+) -> None:
+    """vocab_n > 31 swaps the driver-family 31-word doc vocabulary for a
+    synthetic one of that size (same Zipf slope) — the density-probe
+    knob: the two superlinear ladder outliers (dedup_containment,
+    dedup_simhash_pairs) are shingle-space-saturation artifacts of the
+    tiny vocab, and a realistic vocab must show them scaling linearly.
+    `tables` limits generation to the named tables (None = all)."""
     os.makedirs(out, exist_ok=True)
 
     def write(name: str, table: pa.Table) -> None:
+        if tables is not None and name not in tables:
+            return
         pq.write_table(table, os.path.join(out, f"{name}.parquet"))
         print(f"  {name}: {table.num_rows} rows")
 
@@ -194,7 +207,13 @@ def gen(sf: float, out: str) -> None:
     n_lines = np.minimum(1 + r.poisson(3.1, n_ord), 17)
     okeys = np.repeat(np.arange(n_ord), n_lines)
     m = okeys.size
-    linenum = np.concatenate([np.arange(1, k + 1) for k in n_lines]) if m else np.array([], dtype=int)
+    # vectorized 1..k per order (a per-order concatenate would build
+    # n_ord tiny arrays — minutes and GBs at sf10's 15M orders)
+    if m:
+        starts = np.repeat(np.cumsum(n_lines) - n_lines, n_lines)
+        linenum = np.arange(m) - starts + 1
+    else:
+        linenum = np.array([], dtype=int)
     n_part = _n(sf, "part")
     n_supp = _n(sf, "supplier")
     qty = r.integers(1, 51, m).astype("float64")
@@ -246,12 +265,17 @@ def gen(sf: float, out: str) -> None:
 
     r = _rng(sf, "documents")
     n_doc = _n(sf, "documents")
-    # Zipf-ish word weights over the 31-word vocab
-    w = 1.0 / np.arange(1, len(VOCAB) + 1) ** 0.7
+    # Zipf-ish word weights; vocab_n > 31 extends the driver vocab with
+    # synthetic tokens ("tok00042") — shingle CARDINALITY is what the
+    # density probe varies, token spelling is irrelevant to the hashes'
+    # distribution
+    words = list(VOCAB) + [f"tok{i:05d}" for i in range(max(0, vocab_n - len(VOCAB)))]
+    words = words[:vocab_n]
+    w = 1.0 / np.arange(1, len(words) + 1) ** 0.7
     w /= w.sum()
-    vocab = np.array(VOCAB)
+    vocab = np.array(words)
     n_words = np.maximum(8, r.normal(50, 18, n_doc).astype(int))
-    flat = vocab[r.choice(len(VOCAB), n_words.sum(), p=w)]
+    flat = vocab[r.choice(len(vocab), n_words.sum(), p=w)]
     texts: list[str] = []
     pos = 0
     for k in n_words:
@@ -300,18 +324,29 @@ def gen(sf: float, out: str) -> None:
 
 
 def main() -> int:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    args = list(sys.argv[1:])
+    vocab_n = len(VOCAB)
+    tables: set[str] | None = None
+    if "--vocab" in args:
+        i = args.index("--vocab")
+        vocab_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--only" in args:
+        i = args.index("--only")
+        tables = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = float(args[0]) if args else 1.0
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".data",
             f"gen_sf{sf}",
         )
     )
-    print(f"generating sf={sf} -> {out}")
-    gen(sf, out)
+    print(f"generating sf={sf} vocab={vocab_n} -> {out}")
+    gen(sf, out, vocab_n=vocab_n, tables=tables)
     return 0
 
 

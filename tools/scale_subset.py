@@ -1,0 +1,134 @@
+"""Second decade of the scale ladder: sf1 → sf10 on a representative
+query subset.
+
+The full ladder (tools/scale_ladder.py) measures every headline query
+at sf0.1→sf1. This tool extends the measurement one more decade —
+sf10 ≈ 61M lineitem / 10M events / 500k docs / 200k embeddings, the
+biggest dataset that regenerates and runs comfortably in this
+container — over a subset chosen to cover every execution shape
+rather than every query:
+
+  scan+agg            q1_pricing_summary
+  multi-join          q3_top_revenue_orders, q9_product_profit
+  keyed window        events_sessionization
+  sliding window      events_sliding_window
+  exact distinct      events_distinct_users
+  banded dedup join   dedup_minhash_lsh
+  incremental dedup   dedup_incremental
+  iterative graph     parts_pagerank
+  broadcast ANN       similarity_topk
+  iterative clustering embedding_kmeans
+  tiled prefix scan   events_cumulative_users
+
+Both SFs run in the SAME session with shuffle_partitions scaled for
+the larger data (128 vs the sf0.1 bench's 32 — at 10-100× the rows a
+fixed 32 would spill; partition count growing with data is exactly
+what a real cluster does). Per-query wall seconds and sf10/sf1 ratios
+land in SCALE_LADDER.json under "sf10_subset".
+
+Usage: python tools/scale_subset.py [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q9_product_profit",
+    "events_sessionization",
+    "events_sliding_window",
+    "events_distinct_users",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "parts_pagerank",
+    "similarity_topk",
+    "embedding_kmeans",
+    "events_cumulative_users",
+]
+RUNS = [("sf1", 1.0, "gen_sf1.0"), ("sf10", 10.0, "gen_sf10")]
+
+
+def main() -> int:
+    skip_gen = "--skip-gen" in sys.argv
+    from tools.gen_testdata import gen
+
+    dirs: dict[str, str] = {}
+    for tag, sf, sub in RUNS:
+        out = os.path.join(ROOT, ".data", sub)
+        if not skip_gen and not os.path.exists(
+            os.path.join(out, "lineitem.parquet")
+        ):
+            print(f"== generating {tag}", flush=True)
+            gen(sf, out)
+        dirs[tag] = out
+
+    from kafkaconnect_spark.operators.dedup import release_cached
+    from kafkaconnect_spark.queries import QUERY_CATALOG
+    from kafkaconnect_spark.session import get_spark
+
+    spark = get_spark(
+        "kafkaconnect-scale-subset",
+        master="local[32]",
+        shuffle_partitions=128,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {n: {} for n in SUBSET}
+    for tag, _sf, _sub in RUNS:
+        for name in SUBSET:
+            fn = QUERY_CATALOG[name].fn
+            best = float("inf")
+            for i in range(3):  # warmup + best-of-2, bench.py protocol
+                t0 = time.perf_counter()
+                df = fn(spark, dirs[tag])
+                df.write.format("noop").mode("overwrite").save()
+                if i:
+                    best = min(best, time.perf_counter() - t0)
+                release_cached(df)
+            results[name][f"sec_{tag}"] = round(best, 3)
+            print(f"{tag} {name}: {best:.3f}s", flush=True)
+    spark.stop()
+
+    for name, row in results.items():
+        row["time_ratio"] = (
+            round(row["sec_sf10"] / row["sec_sf1"], 2) if row["sec_sf1"] else None
+        )
+    out = {
+        "note": (
+            "12 shape-representative queries, sf1 and sf10 generated "
+            "data in one session, shuffle_partitions=128 (partition "
+            "count scales with data, as on a real cluster); ratio is "
+            "sf10/sf1 on 10x rows"
+        ),
+        "shuffle_partitions": 128,
+        "queries": results,
+        "totals": {
+            "sec_sf1": round(sum(r["sec_sf1"] for r in results.values()), 3),
+            "sec_sf10": round(sum(r["sec_sf10"] for r in results.values()), 3),
+        },
+    }
+    out["totals"]["time_ratio"] = round(
+        out["totals"]["sec_sf10"] / out["totals"]["sec_sf1"], 2
+    )
+    ladder_path = os.path.join(ROOT, "SCALE_LADDER.json")
+    if os.path.exists(ladder_path):
+        with open(ladder_path) as fh:
+            ladder = json.load(fh)
+        ladder["sf10_subset"] = out
+        with open(ladder_path, "w") as fh:
+            json.dump(ladder, fh, indent=1, sort_keys=True)
+        print(f"merged sf10_subset into {ladder_path}")
+    print(json.dumps({"sf10_subset": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
