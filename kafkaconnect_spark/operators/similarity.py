@@ -487,6 +487,15 @@ def semdedup_prune(
     k-means|| in for real deployments — the plan shape is identical.
     """
     corpus, _, _ = _ivf_index(embeddings, n_cells, id_col, vec_col)
+    # The cell-assigned corpus feeds THREE consumers (both self-join
+    # sides + the final flag join). The assignment itself is the n·k·d
+    # folded-centroid argmax — at n_cells ~ n/250 it is the single
+    # biggest term in the plan, and without materialization Spark
+    # recomputes it once per consumer (measured 3.3× wall at 20k×80
+    # cells: 24.5 s → 7.4 s). persist(), not localCheckpoint(): cache
+    # blocks recompute from lineage on executor loss, so the operator
+    # stays correct on a real cluster under preemption.
+    corpus = corpus.persist()
     a = corpus.select(
         "cell",
         F.col(id_col).alias("id_a"),

@@ -2350,15 +2350,26 @@ WHERE round(inter / sa.sz, 6) >= 0.4
 
 
 def similarity_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: 8-cell deterministic clustering, within-cell cosine ≥
-    0.3 prunes the higher id (operators/similarity.semdedup_prune)."""
+    """SemDeDup: deterministic clustering + within-cell cosine ≥ 0.3
+    prunes the higher id (operators/similarity.semdedup_prune).
+
+    n_cells scales with the corpus — max(8, n/250) — so per-cell
+    pairwise work stays O(n · cell_size), not O(n²/k_fixed): the r5
+    sf0.1→sf1 ladder caught the hardcoded 8-cell version going 16×
+    on 10× vectors (time superlinear, shuffle linear — the quadratic
+    was all in-cell compare work). The count() is one control-plane
+    scalar; the oracle replays the same formula via a scalar-subquery
+    LIMIT. At the gate scales (≤2k vectors) the formula still yields
+    8, so history stays comparable."""
     emb = _t(spark, sf_dir, "embeddings", spread=True)
-    return similarity.semdedup_prune(emb, threshold=0.3, n_cells=8)
+    n_cells = max(8, emb.count() // 250)
+    return similarity.semdedup_prune(emb, threshold=0.3, n_cells=n_cells)
 
 
 SEMDEDUP_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v ORDER BY vec_id LIMIT 8),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v ORDER BY vec_id
+          LIMIT (SELECT greatest(8, count(*) // 250) FROM v)),
 cells AS (
   SELECT vec_id, vec, cent_id AS cell FROM (
     SELECT v.vec_id, v.vec, c.cent_id,
