@@ -66,6 +66,24 @@ def release_cached(result: DataFrame) -> None:
         cached.unpersist()
 
 
+def carry_cached(result: DataFrame, *parents: DataFrame) -> DataFrame:
+    """Propagate _track_cached tags through a derivation: a wrapper
+    that builds ``result`` FROM a tracked DataFrame must carry the
+    parent's cache list onto its own return, or the tag dies with the
+    intermediate and the caches leak for the rest of the session —
+    worse than the memory, a leaked cache feeds LATER queries silent
+    plan-fragment hits (CacheManager matches analyzed subplans), which
+    makes per-query bench numbers order-dependent. Found the hard way:
+    dedup_keep_policy leaked the full-docs shingle/band caches and
+    dedup_incremental 'ran' 1.2 s in-suite vs 20.5 s standalone."""
+    cached: list[DataFrame] = list(getattr(result, "_kc_cached", []))
+    for p in parents:
+        cached.extend(getattr(p, "_kc_cached", []))
+    if cached:
+        result._kc_cached = cached  # type: ignore[attr-defined]
+    return result
+
+
 def _check_banding(num_hashes: int, bands: int) -> None:
     """bands must evenly divide the signature: rows-per-band of 0
     (bands > num_hashes) makes EVERY band hash md5('') so all docs
@@ -678,6 +696,13 @@ def duplicate_clusters(
             converged = True
             break
     edges.unpersist()
+    # the loop ran eagerly and labels are checkpoint-truncated — the
+    # INPUT's tracked caches (e.g. pair generation's shingle/band
+    # tables) have no remaining consumer. Release them here, or they
+    # outlive the tag (the caller usually returns a frame derived
+    # from OUR output, not from `pairs`) and leak for the session.
+    # A caller that re-executes `pairs` afterwards just recomputes.
+    release_cached(pairs)
     if not converged:
         # partially-propagated labels split one true component into
         # several cluster_ids — silently returning them would make a
@@ -838,6 +863,9 @@ def duplicate_clusters_star(
         if changed == 0:
             converged = True
             break
+    # same input-cache release rationale as duplicate_clusters: the
+    # rounds ran eagerly and `edges` is checkpoint-truncated
+    release_cached(pairs)
     if not converged:
         raise RuntimeError(
             f"duplicate_clusters_star did not converge in {max_iters} "

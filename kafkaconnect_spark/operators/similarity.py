@@ -494,7 +494,13 @@ def semdedup_prune(
     # recomputes it once per consumer (measured 3.3× wall at 20k×80
     # cells: 24.5 s → 7.4 s). persist(), not localCheckpoint(): cache
     # blocks recompute from lineage on executor loss, so the operator
-    # stays correct on a real cluster under preemption.
+    # stays correct on a real cluster under preemption. Tracked via
+    # _track_cached so release_cached() callers (bench, verify) drop
+    # it after materializing — an untracked persist here would feed
+    # LATER _ivf_index-based queries silent plan-fragment cache hits
+    # (same source + same n_cells ⇒ identical corpus subplan).
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
     corpus = corpus.persist()
     a = corpus.select(
         "cell",
@@ -520,12 +526,13 @@ def semdedup_prune(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return corpus.join(
-        pruned_ids.withColumn("__p", F.lit(True)), id_col, "left"
-    ).select(
-        F.col(id_col),
-        F.col("cell"),
-        F.coalesce(F.col("__p"), F.lit(False)).alias("pruned"),
+    return _track_cached(
+        corpus.join(pruned_ids.withColumn("__p", F.lit(True)), id_col, "left").select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(F.col("__p"), F.lit(False)).alias("pruned"),
+        ),
+        [corpus],
     )
 
 

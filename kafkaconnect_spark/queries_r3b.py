@@ -1265,11 +1265,15 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs: iterative min-label propagation on the same checkpoint
     discipline as the text clusters, vs the oracle's recursive
     transitive closure."""
-    from kafkaconnect_spark.operators.dedup import duplicate_clusters
+    from kafkaconnect_spark.operators.dedup import carry_cached, duplicate_clusters
     from kafkaconnect_spark.queries_r3 import multimodal_phash_hamming
 
     pairs = multimodal_phash_hamming(spark, sf_dir)
-    near = pairs.where(F.col("hamming") <= 3).select("id_a", "id_b")
+    # carry the hamming pipeline's cache tags onto the filtered frame
+    # so duplicate_clusters' end-of-loop release can actually free them
+    near = carry_cached(
+        pairs.where(F.col("hamming") <= 3).select("id_a", "id_b"), pairs
+    )
     return duplicate_clusters(near)
 
 

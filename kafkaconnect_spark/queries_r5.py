@@ -455,12 +455,15 @@ def docs_minhash_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataF
 
     docs = _t(spark, sf_dir, "documents", spread=True)
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
-    return (
+    # carry the pair pipeline's cache tags onto the derived frame so
+    # release_cached(histogram) actually frees the shingle/band tables
+    return dedup.carry_cached(
         pairs.select(
             (F.floor(F.col("jaccard") * 20) / 20).alias("bucket_lo")
         )
         .groupBy("bucket_lo")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.count(F.lit(1)).alias("n_pairs")),
+        pairs,
     )
 
 

@@ -127,6 +127,10 @@ def main() -> int:
                 release_cached(df)
             except NameError:  # fn() itself raised — nothing to release
                 pass
+            # order-independence fence (mirrors bench.py): a cache
+            # whose tag was lost in a wrapper must not leak into the
+            # next query's execution
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
             continue
