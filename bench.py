@@ -158,6 +158,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # machine-speed calibration, recorded with every run: cross-round
+    # wall-time comparisons on this shared VM drifted up to ~1.33×
+    # with IDENTICAL plans and shuffle bytes (r5, diagnosed in
+    # COVERAGE.md). These two fixed workloads — a single-thread
+    # numpy matmul and a 256-task shuffle round-trip with no data
+    # dependence — give future rounds a denominator: compare
+    # query_sec / calib_sec across rounds, not raw walls.
+    calibration = _calibrate(spark)
+
     from kafkaconnect_spark.operators.dedup import release_cached
 
     # one untimed pass: JIT/codegen warmup + parquet footer cache, so
@@ -208,6 +217,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": calibration,
     }
     # the streaming pipeline itself (BASELINE.md operative workload):
     # 25k mixed-DML ops source → topic → sink to end-state parity —
@@ -247,6 +257,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "calibration": calibration,
     }
     if dml is not None:
         summary["dml_parity_wall"] = dml
@@ -353,6 +364,48 @@ def _stage_metrics(spark) -> dict[str, dict[str, int]] | None:
                 tot[k] += v
         out[name] = tot
     return out
+
+
+def _calibrate(spark) -> dict:
+    """Fixed machine-speed probes recorded with every bench run (see
+    main's comment). Both are best-of-3 so a stray scheduling blip
+    doesn't poison the denominator; neither touches test data, so the
+    numbers are comparable across rounds regardless of catalog
+    changes. cpu_matmul_sec: 1200² float64 matmul (multithreaded
+    BLAS — measures the effective core pool the same queries run
+    on). spark_shuffle_sec: 256 tasks × 40k synthetic rows through
+    one repartition+agg round trip — measures the JVM/scheduler/
+    shuffle path end to end."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.random((1200, 1200))
+    cpu = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x @ x
+        cpu = min(cpu, time.perf_counter() - t0)
+
+    from pyspark.sql import functions as F
+
+    jvm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 256 * 40_000, 1, 256)
+            .withColumn("k", F.col("id") % 997)
+            .repartition(256, "k")
+            .groupBy("k")
+            .agg(F.sum("id"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        jvm = min(jvm, time.perf_counter() - t0)
+    return {
+        "cpu_matmul_sec": round(cpu, 4),
+        "spark_shuffle_sec": round(jvm, 3),
+    }
 
 
 def _dml_parity_wall(spark) -> dict | None:
