@@ -1,4 +1,5 @@
-"""Persistent MinHash-LSH index lifecycle — build / append / compact.
+"""Persistent MinHash-LSH index lifecycle — build / match / append /
+delete / compact.
 
 `minhash_dedup_pairs_between` (operators/dedup.py) has the right JOIN
 shape for incremental dedup, but recomputes the corpus's shingle sets
@@ -9,33 +10,62 @@ that index's lifecycle:
 - ``build``    — shingle + sign + band the corpus once; write two
   parquet tables: ``shingles`` (doc_id, __sh array<string>) and
   ``bands`` (doc_id, band, band_hash).
-- ``append``   — match a new batch against the CURRENT index (no
-  corpus recompute: one banded equi-join + Jaccard verify against the
-  stored shingle sets), then add the batch's own entries to the index
-  so the NEXT batch deduplicates against it too.
-- ``compact``  — rewrite the accumulated append deltas into one
-  deduplicated, band_hash-clustered table generation.
+- ``match``    — the READ-ONLY half of append: match a batch against
+  the current generation (one banded equi-join + Jaccard verify
+  against the stored shingle sets) without touching the index. This
+  is the steady-state incremental-dedup query shape.
+- ``append``   — match, then add the batch's own entries to the
+  index so the NEXT batch deduplicates against it too.
+- ``delete``   — GDPR/tombstone erasure: mark doc ids so they stop
+  matching immediately; their rows are physically dropped at the
+  next compact (the reference's tombstone→delete sink contract —
+  실습수행/JDBC Sink Connector 실습.md:331-363 — applied to index
+  state).
+- ``compact``  — rewrite the accumulated append deltas (minus
+  tombstoned docs) into one deduplicated, band_hash-clustered table
+  generation and clear the tombstone log.
 
 Versioned layout (the lakehouse commit pattern — compaction never
 rewrites in place; readers pin the generation named by the manifest,
 so a concurrent reader of v1 is unaffected by a v2 commit):
 
-    index_dir/MANIFEST.json     {"version": N}
+    index_dir/MANIFEST.json     {"version": N, "num_hashes": …,
+                                 "bands": …, "n": …, "threshold": …}
     index_dir/shingles/v{N}/*.parquet
     index_dir/bands/v{N}/*.parquet
+    index_dir/tombstones/v{N}/*.parquet
 
-Scale shape: append is one (band, band_hash) equi-join of a
+The banding parameters live in the MANIFEST, not in call arguments:
+an append with mismatched banding would silently produce signatures
+in a different hash space — near-dups missed with no error — so
+``match``/``append`` default to the manifest values and RAISE on an
+explicit mismatch (r5 ADVICE).
+
+Crash safety: compact writes each v+1 table to a uuid staging dir
+and renames it into place before the atomic manifest commit, and
+removes any stale unreferenced v+1 dirs a previous interrupted
+compact left behind (rename-into-place means a crash can no longer
+permanently wedge compaction on errorifexists). append stages both
+table deltas before moving their files into the live dirs — the
+crash window is two file renames, and the shingles table is moved
+FIRST: a doc present in shingles-but-not-bands is merely invisible
+to candidate generation (re-appendable), while bands-but-not-
+shingles would silently drop verified pairs.
+
+Scale shape: match/append is one (band, band_hash) equi-join of a
 batch-sized frame against the band table (partition-prunable once the
 table is clustered by band_hash — exactly what compact() restores
 after appends fragment it) plus a candidate-sized verify join; no
-corpus self-join anywhere. Compact is one distinct + repartition per
-table — linear, and amortized across many appends.
+corpus self-join anywhere. Compact is one distinct + anti-join +
+repartition per table — linear, and amortized across many appends.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +75,7 @@ from kafkaconnect_spark.operators.dedup import (
     _check_banding,
     _jaccard_verify,
     _signatures_from_arrays,
+    _track_cached,
     shingle_arrays,
 )
 
@@ -55,13 +86,20 @@ def _manifest_path(index_dir: str) -> str:
 
 def _read_manifest(index_dir: str) -> dict:
     with open(_manifest_path(index_dir)) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    if "num_hashes" not in m:
+        raise ValueError(
+            f"index at {index_dir} has a pre-parameter manifest (version-only); "
+            "rebuild it — banding parameters must be manifest-pinned so an "
+            "append can never silently sign in a different hash space"
+        )
+    return m
 
 
-def _write_manifest(index_dir: str, version: int) -> None:
+def _write_manifest(index_dir: str, manifest: dict) -> None:
     tmp = _manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": version}, fh)
+        json.dump(manifest, fh)
     os.replace(tmp, _manifest_path(index_dir))  # atomic commit
 
 
@@ -69,13 +107,35 @@ def _table_path(index_dir: str, table: str, version: int) -> str:
     return os.path.join(index_dir, table, f"v{version}")
 
 
-def _tables(spark: SparkSession, index_dir: str) -> tuple[DataFrame, DataFrame, int]:
-    v = _read_manifest(index_dir)["version"]
+def _check_params(manifest: dict, num_hashes, bands, n) -> tuple[int, int, int]:
+    """Resolve banding params against the manifest: None → manifest
+    value; an explicit mismatch raises instead of silently producing
+    signatures in a different hash space."""
+    out = []
+    for name, given in (("num_hashes", num_hashes), ("bands", bands), ("n", n)):
+        pinned = manifest[name]
+        if given is not None and given != pinned:
+            raise ValueError(
+                f"{name}={given} does not match the index manifest's "
+                f"{name}={pinned}; banding parameters are fixed at build() — "
+                "rebuild the index to change them"
+            )
+        out.append(pinned)
+    return tuple(out)
+
+
+def _tables(spark: SparkSession, index_dir: str) -> tuple[DataFrame, DataFrame, dict]:
+    m = _read_manifest(index_dir)
+    v = m["version"]
     return (
         spark.read.parquet(_table_path(index_dir, "shingles", v)),
         spark.read.parquet(_table_path(index_dir, "bands", v)),
-        v,
+        m,
     )
+
+
+def _tombstones(spark: SparkSession, index_dir: str, version: int) -> DataFrame:
+    return spark.read.parquet(_table_path(index_dir, "tombstones", version))
 
 
 def build(
@@ -84,10 +144,13 @@ def build(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Create generation v1 of the index from the standing corpus."""
+    """Create generation v1 of the index from the standing corpus.
+    Banding params (and the default verify threshold) are pinned in
+    the manifest; match/append replay them from there."""
     _check_banding(num_hashes, bands)
     sh = shingle_arrays(corpus, text_col, id_col, n)
     sh.write.mode("errorifexists").parquet(_table_path(index_dir, "shingles", 1))
@@ -95,36 +158,60 @@ def build(
     _banded(_signatures_from_arrays(sh, num_hashes, id_col), bands, id_col).write.mode(
         "errorifexists"
     ).parquet(_table_path(index_dir, "bands", 1))
-    _write_manifest(index_dir, 1)
+    # empty tombstone log, schema = the id column as stored
+    sh.select(id_col).limit(0).write.mode("errorifexists").parquet(
+        _table_path(index_dir, "tombstones", 1)
+    )
+    _write_manifest(
+        index_dir,
+        {
+            "version": 1,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "n": n,
+            "threshold": threshold,
+            "id_col": id_col,
+        },
+    )
 
 
-def append(
+def match(
     spark: SparkSession,
     index_dir: str,
     new_batch: DataFrame,
-    threshold: float = 0.2,
-    num_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
+    threshold: float | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    n: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Match `new_batch` against the current index generation and add
-    the batch to it. The verified duplicate pairs
-    (id_new, id_corpus, jaccard) are WRITTEN to a report table under
-    the index before the index tables are appended — an in-memory
-    cache would not survive the append (Spark invalidates cached
-    plans over a path on any write to it via refreshByPath, so a
-    merely-persisted result would silently recompute against the
-    post-append listing and report the batch as duplicating itself).
-    Returns a read of the report — durable and replayable, like any
-    other index table."""
-    _check_banding(num_hashes, bands)
-    import uuid
+    """Read-only incremental dedup: verified duplicate pairs
+    (id_new, id_corpus, jaccard) of `new_batch` against the CURRENT
+    index generation. The corpus is never re-shingled or re-signed —
+    its band table and shingle sets are read as stored; only the
+    batch (the small side) is signed. Tombstoned corpus ids are
+    excluded from candidate generation, so deleted docs stop matching
+    immediately (before any compact).
 
+    The batch's shingle arrays are persisted (they feed both the
+    banding and the verify join) and tagged via _track_cached —
+    callers release with dedup.release_cached(result) after
+    materializing."""
     from pyspark import StorageLevel
 
-    idx_sh, idx_bands, v = _tables(spark, index_dir)
+    idx_sh, idx_bands, m = _tables(spark, index_dir)
+    num_hashes, bands, n = _check_params(m, num_hashes, bands, n)
+    if threshold is None:
+        threshold = m["threshold"]
+    tomb = _tombstones(spark, index_dir, m["version"])
+    # tombstones are few — filter the band table before the join so a
+    # deleted doc never becomes a candidate (verify never sees it)
+    idx_bands = idx_bands.join(
+        F.broadcast(tomb.withColumnRenamed(tomb.columns[0], id_col)),
+        id_col,
+        "left_anti",
+    )
     sh_new = shingle_arrays(new_batch, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -143,42 +230,164 @@ def append(
     pairs = _jaccard_verify(
         cands, sh_new, idx_sh, threshold, "id_new", "id_corpus", id_col
     )
+    return _track_cached(pairs, [sh_new])
+
+
+def _stage_then_move(df: DataFrame, index_dir: str, table: str, version: int) -> None:
+    """Write `df` to a uuid staging dir, then move its part files into
+    the live table dir — narrows append's non-atomic window from a
+    full Spark write to a handful of file renames."""
+    staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
+    df.write.mode("errorifexists").parquet(staging)
+    dest = _table_path(index_dir, table, version)
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):  # part names are uuid'd — no collisions
+            os.replace(os.path.join(staging, f), os.path.join(dest, f))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def append(
+    spark: SparkSession,
+    index_dir: str,
+    new_batch: DataFrame,
+    threshold: float | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`match` the batch against the current generation, then add the
+    batch to it. The verified duplicate pairs are WRITTEN to a report
+    table under the index before the index tables are appended — an
+    in-memory cache would not survive the append (Spark invalidates
+    cached plans over a path on any write to it via refreshByPath, so
+    a merely-persisted result would silently recompute against the
+    post-append listing and report the batch as duplicating itself).
+    Returns a read of the report — durable and replayable, like any
+    other index table.
+
+    Note: a tombstoned id re-appended here stays suppressed until the
+    next compact clears the tombstone log (tombstone wins within a
+    generation) — append-after-delete-after-compact re-adds it."""
+    from pyspark import StorageLevel
+
+    m = _read_manifest(index_dir)
+    num_hashes, bands, n = _check_params(m, num_hashes, bands, n)
+    v = m["version"]
+    pairs = match(
+        spark,
+        index_dir,
+        new_batch,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
     report = os.path.join(index_dir, "reports", f"v{v}-{uuid.uuid4().hex[:12]}")
     pairs.write.mode("errorifexists").parquet(report)
-    sh_new.write.mode("append").parquet(_table_path(index_dir, "shingles", v))
-    b_new.write.mode("append").parquet(_table_path(index_dir, "bands", v))
+    # release match's tracked batch cache BEFORE re-deriving the
+    # delta frames: persisting the identical shingle plan while the
+    # old entry is live would only re-hit it (CacheManager matches
+    # analyzed plans) and warn 'already cached'
+    from kafkaconnect_spark.operators.dedup import release_cached
+
+    release_cached(pairs)
+    sh_new = shingle_arrays(new_batch, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    b_new = _banded(_signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col)
+    # stage both deltas fully, then move — shingles first (see module
+    # docstring for the ordering rationale)
+    _stage_then_move(sh_new, index_dir, "shingles", v)
+    _stage_then_move(b_new, index_dir, "bands", v)
     sh_new.unpersist()
     return spark.read.parquet(report)
 
 
+def delete(spark: SparkSession, index_dir: str, ids) -> int:
+    """Tombstone doc ids: they stop matching (match/append exclude
+    them) immediately; their index rows are physically dropped — and
+    the tombstone log cleared — at the next compact. ``ids`` is a
+    one-column DataFrame or a plain list of id values. Returns the
+    number of ids tombstoned (after de-dup against the existing log).
+    """
+    m = _read_manifest(index_dir)
+    v = m["version"]
+    id_col = m.get("id_col", "doc_id")
+    tomb_path = _table_path(index_dir, "tombstones", v)
+    existing = spark.read.parquet(tomb_path)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], schema=existing.schema
+        )
+    fresh = ids_df.distinct().join(existing, id_col, "left_anti")
+    n_new = fresh.count()
+    if n_new:
+        _stage_then_move(fresh, index_dir, "tombstones", v)
+    return n_new
+
+
 def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
-    """Rewrite the current generation (base + append deltas) as
-    generation v+1: one row per doc in `shingles`, distinct rows in
-    `bands` clustered (repartitioned) by band_hash so a batch join
-    scans only matching clusters. Commits the manifest atomically;
-    the old generation stays readable for pinned readers. Returns
-    {"version", "n_docs", "n_band_rows", "n_files_before/after"}."""
-    idx_sh, idx_bands, v = _tables(spark, index_dir)
+    """Rewrite the current generation (base + append deltas, minus
+    tombstoned docs) as generation v+1: one row per doc in
+    `shingles`, distinct rows in `bands` clustered (repartitioned) by
+    band_hash so a batch join scans only matching clusters, and an
+    emptied tombstone log. Each table is written to a uuid staging
+    dir and renamed into v{N+1} before the manifest commits
+    atomically; stale unreferenced v{N+1} dirs from an interrupted
+    prior compact are removed on entry. The old generation stays
+    readable for pinned readers. Returns {"version", "n_docs",
+    "n_band_rows", "n_tombstones_dropped", "n_files_before/after"}."""
+    idx_sh, idx_bands, m = _tables(spark, index_dir)
+    v = m["version"]
+    id_col = m.get("id_col", "doc_id")
+    tomb = _tombstones(spark, index_dir, v)
+    n_tomb = tomb.count()
 
     def _n_files(table: str, version: int) -> int:
         p = _table_path(index_dir, table, version)
         return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
 
     files_before = _n_files("shingles", v) + _n_files("bands", v)
-    sh_c = idx_sh.dropDuplicates([idx_sh.columns[0]]).repartition(n_buckets)
-    sh_c.write.mode("errorifexists").parquet(
-        _table_path(index_dir, "shingles", v + 1)
+
+    def _commit_table(df: DataFrame, table: str) -> None:
+        staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
+        df.write.mode("errorifexists").parquet(staging)
+        dest = _table_path(index_dir, table, v + 1)
+        if os.path.exists(dest):
+            # unreferenced leftover of an interrupted compact (the
+            # manifest still names v, so nothing reads v+1) — safe to
+            # clear; without this a crash would wedge every future
+            # compact on errorifexists
+            shutil.rmtree(dest)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(staging, dest)
+
+    tomb_keyed = tomb.withColumnRenamed(tomb.columns[0], id_col)
+    sh_c = (
+        idx_sh.dropDuplicates([idx_sh.columns[0]])
+        .join(F.broadcast(tomb_keyed), id_col, "left_anti")
+        .repartition(n_buckets)
     )
-    bands_c = idx_bands.distinct().repartition(n_buckets, "band_hash")
-    bands_c.write.mode("errorifexists").parquet(
-        _table_path(index_dir, "bands", v + 1)
+    _commit_table(sh_c, "shingles")
+    bands_c = (
+        idx_bands.distinct()
+        .join(F.broadcast(tomb_keyed), id_col, "left_anti")
+        .repartition(n_buckets, "band_hash")
     )
-    _write_manifest(index_dir, v + 1)
+    _commit_table(bands_c, "bands")
+    _commit_table(tomb.limit(0), "tombstones")  # erasure is now physical
+    m2 = dict(m)
+    m2["version"] = v + 1
+    _write_manifest(index_dir, m2)
     new_sh, new_bands, _ = _tables(spark, index_dir)
     return {
         "version": v + 1,
         "n_docs": new_sh.count(),
         "n_band_rows": new_bands.count(),
+        "n_tombstones_dropped": n_tomb,
         "n_files_before": files_before,
         "n_files_after": _n_files("shingles", v + 1) + _n_files("bands", v + 1),
     }

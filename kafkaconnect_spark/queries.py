@@ -1112,12 +1112,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: docs with doc_id % 10 = 0 play the 'newly
     crawled batch', the rest the standing corpus — only new×corpus
     band collisions are verified (the corpus is never self-joined).
-    Both sides live in one table, so the single-pass `_within` variant
-    shingles/signs/bands once and splits by the predicate."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs_within(
-        docs, F.col("doc_id") % 10 == 0, threshold=0.2, num_hashes=16, bands=4
-    )
+
+    Since r6 this DELEGATES to `dedup_incremental_indexed`
+    (queries_r6.py): the corpus side is a PERSISTED LSH index
+    (operators/lsh_index.py) built once per documents-file identity
+    and never re-signed — the r5 sf1→sf10 ladder measured the old
+    recompute-both-sides form at 10.78× on 10× data (171.98 s at
+    sf10) purely from per-run corpus re-signing. Same pair semantics,
+    same oracle; the single-pass `_within` recompute form survives as
+    `dedup.minhash_dedup_pairs_within` for index-less one-shot use."""
+    from kafkaconnect_spark.queries_r6 import dedup_incremental_indexed
+
+    return dedup_incremental_indexed(spark, sf_dir)
 
 
 DEDUP_INCR_ORACLE = rf"""
@@ -3635,3 +3641,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R4.items()})
 from kafkaconnect_spark.queries_r5 import R5_CATALOG as _R5  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R5.items()})
+
+from kafkaconnect_spark.queries_r6 import R6_CATALOG as _R6  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R6.items()})

@@ -593,15 +593,12 @@ def events_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         (F.col("cum_m") - F.col("m")).alias("__r"),
     ).select(
-        (
-            F.col("c")
-            * (
-                F.col("m") * F.col("__r")
-                + (F.col("m") * (F.col("m") + 1)) / 2
-            )
-        )
-        .cast("bigint")
-        .alias("__s"),
+        # integral all the way: m*(m+1) is always even, so `div 2` is
+        # exact — Spark's `/` would detour through double and a
+        # per-level term past 2^53 would silently truncate before the
+        # bigint cast, diverging from DuckDB's hugeint by rank-sum
+        # units (r5 ADVICE)
+        F.expr("c * (m * __r + (m * (m + 1)) div 2)").alias("__s"),
         (F.col("c") * F.col("m")).alias("__t"),
         F.col("m").alias("__n"),
     )

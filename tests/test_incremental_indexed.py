@@ -1,0 +1,87 @@
+"""dedup_incremental routed through the persisted LSH index
+(queries_r6.dedup_incremental_indexed): the r5 judge's "done" bar —
+same pair semantics as the recompute form, and NO corpus shingle/
+signature stages in the steady-state plan (the corpus side must read
+the stored index tables only)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafkaconnect_spark.operators import lsh_index
+from kafkaconnect_spark.operators.dedup import release_cached
+from kafkaconnect_spark.queries_r6 import (
+    _incremental_index_dir,
+    dedup_incremental_indexed,
+)
+
+
+@pytest.fixture()
+def warm_index(spark, sf_dir):
+    """First invocation builds the index; later ones are steady-state."""
+    df = dedup_incremental_indexed(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    release_cached(df)
+    spark.catalog.clearCache()
+    return _incremental_index_dir(spark, sf_dir)
+
+
+def test_same_pairs_as_recompute_form(spark, sf_dir, warm_index):
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.operators import dedup
+    from kafkaconnect_spark.query_base import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    old = dedup.minhash_dedup_pairs_within(
+        docs, F.col("doc_id") % 10 == 0, threshold=0.2, num_hashes=16, bands=4
+    )
+    want = {(r.id_new, r.id_corpus, r.jaccard) for r in old.collect()}
+    release_cached(old)
+    new = dedup_incremental_indexed(spark, sf_dir)
+    got = {(r.id_new, r.id_corpus, r.jaccard) for r in new.collect()}
+    release_cached(new)
+    assert got == want and len(got) > 0
+
+
+def test_steady_state_plan_never_scans_corpus(spark, sf_dir, warm_index):
+    df = dedup_incremental_indexed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_cached(df)
+    # corpus side = the stored index generation, present in the plan
+    assert "bands/v" in plan and warm_index in plan
+    # every scan of the documents table is the BATCH slice — a scan
+    # without the % 10 = 0 pushdown would be the corpus being re-read
+    doc_scans = [ln for ln in plan.splitlines() if "documents.parquet" in ln]
+    assert doc_scans, "batch side must still scan documents"
+    assert all("% 10) = 0" in ln for ln in doc_scans)
+
+
+def test_steady_state_signs_only_the_batch(spark, sf_dir, warm_index, monkeypatch):
+    """shingle_arrays runs exactly once (the batch) per steady-state
+    invocation — zero corpus re-signing."""
+    calls: list[int] = []
+    orig = lsh_index.shingle_arrays
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(lsh_index, "shingle_arrays", counted)
+    df = dedup_incremental_indexed(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    release_cached(df)
+    assert len(calls) == 1
+
+
+def test_index_cache_invalidated_by_file_identity(spark, sf_dir, warm_index, tmp_path):
+    """A different documents-file identity (fresh copy ⇒ new mtime)
+    must build a NEW index, not reuse the stale one."""
+    import shutil
+
+    alt = tmp_path / "sfcopy"
+    alt.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", alt / f"{t}.parquet")
+    d2 = _incremental_index_dir(spark, str(alt))
+    assert d2 != warm_index

@@ -59,15 +59,16 @@ def test_append_matches_only_preappend_state(spark, index):
 def test_compact_preserves_content_and_collapses_files(spark, index):
     lsh_index.append(spark, index, _docs(spark, BATCH1), threshold=0.5)
     lsh_index.append(spark, index, _docs(spark, BATCH2), threshold=0.5)
-    sh_before, bands_before, v = lsh_index._tables(spark, index)
+    sh_before, bands_before, m = lsh_index._tables(spark, index)
+    v = m["version"]
     docs_before = {r[0] for r in sh_before.select("doc_id").collect()}
     band_rows_before = bands_before.distinct().count()
     stats = lsh_index.compact(spark, index)
     assert stats["version"] == v + 1
     assert stats["n_docs"] == len(docs_before) == 7
     assert stats["n_band_rows"] == band_rows_before
-    sh_after, _, v_after = lsh_index._tables(spark, index)
-    assert v_after == v + 1
+    sh_after, _, m_after = lsh_index._tables(spark, index)
+    assert m_after["version"] == v + 1
     assert {r[0] for r in sh_after.select("doc_id").collect()} == docs_before
     # old generation stays on disk for pinned readers
     assert os.path.isdir(lsh_index._table_path(index, "bands", v))
@@ -84,6 +85,70 @@ def test_append_after_compact_uses_new_generation(spark, index):
 def test_build_refuses_overwrite(spark, index):
     with pytest.raises(Exception):
         lsh_index.build(_docs(spark, BASE), index)
+
+
+def test_manifest_pins_banding_params(spark, index):
+    """An append/match with banding params that differ from what
+    build() used must raise, not silently sign in a different hash
+    space (r5 ADVICE); omitted params resolve from the manifest."""
+    with open(os.path.join(index, "MANIFEST.json")) as fh:
+        m = json.load(fh)
+    assert (m["num_hashes"], m["bands"], m["n"]) == (16, 4, 3)
+    with pytest.raises(ValueError, match="manifest"):
+        lsh_index.append(spark, index, _docs(spark, BATCH1), bands=8)
+    with pytest.raises(ValueError, match="manifest"):
+        lsh_index.match(spark, index, _docs(spark, BATCH1), num_hashes=32)
+    # matching explicit params and manifest-default params both work
+    p = lsh_index.match(
+        spark, index, _docs(spark, BATCH1), threshold=0.5, num_hashes=16, bands=4
+    )
+    assert (10, 1) in {(r.id_new, r.id_corpus) for r in p.collect()}
+
+
+def test_match_is_read_only(spark, index):
+    before = sorted(os.listdir(lsh_index._table_path(index, "shingles", 1)))
+    p = lsh_index.match(spark, index, _docs(spark, BATCH1), threshold=0.5)
+    assert (10, 1) in {(r.id_new, r.id_corpus) for r in p.collect()}
+    assert sorted(os.listdir(lsh_index._table_path(index, "shingles", 1))) == before
+    assert not os.path.exists(os.path.join(index, "reports"))
+
+
+def test_delete_suppresses_matches_then_compact_drops_rows(spark, index):
+    # doc 1 is BATCH1 doc 10's duplicate; tombstone it
+    assert lsh_index.delete(spark, index, [1]) == 1
+    # idempotent: re-deleting the same id adds nothing
+    assert lsh_index.delete(spark, index, [1]) == 0
+    p = lsh_index.append(spark, index, _docs(spark, BATCH1), threshold=0.5)
+    got = {(r.id_new, r.id_corpus) for r in p.collect()}
+    assert not any(c == 1 for _, c in got)  # deleted id stops matching NOW
+    # other ids still match: 10 is also a near-dup of 2 at 0.5 (7/9)
+    assert (10, 2) in got
+    stats = lsh_index.compact(spark, index)
+    assert stats["n_tombstones_dropped"] == 1
+    sh, bands, m = lsh_index._tables(spark, index)
+    assert 1 not in {r[0] for r in sh.select("doc_id").collect()}
+    assert 1 not in {r[0] for r in bands.select("doc_id").collect()}
+    # tombstone log cleared — erasure is physical in the new generation
+    assert (
+        lsh_index._tombstones(spark, index, m["version"]).count() == 0
+    )
+    # post-compact, a fresh append can legitimately re-add the id
+    p2 = lsh_index.append(
+        spark, index, _docs(spark, [(1, "a b c d e f g h")]), threshold=0.5
+    )
+    assert (1, 10) in {(r.id_new, r.id_corpus) for r in p2.collect()}
+
+
+def test_compact_recovers_from_interrupted_predecessor(spark, index):
+    """A stale unreferenced v2 dir (crash between table write and
+    manifest commit) must not wedge compaction forever."""
+    stale = lsh_index._table_path(index, "shingles", 2)
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-orphan.parquet"), "w").close()
+    stats = lsh_index.compact(spark, index)
+    assert stats["version"] == 2
+    sh, _, _ = lsh_index._tables(spark, index)
+    assert {r[0] for r in sh.select("doc_id").collect()} == {1, 2, 3}
 
 
 def test_degree_distribution_buckets(spark):

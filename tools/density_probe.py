@@ -50,6 +50,7 @@ def main() -> int:
             open(marker, "w").close()
         dirs[tag] = out
 
+    from kafkaconnect_spark.operators.dedup import release_cached
     from kafkaconnect_spark.queries import QUERY_CATALOG
     from kafkaconnect_spark.session import get_spark
 
@@ -61,7 +62,13 @@ def main() -> int:
         fn = QUERY_CATALOG[name].fn
         row: dict[str, float | int | None] = {}
         for tag, _sf in RUNS:
-            # warmup + best-of-2, same protocol as bench.py
+            # warmup + best-of-2, same protocol as bench.py — INCLUDING
+            # its cache fence: both probed queries persist shingle/
+            # signature intermediates (_track_cached), and without
+            # release + clearCache between passes, passes 2-3 would hit
+            # pass 1's caches via CacheManager plan-fragment matching
+            # and time cached reads (the in-suite-vs-standalone
+            # contamination the bench was fenced against; r5 ADVICE)
             best = float("inf")
             n_rows = 0
             for i in range(3):
@@ -72,6 +79,8 @@ def main() -> int:
                     n_rows = df.count()
                 else:
                     best = min(best, time.perf_counter() - t0)
+                release_cached(df)
+                spark.catalog.clearCache()
             row[f"sec_{tag}"] = round(best, 3)
             row[f"pairs_{tag}"] = n_rows
         row["time_ratio"] = (

@@ -93,6 +93,10 @@ def main() -> int:
                 if i:
                     best = min(best, time.perf_counter() - t0)
                 release_cached(df)
+            # order-independence fence, same as bench.py: no query's
+            # timed passes may start with another query's (or its own
+            # untagged) cache via plan-fragment matching
+            spark.catalog.clearCache()
             results[name][f"sec_{tag}"] = round(best, 3)
             print(f"{tag} {name}: {best:.3f}s", flush=True)
     spark.stop()
