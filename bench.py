@@ -250,7 +250,7 @@ def main() -> None:
     # data run must neither overwrite the committed driver-data
     # baseline nor be compared against it
     bench_out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
-    vs_prev = None if bench_out else _vs_prev(timings, total, sf)
+    vs_prev = None if bench_out else _vs_prev(timings, sf, calibration)
     if vs_prev is not None:
         out["vs_prev"] = vs_prev
     # two lines: the FULL record first (per-query map + ratios), then a
@@ -295,6 +295,8 @@ def main() -> None:
                 "comparable_total",
                 "comparable_prev_total",
                 "total_ratio",
+                "total_ratio_normalized",
+                "calibration_factor",
                 "new_queries_total",
                 "regressions_over_2x",
             )
@@ -412,6 +414,10 @@ def _calibrate(spark) -> dict:
     return {
         "cpu_matmul_sec": round(cpu, 4),
         "spark_shuffle_sec": round(jvm, 3),
+        # recorded so cross-round normalization is only trusted
+        # between like-for-like runs (an 8-cpu smoke's shuffle probe
+        # is not comparable to the 32-cpu round bench)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
 
 
@@ -464,13 +470,94 @@ def _git_head() -> str | None:
         return None
 
 
+def _compare_runs(
+    timings: dict[str, float],
+    prev: dict,
+    prev_name: str,
+    calibration: dict | None,
+) -> dict:
+    """Pure compare of this run vs a prior full record.
+
+    Raw ratios are kept for transparency, but the regression gate
+    runs on CALIBRATION-NORMALIZED ratios: this VM's wall clocks
+    drift up to ~1.42× between rounds with byte-identical plans and
+    shuffle volumes (r5, COVERAGE.md "Round-end bench record
+    caveat"), so a raw >2× flag can be pure environment. Both runs
+    carry a fixed-workload `calibration` block; the spark_shuffle_sec
+    probe (256-task repartition+agg round trip) exercises the same
+    JVM/scheduler/shuffle path the queries do, so
+    factor = cur/prev spark_shuffle_sec is the drift estimate and
+    ratio_normalized = ratio_raw / factor. When either side lacks
+    calibration (pre-r5 baselines), the gate falls back to raw."""
+    ratios = {
+        name: round(timings[name] / prev["queries"][name], 2)
+        for name in timings
+        if prev["queries"].get(name)
+    }
+    factor = None
+    prev_calib = prev.get("calibration") or {}
+    cpus_differ = (
+        calibration
+        and calibration.get("cpus")
+        and prev_calib.get("cpus")
+        and calibration["cpus"] != prev_calib["cpus"]
+    )
+    if (
+        not cpus_differ
+        and calibration
+        and calibration.get("spark_shuffle_sec")
+        and prev_calib.get("spark_shuffle_sec")
+    ):
+        factor = round(
+            calibration["spark_shuffle_sec"] / prev_calib["spark_shuffle_sec"], 3
+        )
+    if factor:
+        ratios_norm = {n: round(r / factor, 2) for n, r in ratios.items()}
+    else:
+        ratios_norm = dict(ratios)
+    # flag only MATERIAL regressions: ratio > 2 alone fires constantly
+    # on sub-second queries (scheduler/GC noise swings 0.3 s ↔ 1 s
+    # between back-to-back runs); require an absolute slowdown too —
+    # both tests on the normalized numbers
+    flagged = sorted(
+        n
+        for n, r in ratios_norm.items()
+        if r > 2.0
+        and timings[n] / (factor or 1.0) - prev["queries"][n] > 0.75
+    )
+    # totals compare ONLY the intersection: the headline set grows
+    # every round, so whole-total / whole-total would read as a fake
+    # regression whenever new queries are added
+    comparable = [n for n in timings if prev["queries"].get(n)]
+    prev_comp = round(sum(prev["queries"][n] for n in comparable), 3)
+    cur_comp = round(sum(timings[n] for n in comparable), 3)
+    total_ratio = round(cur_comp / prev_comp, 3) if prev_comp else None
+    return {
+        "baseline": prev_name,
+        "comparable_total": cur_comp,
+        "comparable_prev_total": prev_comp,
+        "total_ratio": total_ratio,
+        "total_ratio_normalized": (
+            round(total_ratio / factor, 3) if total_ratio and factor else total_ratio
+        ),
+        "calibration_factor": factor,
+        "new_queries_total": round(
+            sum(t for n, t in timings.items() if n not in ratios), 3
+        ),
+        "ratios": ratios,
+        "ratios_normalized": ratios_norm,
+        "regressions_over_2x": flagged,
+    }
+
+
 def _vs_prev(
-    timings: dict[str, float], total: float, sf: float
+    timings: dict[str, float], sf: float, calibration: dict | None = None
 ) -> dict | None:
     """Per-query delta vs the most recent BENCH_r{N}.json (same sf):
     the regression guard the per-round judge reads. A query at >2× its
-    previous time is flagged; flags never fail the bench (the driver
-    must still record a metric) but land in the JSON for the judge."""
+    previous CALIBRATION-NORMALIZED time is flagged (see
+    _compare_runs); flags never fail the bench (the driver must still
+    record a metric) but land in the JSON for the judge."""
     root = os.path.dirname(os.path.abspath(__file__))
     prev = None
     # preferred source: our own full per-query record from the prior
@@ -504,36 +591,7 @@ def _vs_prev(
             break
     if prev is None:
         return None
-    ratios = {
-        name: round(timings[name] / prev["queries"][name], 2)
-        for name in timings
-        if prev["queries"].get(name)
-    }
-    # flag only MATERIAL regressions: ratio > 2 alone fires constantly
-    # on sub-second queries (scheduler/GC noise swings 0.3 s ↔ 1 s
-    # between back-to-back runs); require an absolute slowdown too
-    flagged = sorted(
-        n
-        for n, r in ratios.items()
-        if r > 2.0 and timings[n] - prev["queries"][n] > 0.75
-    )
-    # totals compare ONLY the intersection: the headline set grows
-    # every round, so whole-total / whole-total would read as a fake
-    # regression whenever new queries are added
-    comparable = [n for n in timings if prev["queries"].get(n)]
-    prev_comp = round(sum(prev["queries"][n] for n in comparable), 3)
-    cur_comp = round(sum(timings[n] for n in comparable), 3)
-    return {
-        "baseline": prev_name,
-        "comparable_total": cur_comp,
-        "comparable_prev_total": prev_comp,
-        "total_ratio": round(cur_comp / prev_comp, 3) if prev_comp else None,
-        "new_queries_total": round(
-            sum(t for n, t in timings.items() if n not in ratios), 3
-        ),
-        "ratios": ratios,
-        "regressions_over_2x": flagged,
-    }
+    return _compare_runs(timings, prev, prev_name, calibration)
 
 
 if __name__ == "__main__":

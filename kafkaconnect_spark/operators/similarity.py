@@ -402,6 +402,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into cells around
     centroids, search only the query's ``n_probe`` nearest cells.
@@ -418,9 +419,17 @@ def ivf_ann_topk(
     shuffle 100 TB just to pick each row's nearest of ~thousands of
     cells). Centroid norms are precomputed driver-side with the exact
     accumulation order of ``l2_norm`` so results stay bit-identical.
+
+    ``index`` — a prebuilt ``_ivf_index`` triple — lets a caller
+    running SEVERAL searches against the same index (the n_probe
+    sweep, recall audits) pay the corpus cell-assignment scan once:
+    pass ``_ivf_index(...)`` with its corpus persisted and every call
+    reuses the cached assignment instead of re-scanning.
     """
-    corpus, norm_sql, cell_scores_sql = _ivf_index(
-        embeddings, n_cells, id_col, vec_col
+    corpus, norm_sql, cell_scores_sql = (
+        index
+        if index is not None
+        else _ivf_index(embeddings, n_cells, id_col, vec_col)
     )
     probes = queries.select(
         F.col(query_id_col),

