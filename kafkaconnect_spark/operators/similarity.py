@@ -830,46 +830,211 @@ def pq_codes(
     the per-subspace rounded residuals."""
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
-    if dim % n_sub:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    d = dim // n_sub
     vecs = embeddings.where(F.size(vec_col) > 0).select(
         F.col(id_col), F.col(vec_col)
     )
-    init = vecs.orderBy(id_col).limit(n_codes).select(vec_col).collect()
-    books: list[list[list[float]]] = [
-        [[float(x) for x in r[0][s * d : (s + 1) * d]] for r in init]
-        for s in range(n_sub)
-    ]
-
-    def sub_argmin(s: int) -> tuple[str, str]:
-        structs = ",".join(
-            "named_struct('negdist', -round({dist}, 6), 'negidx', {neg})".format(
-                neg=-c,
-                dist=(
-                    "aggregate(zip_with(slice({v}, {start}, {d}), array({cs}), "
-                    "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-                    "cast(0.0 as double), (acc, t) -> acc + t)"
-                ).format(
-                    v=vec_col,
-                    start=s * d + 1,
-                    d=d,
-                    cs=",".join(f"cast('{x!r}' as double)" for x in books[s][c]),
-                ),
-            )
-            for c in range(n_codes)
-        )
-        best = f"array_max(array({structs}))"
-        return (f"cast(-{best}.negidx as int)", f"-{best}.negdist")
-
+    books, d = _pq_codebooks(vecs, n_sub, n_codes, dim, id_col, vec_col)
     out = vecs
     err_terms = []
     for s in range(n_sub):
-        code_expr, dist_expr = sub_argmin(s)
+        code_expr, dist_expr = _pq_sub_argmin(books, s, d, vec_col)
         out = out.withColumn(f"code_{s}", F.expr(code_expr))
         err_terms.append(dist_expr)
     return out.withColumn(
         "quant_err", F.round(F.expr(" + ".join(err_terms)), 6)
     ).select(
         id_col, *[f"code_{s}" for s in range(n_sub)], "quant_err"
+    )
+
+
+def _pq_codebooks(
+    vecs: DataFrame, n_sub: int, n_codes: int, dim: int, id_col: str, vec_col: str
+) -> tuple[list[list[list[float]]], int]:
+    """Deterministic per-subspace codebooks (the n_codes lowest-id
+    vectors' subvectors — kmeans_lloyd's init rule) collected once
+    driver-side; returns (books[s][c] = subvector floats, d = subdim)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    init = vecs.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    books = [
+        [[float(x) for x in r[0][s * d : (s + 1) * d]] for r in init]
+        for s in range(n_sub)
+    ]
+    return books, d
+
+
+def _pq_sq_dist_sql(vec_col: str, start: int, d: int, cvec: list[float]) -> str:
+    """Rounded squared-L2 distance of a d-wide slice of ``vec_col``
+    to a folded-literal codeword — the shared kernel of code
+    assignment AND the ADC lookup table (identical text on both uses
+    so the same value is computed bit-identically)."""
+    cs = ",".join(f"cast('{x!r}' as double)" for x in cvec)
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {start}, {d}), array({cs}), "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+
+
+def _pq_sub_argmin(
+    books: list[list[list[float]]], s: int, d: int, vec_col: str
+) -> tuple[str, str]:
+    """(code_expr, dist_expr) for subspace s: squared-Euclidean argmin
+    rounded to 6, tie → lowest code — a narrow literal expression, NO
+    shuffle (at 100 TB this is a pure map stage)."""
+    structs = ",".join(
+        "named_struct('negdist', -round({dist}, 6), 'negidx', {neg})".format(
+            neg=-c,
+            dist=_pq_sq_dist_sql(vec_col, s * d + 1, d, books[s][c]),
+        )
+        for c in range(len(books[s]))
+    )
+    best = f"array_max(array({structs}))"
+    return (f"cast(-{best}.negidx as int)", f"-{best}.negdist")
+
+
+def _pq_adc_lut_sql(
+    books: list[list[list[float]]], d: int, vec_col: str
+) -> str:
+    """ADC lookup table for one query vector: array<array<double>> of
+    n_sub × n_codes rounded squared-L2 distances from the query's
+    subvectors to every codeword — computed ONCE per query (tiny),
+    then every candidate's distance is n_sub array lookups."""
+    subs = []
+    for s, book in enumerate(books):
+        entries = ",".join(
+            f"round({_pq_sq_dist_sql(vec_col, s * d + 1, d, cvec)}, 6)"
+            for cvec in book
+        )
+        subs.append(f"array({entries})")
+    return "array(" + ",".join(subs) + ")"
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    rerank: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    index=None,
+) -> DataFrame:
+    """IVF-PQ ANN with asymmetric distance computation (Jégou et al.
+    2011, public) — the composed memory-bounded search real 100 TB
+    vector corpora run: probe the query's ``n_probe`` nearest IVF
+    cells, score every candidate by PQ ADC (a per-query lookup table
+    of subvector→codeword distances; each candidate costs n_sub array
+    lookups over its CODES — the full vector is never touched),
+    shortlist the ``rerank`` best, then re-rank exactly on the true
+    vectors fetched by id.
+
+    Scale shape: the candidate stage carries (id, cell, n_sub small
+    ints) — codes, not vectors — so the shortlist scan streams the
+    compressed representation (the memory step that makes
+    billion-scale ANN fit RAM); the exact re-rank joins only
+    queries × rerank ids back to the vector table (keyed equi-join).
+    Probes (with their LUTs) broadcast; the corpus never shuffles.
+    Centroids and codebooks are deterministic (lowest-id rule) so any
+    engine — including the DuckDB oracle — replays the identical
+    index; swap k-means(|‖)-trained versions in for real recall
+    tuning, the plan shape is unchanged.
+
+    Returns (query_id, neighbor_id, cosine, adc_dist, rank ≤ k):
+    ranking by exact cosine desc (tie → neighbor_id) within the
+    ADC shortlist (adc asc, tie → neighbor_id)."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    corpus, norm_sql, cell_scores_sql = (
+        index
+        if index is not None
+        else _ivf_index(embeddings, n_cells, id_col, vec_col)
+    )
+    books, d = _pq_codebooks(
+        embeddings.select(id_col, vec_col), n_sub, n_codes, dim, id_col, vec_col
+    )
+    # the stored index at scale: (id, cell, codes) — no vectors
+    coded = corpus.select(
+        F.col(id_col),
+        F.col("cell"),
+        *[
+            F.expr(_pq_sub_argmin(books, s, d, vec_col)[0]).alias(f"code_{s}")
+            for s in range(n_sub)
+        ],
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.expr(norm_sql(vec_col)).alias("__nv"),
+    ).select(
+        F.col(query_id_col),
+        F.col("__qvec"),
+        F.col("__nv").alias("__nq"),
+        F.expr(_pq_adc_lut_sql(books, d, "__qvec")).alias("__lut"),
+        F.explode(
+            F.expr(
+                f"slice(transform(sort_array({cell_scores_sql('__qvec')}, false), "
+                f"s -> s.cent_id), 1, {n_probe})"
+            )
+        ).alias("cell"),
+    )
+    # per-entry values are already rounded to 6 decimals; summing them
+    # as DECIMAL(18,6) is EXACT in any engine — no float-association
+    # sensitivity between this plan and an oracle replay
+    adc = F.expr(
+        "cast(("
+        + " + ".join(
+            f"cast(element_at(element_at(__lut, {s + 1}), code_{s} + 1) "
+            "as decimal(18,6))"
+            for s in range(n_sub)
+        )
+        + ") as double)"
+    )
+    shortlisted = (
+        coded.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .withColumn("__adc", adc)
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("__adc").asc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        shortlisted.withColumn("__srn", F.row_number().over(w_adc))
+        .where(F.col("__srn") <= rerank)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            "__adc",
+            "__qvec",
+            "__nq",
+        )
+    )
+    # exact re-rank: fetch true vectors for ONLY the shortlist ids
+    truth = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__tvec"),
+        F.expr(norm_sql(vec_col)).alias("__nt"),
+    )
+    exact = shortlist.join(truth, "neighbor_id").select(
+        query_id_col,
+        "neighbor_id",
+        F.round(
+            dot(F.col("__qvec"), F.col("__tvec")) / (F.col("__nq") * F.col("__nt")),
+            6,
+        ).alias("cosine"),
+        F.col("__adc").alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "adc_dist", "rank")
     )

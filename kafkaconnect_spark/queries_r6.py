@@ -200,10 +200,266 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ ADC search — the composed memory-bounded ANN (directive #3)
+# ---------------------------------------------------------------------------
+
+def embedding_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-PQ ADC search (operators/similarity.
+    ivfpq_ann_topk: probe 2 of 8 IVF cells, score candidates by PQ
+    asymmetric distance over their 4×3-bit codes, exact-re-rank the
+    top 30) against the brute-force exact top-10 — reported at the
+    SAME probe fraction as `embedding_ivf_recall_audit`, so the two
+    rows quantify exactly what the PQ compression costs (and the
+    re-rank buys back) relative to exact-scoring IVF.
+
+    Scale shape: the candidate stage streams (id, cell, codes) — the
+    compressed representation, never the vectors; the exact re-rank
+    fetches vectors for only queries × 30 ids by keyed join; probes
+    with their ADC lookup tables broadcast; the corpus never
+    shuffles."""
+    from kafkaconnect_spark.operators import similarity
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = (
+        similarity.brute_force_topk(emb, q, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    ann = similarity.ivfpq_ann_topk(
+        emb, q, k=10, n_cells=8, n_probe=2, n_sub=4, n_codes=8, rerank=30, dim=64
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    out = (
+        gt.join(ann, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_true_total"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits_total"),
+        )
+        .select(
+            "n_queries",
+            "n_true_total",
+            "n_hits_total",
+            F.round(F.col("n_hits_total") / F.col("n_true_total"), 6).alias(
+                "recall_at_10"
+            ),
+            F.round(F.lit(2) / F.lit(8.0), 6).alias("frac_cells_scanned"),
+            F.lit(30).alias("rerank_depth"),
+        )
+    )
+    return _track_cached(out, [gt])
+
+
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _ivfpq_oracle(n_cells=8, n_probe=2, n_sub=4, n_codes=8, d=16, rerank=30) -> str:
+    """DuckDB replay of the full IVF-PQ pipeline: coarse cells,
+    per-subspace codebook assignment (the PQ_ORACLE pattern), the
+    per-query ADC table, DECIMAL-exact ADC sums, shortlist, exact
+    re-rank, recall vs brute force."""
+    sql = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings),
+qs AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+bf_scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_COS6.format(a='qv', b='v.vec')} AS cosine
+  FROM v CROSS JOIN qs WHERE v.vec_id != qs.query_id),
+bf_ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) rn FROM bf_scored),
+gt AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rn <= 10),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v
+          ORDER BY vec_id LIMIT {n_cells}),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS6.format(a='v.vec', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1),
+probe_cells AS (
+  SELECT query_id, cell FROM (
+    SELECT qs.query_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY qs.query_id
+             ORDER BY {_COS6.format(a='qs.qv', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM qs CROSS JOIN cents c) WHERE rn <= {n_probe}),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec AS cvec
+       FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_codes}))"""
+    for s in range(n_sub):
+        lo, hi = s * d + 1, s * d + d + 1
+        diff = f"[v.vec[i] - c.cvec[i] FOR i IN range({lo}, {hi})]"
+        qdiff = f"[qs.qv[i] - c.cvec[i] FOR i IN range({lo}, {hi})]"
+        sql += f""",
+s{s} AS (SELECT vec_id, code AS code_{s} FROM (
+    SELECT vec_id, code,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT v.vec_id, c.code,
+                 round(list_dot_product({diff}, {diff}), 6) AS dist
+          FROM v CROSS JOIN cb c)) WHERE rn = 1),
+lut{s} AS (SELECT qs.query_id, c.code,
+                  round(list_dot_product({qdiff}, {qdiff}), 6) AS dval
+           FROM qs CROSS JOIN cb c)"""
+    code_joins = " ".join(f"JOIN s{s} USING (vec_id)" for s in range(1, n_sub))
+    lut_joins = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = pc.query_id AND lut{s}.code = codes.code_{s}"
+        for s in range(n_sub)
+    )
+    adc_sum = " + ".join(f"lut{s}.dval::DECIMAL(18,6)" for s in range(n_sub))
+    return sql + f""",
+codes AS (SELECT vec_id, cell, {', '.join(f'code_{s}' for s in range(n_sub))}
+          FROM s0 {code_joins} JOIN cells USING (vec_id)),
+shortlisted AS (
+  SELECT pc.query_id, codes.vec_id AS neighbor_id,
+         ({adc_sum})::DOUBLE AS adc
+  FROM probe_cells pc JOIN codes USING (cell) {lut_joins}
+  WHERE codes.vec_id != pc.query_id),
+shortlist AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc ASC, neighbor_id ASC) srn
+    FROM shortlisted) WHERE srn <= {rerank}),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_COS6.format(a='qs.qv', b='v.vec')} AS cosine
+  FROM shortlist s JOIN qs ON qs.query_id = s.query_id
+       JOIN v ON v.vec_id = s.neighbor_id),
+ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) rn
+    FROM exact) WHERE rn <= 10)
+SELECT count(DISTINCT gt.query_id)::BIGINT AS n_queries,
+       count(*)::BIGINT AS n_true_total,
+       sum(coalesce(hit, 0))::BIGINT AS n_hits_total,
+       round(sum(coalesce(hit, 0))::DOUBLE / count(*), 6) AS recall_at_10,
+       round(2 / 8.0, 6) AS frac_cells_scanned,
+       {rerank} AS rerank_depth
+FROM gt LEFT JOIN ann USING (query_id, neighbor_id)
+"""
+
+
+IVFPQ_RECALL_ORACLE = _ivfpq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PQ code-usage drift between index generations (directive #6)
+# ---------------------------------------------------------------------------
+
+def embedding_pq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-usage drift of the PQ index between corpus generations:
+    under the GENERATION-1 codebook (the production pq_codes books),
+    compare each code's usage share on the old half of the corpus
+    (vec_id ≤ max/2 — the data the book was trained against) vs the
+    new half. A code whose share moves materially means the incoming
+    data occupies a different region of the subspace than the
+    codebook models — the measured trigger for retraining/re-encoding
+    before ANN recall silently decays. Returns one row per
+    (subspace, code): counts, usage shares, and the share drift.
+
+    Scale shape: codes are the existing narrow folded-literal argmax
+    (pure map); the audit adds a 4-way unpivot (explode of a 4-elem
+    array) and a 32-key groupBy — nothing corpus-sized shuffles
+    beyond the count agg."""
+    from kafkaconnect_spark.operators.similarity import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True).where(
+        F.size("embedding") > 0
+    )
+    cut = emb.agg(F.floor(F.max("vec_id") / 2).alias("__cut"))
+    codes = pq_codes(emb, n_sub=4, n_codes=8, dim=64)
+    tagged = (
+        codes.crossJoin(F.broadcast(cut))
+        .withColumn(
+            "__old", (F.col("vec_id") <= F.col("__cut")).cast("int")
+        )
+        .select(
+            "__old",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("subspace"),
+                            F.col(f"code_{s}").alias("code"),
+                        )
+                        for s in range(4)
+                    ]
+                )
+            ).alias("__sc"),
+        )
+        .select("__old", "__sc.subspace", "__sc.code")
+    )
+    counts = tagged.groupBy("subspace", "code").agg(
+        F.sum("__old").alias("n_v1"),
+        F.sum(1 - F.col("__old")).alias("n_v2"),
+    )
+    totals = tagged.groupBy("subspace").agg(
+        F.sum("__old").alias("__t1"),
+        F.sum(1 - F.col("__old")).alias("__t2"),
+    )
+    return counts.join(totals, "subspace").select(
+        "subspace",
+        "code",
+        "n_v1",
+        "n_v2",
+        F.round(F.col("n_v1") / F.col("__t1"), 6).alias("share_v1"),
+        F.round(F.col("n_v2") / F.col("__t2"), 6).alias("share_v2"),
+        F.round(
+            F.col("n_v2") / F.col("__t2") - F.col("n_v1") / F.col("__t1"), 6
+        ).alias("share_drift"),
+    )
+
+
+def _pq_drift_oracle(n_sub=4, n_codes=8, d=16) -> str:
+    sql = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE len(embedding) > 0),
+cut AS (SELECT (max(vec_id) // 2) AS c FROM v),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec AS cvec
+       FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_codes}))"""
+    for s in range(n_sub):
+        lo, hi = s * d + 1, s * d + d + 1
+        diff = f"[v.vec[i] - c.cvec[i] FOR i IN range({lo}, {hi})]"
+        sql += f""",
+s{s} AS (SELECT vec_id, {s} AS subspace, code FROM (
+    SELECT vec_id, code,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT v.vec_id, c.code,
+                 round(list_dot_product({diff}, {diff}), 6) AS dist
+          FROM v CROSS JOIN cb c)) WHERE rn = 1)"""
+    unions = " UNION ALL ".join(f"SELECT * FROM s{s}" for s in range(n_sub))
+    return sql + f""",
+tagged AS (
+  SELECT subspace, code,
+         CASE WHEN vec_id <= (SELECT c FROM cut) THEN 1 ELSE 0 END AS old
+  FROM ({unions})),
+counts AS (SELECT subspace, code, sum(old)::BIGINT n_v1,
+                  sum(1 - old)::BIGINT n_v2
+           FROM tagged GROUP BY 1, 2),
+totals AS (SELECT subspace, sum(old) t1, sum(1 - old) t2
+           FROM tagged GROUP BY 1)
+SELECT subspace, code, n_v1, n_v2,
+       round(n_v1::DOUBLE / t1, 6) AS share_v1,
+       round(n_v2::DOUBLE / t2, 6) AS share_v2,
+       round(n_v2::DOUBLE / t2 - n_v1::DOUBLE / t1, 6) AS share_drift
+FROM counts JOIN totals USING (subspace)
+"""
+
+
+PQ_DRIFT_ORACLE = _pq_drift_oracle()
+
+
 R6_CATALOG = {
     "dedup_incremental_indexed": (
         dedup_incremental_indexed,
         DEDUP_INCR_INDEXED_ORACLE,
     ),
     "dedup_lsh_index_erasure": (dedup_lsh_index_erasure, LSH_ERASURE_ORACLE),
+    "embedding_ivfpq_recall": (embedding_ivfpq_recall, IVFPQ_RECALL_ORACLE),
+    "embedding_pq_drift_audit": (embedding_pq_drift_audit, PQ_DRIFT_ORACLE),
 }

@@ -176,3 +176,61 @@ def test_nprobe_sweep_builds_ivf_index_once(spark, sf_dir, monkeypatch):
     # exhaustive probing (n_probe = n_cells) must reach recall 1.0 —
     # the partition-of-the-corpus invariant
     assert rows[8] == 1.0
+
+
+def test_ivfpq_exhaustive_probe_full_rerank_is_exact(spark, sf_dir):
+    """n_probe = n_cells and rerank >= corpus => the ADC shortlist is
+    the whole corpus and the exact re-rank IS brute force: recall must
+    be 1.0 with identical (neighbor, cosine) ranking."""
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_ann_topk,
+    )
+    from kafkaconnect_spark.query_base import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivfpq_ann_topk(
+            emb, q, k=10, n_cells=8, n_probe=8, rerank=n
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_ivfpq_candidates_stream_codes_not_vectors(spark, sf_dir):
+    """The ADC/shortlist stage must not carry the embedding column —
+    only (id, cell, codes); vectors enter again only at the keyed
+    re-rank join (the memory-bounded property of IVF-PQ)."""
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.operators.similarity import ivfpq_ann_topk
+    from kafkaconnect_spark.query_base import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivfpq_ann_topk(emb, q, k=5, rerank=10)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    win = next(
+        i for i, ln in enumerate(lines) if "Window" in ln and "__srn" in ln
+    )
+    # the projection feeding the shortlist window carries the ADC
+    # lookup over codes; the corpus embedding column (embedding#1 on
+    # the corpus relation) must already be pruned away
+    proj = next(ln for ln in lines[win:] if "Project [" in ln)
+    assert "element_at" in proj and "embedding#1," not in proj
+    # Spark pushes the rank limit into the shuffle (WindowGroupLimit)
+    # — candidates are capped at rerank per query before the full sort
+    assert any("WindowGroupLimit" in ln for ln in lines[win : win + 3])
