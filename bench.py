@@ -130,6 +130,19 @@ HEADLINE = [
     "events_user_activity_gini",
     "dedup_keep_policy",
     "embedding_cell_purity",
+    # round-6 additions (dedup_incremental_indexed is omitted: it IS
+    # dedup_incremental's plan since the r6 delegation — benching it
+    # twice would double-count one query)
+    "dedup_lsh_index_erasure",
+    "embedding_ivfpq_recall",
+    "embedding_pq_drift_audit",
+    "docs_source_crawl_caps",
+    "embedding_ood_distance_audit",
+    "docs_shard_skew_audit",
+    "docs_dedup_cross_lang",
+    "events_kmv_daily_merge",
+    "docs_contamination_windowed",
+    "corpus_release_manifest",
 ]
 
 

@@ -21,6 +21,7 @@ from kafkaconnect_spark.query_base import (
     _MINHASH_AGGS,
     _SHINGLE_CTE,
     _SIG_LIST,
+    _events,
     _hash64_sql,
     _t,
 )
@@ -454,6 +455,678 @@ FROM counts JOIN totals USING (subspace)
 PQ_DRIFT_ORACLE = _pq_drift_oracle()
 
 
+# ---------------------------------------------------------------------------
+# per-source crawl caps with overflow reporting (directive #6)
+# ---------------------------------------------------------------------------
+
+def docs_source_crawl_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source crawl budget enforcement: each source admits at most
+    100 documents, highest-priority first (longest doc wins, tie →
+    lowest doc_id — the same deterministic priority rule as the dedup
+    keep policy), and the report shows what the cap REJECTED — the
+    mixture-control side of `docs_dedup_rate_by_source`: n_docs,
+    n_kept, n_overflow, overflow_rate, and the admission threshold
+    (the shortest doc that still made the cut).
+
+    Scale shape: one keyed window (partitioned by source — never
+    partitionless) + a source-cardinality agg. At 100 TB the window
+    runs per-source after a single shuffle on the source key; skewed
+    mega-sources are exactly what the cap bounds."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select("source", "doc_id", "n_chars").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    kept = F.col("__rn") <= 100
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept.cast("long"))).alias("n_overflow"),
+        F.round(
+            (F.count(F.lit(1)) - F.sum(kept.cast("long"))) / F.count(F.lit(1)), 6
+        ).alias("overflow_rate"),
+        F.min(F.when(kept, F.col("n_chars"))).alias("min_kept_chars"),
+    )
+
+
+CRAWL_CAPS_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rn <= 100 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       (count(*) - sum(CASE WHEN rn <= 100 THEN 1 ELSE 0 END))::BIGINT
+           AS n_overflow,
+       round((count(*) - sum(CASE WHEN rn <= 100 THEN 1 ELSE 0 END))::DOUBLE
+             / count(*), 6) AS overflow_rate,
+       min(CASE WHEN rn <= 100 THEN n_chars END) AS min_kept_chars
+FROM ranked GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding OOD / centroid-distance audit
+# ---------------------------------------------------------------------------
+
+def embedding_ood_distance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution screen over the IVF index: per cell, how
+    tightly its members hug the centroid — min/max/mean cosine to the
+    assigned centroid plus the count of weakly-attached vectors
+    (cosine < 0.2). A cell with a fat low-cosine tail is where ANN
+    recall quietly dies (probing it retrieves junk) and where OOD /
+    junk embeddings concentrate — the audit run before trusting the
+    index's partition of the corpus.
+
+    Scale shape: cell assignment AND the winning cosine come from the
+    same narrow folded-centroid argmax (one map over the corpus, no
+    shuffle); the audit adds one 8-key agg. Mean is an exact
+    DECIMAL(18,6) sum of the already-rounded cosines — no float-order
+    sensitivity vs the oracle."""
+    from kafkaconnect_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    _, norm_sql, cell_scores_sql = similarity._ivf_index(
+        emb, 8, "vec_id", "embedding"
+    )
+    best = "array_max(" + cell_scores_sql("embedding") + ")"
+    assigned = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.expr(norm_sql("embedding")).alias("__nv"),
+    ).select(
+        F.expr(f"{best}.cent_id").alias("cell"),
+        F.expr(f"{best}.csim").alias("__csim"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("__csim").alias("min_csim"),
+        F.max("__csim").alias("max_csim"),
+        F.round(
+            F.sum(F.col("__csim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_csim"),
+        F.sum((F.col("__csim") < 0.2).cast("long")).alias("n_weak"),
+    )
+
+
+OOD_DISTANCE_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM v
+          ORDER BY vec_id LIMIT 8),
+cells AS (
+  SELECT vec_id, cent_id AS cell, csim FROM (
+    SELECT v.vec_id, c.cent_id,
+           {_COS6.format(a='v.vec', b='c.cent_vec')} AS csim,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS6.format(a='v.vec', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1)
+SELECT cell, count(*)::BIGINT AS n_vectors,
+       min(csim) AS min_csim, max(csim) AS max_csim,
+       round(sum(csim::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_csim,
+       sum(CASE WHEN csim < 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_weak
+FROM cells GROUP BY cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard byte-balance audit
+# ---------------------------------------------------------------------------
+
+def docs_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-balance audit of the 64-shard training layout
+    (docs_shard_assignment's hash): per shard, doc and char counts
+    plus the relative deviation of its char mass from the ideal
+    1/64 share — the number that decides whether the shard hash is
+    safe to map 1:1 onto training workers (a +20% shard is a straggler
+    every epoch). Deviation is computed as chars×64/total − 1 with
+    integer numerators — engine-exact.
+
+    Scale shape: one map (hash) + one 64-key agg + a 1-row broadcast
+    for the total; nothing else."""
+    from kafkaconnect_spark.functions.text import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        (hash64(F.col("doc_id").cast("string"), "shard") % 64).alias("shard_id"),
+        "n_chars",
+    ).groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_chars").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "n_chars",
+        F.round(
+            (F.col("n_chars") * 64 - F.col("__tot"))
+            / F.col("__tot").cast("double"),
+            6,
+        ).alias("chars_rel_dev"),
+    )
+
+
+SHARD_SKEW_ORACLE = f"""
+WITH per AS (
+  SELECT ({_hash64_sql('doc_id', 'shard')}) % 64 AS shard_id,
+         count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
+  FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_chars) AS t FROM per)
+SELECT shard_id, n_docs, n_chars,
+       round((n_chars * 64 - t)::DOUBLE / t, 6) AS chars_rel_dev
+FROM per CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-language near-duplicate matrix
+# ---------------------------------------------------------------------------
+
+def docs_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-pair matrix of the verified minhash near-dup pairs:
+    how much near-duplication CROSSES language labels (boilerplate
+    replicated across locales, or mislabeled langs) vs stays within
+    one — per unordered lang pair, the pair count and exact mean
+    Jaccard. Within-language pairs (the bulk) appear as (lang, lang)
+    rows, so the matrix doubles as a mislabeling screen: a high
+    cross-lang mass at high Jaccard means the lang-ID stage is
+    leaking near-identical docs into different buckets.
+
+    Scale shape: the proven minhash pipeline + two keyed joins to a
+    2-column lang projection + a ≤|langs|² agg. Mean Jaccard is an
+    exact DECIMAL sum of already-rounded values."""
+    from kafkaconnect_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
+    langs = docs.select("doc_id", "lang")
+    tagged = (
+        pairs.join(
+            langs.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "lang", "__la"
+            ),
+            "id_a",
+        )
+        .join(
+            langs.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "lang", "__lb"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__la", "__lb").alias("lang_a"),
+            F.greatest("__la", "__lb").alias("lang_b"),
+            "jaccard",
+        )
+    )
+    return dedup.carry_cached(
+        tagged.groupBy("lang_a", "lang_b").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_jaccard"),
+        ),
+        pairs,
+    )
+
+
+CROSS_LANG_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) inter
+  FROM cands JOIN sh a ON a.doc_id = id_a
+       JOIN sh b ON b.doc_id = id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+tagged AS (
+  SELECT least(da.lang, db.lang) AS lang_a,
+         greatest(da.lang, db.lang) AS lang_b, jaccard
+  FROM pairs JOIN documents da ON da.doc_id = id_a
+       JOIN documents db ON db.doc_id = id_b)
+SELECT lang_a, lang_b, count(*)::BIGINT AS n_pairs,
+       round(sum(jaccard::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_jaccard
+FROM tagged GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch MERGE across partitions (the distributed-sketch contract)
+# ---------------------------------------------------------------------------
+
+def events_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch contract, demonstrated: per-day KMV(256)
+    distinct-user sketches, PLUS a whole-range estimate computed by
+    MERGING the daily sketches (bottom-256 of the union of the daily
+    bottom-256 sets — never re-touching the raw events), each against
+    its exact distinct count. This is how 100 TB rollups actually
+    work: partitions sketch independently, the merge is k-row
+    arithmetic, and re-aggregation to any coarser grain is free.
+    Returns (day | 'ALL', n_seen, kmv_est, exact_distinct, rel_err).
+
+    Scale shape: the daily sketch is the proven bounded-exchange
+    bottom-k (mapInPandas partials, ≤k rows per partition-group); the
+    merge touches days×k rows; exacts are one distinct-agg each."""
+    from kafkaconnect_spark.operators import sketches
+
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("g"), "user_id"
+    )
+    bottoms = sketches._kmv_bottom_hashes(keyed, "g", "user_id", 256, "kmv").persist()
+    per_day = bottoms.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("__kth")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    merged = (
+        bottoms.select("h")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 256)
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("h").alias("__kth"))
+        .select(F.lit("ALL").alias("g"), "n_seen", "__kth")
+    )
+    ests = per_day.select("g", "n_seen", "__kth").unionAll(merged).select(
+        "g",
+        "n_seen",
+        sketches._kmv_estimate(F.col("n_seen"), F.col("__kth"), 256).alias(
+            "kmv_est"
+        ),
+    )
+    exact_day = keyed.groupBy("g").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    exact_all = keyed.agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    ).select(F.lit("ALL").alias("g"), "exact_distinct")
+    exact = exact_day.unionAll(exact_all)
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    return _track_cached(
+        ests.join(exact, "g").select(
+            F.col("g").alias("day"),
+            "n_seen",
+            "kmv_est",
+            "exact_distinct",
+            F.round(
+                (F.col("kmv_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_err"),
+        ),
+        [bottoms],
+    )
+
+
+KMV_DAILY_MERGE_ORACLE = f"""
+WITH hs AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS g,
+                   {_hash64_sql('user_id', 'kmv')} AS h FROM events),
+bk AS (SELECT g, h FROM (
+         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         FROM hs) WHERE rn <= 256),
+md AS (SELECT 'ALL' AS g, h FROM (
+         SELECT h, row_number() OVER (ORDER BY h) AS rn
+         FROM (SELECT DISTINCT h FROM bk)) WHERE rn <= 256),
+sk AS (SELECT g, count(*)::BIGINT AS n_seen, max(h) AS kth
+       FROM (SELECT * FROM bk UNION ALL SELECT * FROM md) GROUP BY g),
+est AS (SELECT g, n_seen,
+               CASE WHEN n_seen < 256 THEN n_seen
+                    ELSE round(255.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                               / kth)::BIGINT END AS kmv_est
+        FROM sk),
+exact AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS g,
+         count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT user_id)::BIGINT FROM events)
+SELECT est.g AS day, n_seen, kmv_est, exact_distinct,
+       round((kmv_est - exact_distinct)::DOUBLE / exact_distinct, 6) AS rel_err
+FROM est JOIN exact ON est.g = exact.g
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed contamination trend (directive #6 — streaming-shaped audit)
+# ---------------------------------------------------------------------------
+
+def docs_contamination_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped contamination trend: the corpus arrives as 5
+    sequential crawl batches (doc_id quintiles); when batch b lands,
+    its held-out test docs (same deterministic hash split as
+    `docs_contamination_ngram_overlap`) are audited against the train
+    shingles accumulated SO FAR (batches ≤ b) — the incremental form
+    a streaming decontamination monitor runs at every micro-batch,
+    here as its batch equivalent over event-time windows. A rising
+    rate means later crawls increasingly re-collect earlier content.
+
+    Scale shape: train shingles reduce to one (shingle, min_batch)
+    projection — the accumulated-state table, ONE row per distinct
+    shingle regardless of batch count; each test shingle joins it
+    keyed and the ≤-batch comparison is a residual filter. No
+    per-batch rescans."""
+    from kafkaconnect_spark.functions.text import hash64
+    from kafkaconnect_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("__mx"))
+    meta = docs.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("doc_id") * 5 / (F.col("__mx") + 1)), F.lit(4)
+        ).cast("int").alias("batch"),
+        (hash64(F.col("doc_id").cast("string"), "contam") % 10 == 0).alias(
+            "__test"
+        ),
+    )
+    sh = dedup.shingle_table(docs).join(meta, "doc_id")
+    train_min = (
+        sh.where(~F.col("__test"))
+        .groupBy("shingle")
+        .agg(F.min("batch").alias("__tb"))
+    )
+    contaminated = (
+        sh.where(F.col("__test"))
+        .join(train_min, "shingle")
+        .where(F.col("__tb") <= F.col("batch"))
+        .select("doc_id")
+        .distinct()
+    )
+    test_docs = meta.where(F.col("__test"))
+    per_batch = test_docs.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_test_docs")
+    )
+    cont = (
+        test_docs.join(contaminated, "doc_id", "left_semi")
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return per_batch.join(cont, "batch", "left").select(
+        "batch",
+        "n_test_docs",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_test_docs"), 6
+        ).alias("contamination_rate"),
+    )
+
+
+CONTAM_WINDOWED_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+mx AS (SELECT max(doc_id) AS m FROM documents),
+meta AS (SELECT doc_id,
+                least((doc_id * 5) // (m + 1), 4)::INT AS batch,
+                ({_hash64_sql('doc_id', 'contam')} % 10 = 0) AS is_test
+         FROM documents CROSS JOIN mx),
+shm AS (SELECT sh.doc_id, shingle, batch, is_test
+        FROM sh JOIN meta USING (doc_id)),
+train_min AS (SELECT shingle, min(batch) AS tb
+              FROM shm WHERE NOT is_test GROUP BY 1),
+contaminated AS (
+  SELECT DISTINCT shm.doc_id
+  FROM shm JOIN train_min USING (shingle)
+  WHERE is_test AND tb <= batch),
+test_docs AS (SELECT doc_id, batch FROM meta WHERE is_test),
+per_batch AS (SELECT batch, count(*)::BIGINT AS n_test_docs
+              FROM test_docs GROUP BY 1),
+cont AS (SELECT batch, count(*)::BIGINT AS n_contaminated
+         FROM test_docs JOIN contaminated USING (doc_id) GROUP BY 1)
+SELECT batch, n_test_docs, coalesce(n_contaminated, 0) AS n_contaminated,
+       round(coalesce(n_contaminated, 0)::DOUBLE / n_test_docs, 6)
+           AS contamination_rate
+FROM per_batch LEFT JOIN cont USING (batch)
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus release capstone — the full pipeline as ONE audited artifact
+# ---------------------------------------------------------------------------
+
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus release the individual operators imply,
+    chained into one audited manifest: quality funnel (lang ∩ quality
+    score ∩ length — `quality_funnel`'s exact gate) → fuzzy-dedup
+    keep policy (minhash pairs → connected components → longest-doc
+    keeper, `dedup_keep_policy`'s rule) → decontamination (drop the
+    held-out eval split AND any release doc sharing an 8-gram with
+    it — `decontaminate_test_split`'s hashes) → temperature mixture
+    weights over released tokens (`mixture_epoch_schedule`'s α=0.5
+    DECIMAL arithmetic) → 64-way shard spread
+    (`docs_shard_assignment`'s hash). One row per source: the
+    attrition at every stage plus the release-time mixture weight and
+    shard coverage — the artifact a training run is actually launched
+    from.
+
+    Scale shape: every stage is the already-proven plan of its
+    standalone query; the chain adds only keyed anti-joins between
+    stages and source-cardinality aggs. The candidate set is
+    persisted once and feeds the dedup pipeline, both decontam sides,
+    and all stage counts."""
+    from pyspark import StorageLevel
+
+    from kafkaconnect_spark.functions import text as TX
+    from kafkaconnect_spark.functions.text import hash64
+    from kafkaconnect_spark.operators import dedup
+    from kafkaconnect_spark.operators.dedup import _track_cached
+    from kafkaconnect_spark.operators.pipeline import _shingle_hashes
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    n_tok = TX.token_count("text")
+    keep = (
+        F.col("lang").isin("en", "de", "es", "fr")
+        & (TX.quality_score("text") >= 0.5)
+        & n_tok.between(20, 2000)
+    )
+    cand = (
+        docs.where(keep)
+        .select("doc_id", "source", "text", "n_chars")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # stage 2: fuzzy-dedup keep policy on the quality survivors
+    pairs = dedup.minhash_dedup_pairs(cand, threshold=0.2, num_hashes=16, bands=4)
+    clusters = dedup.duplicate_clusters(pairs)
+    members = clusters.join(cand.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    dropped = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select("doc_id")
+    )
+    after_dedup = cand.join(dropped, "doc_id", "left_anti")
+    # stage 3: decontaminate vs the held-out eval split (split b=15)
+    split_b = hash64(F.col("doc_id").cast("string"), "split") % 16
+    eval_sh = (
+        _shingle_hashes(docs.where(split_b == 15), "doc_id", "text", 8, "contam")
+        .select("sh_hash")
+        .distinct()
+    )
+    own_sh = _shingle_hashes(after_dedup, "doc_id", "text", 8, "contam")
+    contaminated = (
+        own_sh.join(eval_sh, "sh_hash", "left_semi").select("doc_id").distinct()
+    )
+    released = (
+        after_dedup.where(split_b != 15)
+        .join(contaminated, "doc_id", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # per-source funnel counts
+    s_total = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    s_quality = cand.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    s_dedup = after_dedup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+    s_rel = released.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_released"),
+        F.sum(n_tok).alias("released_tokens"),
+    )
+    # stage 4: temperature mixture weights (alpha = 0.5) over released
+    # tokens — mixture_epoch_schedule's exact DECIMAL(20,7) rule
+    w7 = F.expr(
+        "cast(round(pow(cast(coalesce(released_tokens, 0) as double), 0.5), 7) "
+        "as decimal(20,7))"
+    )
+    # stage 5: shard spread of the released docs
+    s_shards = (
+        released.select(
+            "source",
+            (hash64(F.col("doc_id").cast("string"), "shard") % 64).alias("__s"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shards"))
+    )
+    manifest = (
+        s_total.join(s_quality, "source", "left")
+        .join(s_dedup, "source", "left")
+        .join(s_rel, "source", "left")
+        .join(s_shards, "source", "left")
+        .withColumn("__w7", w7)
+    )
+    denom = manifest.agg(F.sum("__w7").alias("__dw"))
+    out = manifest.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_total",
+        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+        F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+        F.coalesce("n_released", F.lit(0)).alias("n_released"),
+        F.coalesce("released_tokens", F.lit(0)).alias("released_tokens"),
+        F.round(
+            F.col("__w7").cast("double") / F.col("__dw").cast("double"), 6
+        ).alias("mix_weight"),
+        F.coalesce("n_shards", F.lit(0)).alias("n_shards"),
+    )
+    return _track_cached(out, [cand, released])
+
+
+_SH8 = (
+    "[" + _hash64_sql("array_to_string(toks[i:i+7], ' ')", "contam")
+    + " FOR i IN range(1, greatest(len(toks)-6, 1))]"
+)
+
+RELEASE_MANIFEST_ORACLE = rf"""
+WITH RECURSIVE m AS (
+  SELECT doc_id, source, lang, text, n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\s+')) END AS swraw
+  FROM documents),
+cand AS (
+  SELECT doc_id, source, text, n_chars, n_tok FROM m
+  WHERE lang IN ('en','de','es','fr')
+    AND round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swraw * 5.0, 1.0)
+              + 0.3 * (1.0 - least(praw * 4.0, 1.0)), 6) >= 0.5
+    AND n_tok BETWEEN 20 AND 2000),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM cand)
+  WHERE len(toks) >= 3),
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cpairs AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) inter
+  FROM cpairs JOIN sh a ON a.doc_id = id_a
+       JOIN sh b ON b.doc_id = id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+vpairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+e AS (SELECT id_a AS a, id_b AS b FROM vpairs UNION ALL SELECT id_b, id_a FROM vpairs),
+reach AS (
+  SELECT a AS n, a AS m FROM e
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN e ON e.a = r.n),
+clusters AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+dropped AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY cd.n_chars DESC, c.doc_id ASC) AS rn
+    FROM clusters c JOIN cand cd USING (doc_id)) WHERE rn > 1),
+after_dedup AS (
+  SELECT * FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+eval_sh AS (
+  SELECT DISTINCT h FROM (
+    SELECT unnest({_SH8}) AS h
+    FROM (SELECT regexp_split_to_array(trim(text), '\s+') toks FROM documents
+          WHERE {_hash64_sql('doc_id', 'split')} % 16 = 15)
+    WHERE len(toks) >= 8)),
+own_sh AS (
+  SELECT doc_id, unnest(list_distinct({_SH8})) AS h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        FROM after_dedup)
+  WHERE len(toks) >= 8),
+contaminated AS (
+  SELECT DISTINCT own_sh.doc_id FROM own_sh JOIN eval_sh USING (h)),
+released AS (
+  SELECT * FROM after_dedup
+  WHERE {_hash64_sql('doc_id', 'split')} % 16 != 15
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+s_total AS (SELECT source, count(*)::BIGINT AS n_total FROM documents GROUP BY 1),
+s_quality AS (SELECT source, count(*)::BIGINT AS n_quality FROM cand GROUP BY 1),
+s_dedup AS (SELECT source, count(*)::BIGINT AS n_after_dedup
+            FROM after_dedup GROUP BY 1),
+s_rel AS (SELECT source, count(*)::BIGINT AS n_released,
+                 sum(n_tok)::BIGINT AS released_tokens
+          FROM released GROUP BY 1),
+s_shards AS (SELECT source, count(*)::BIGINT AS n_shards FROM (
+               SELECT DISTINCT source,
+                      ({_hash64_sql('doc_id', 'shard')}) % 64 AS s
+               FROM released) GROUP BY 1),
+man AS (
+  SELECT t.source, n_total,
+         coalesce(n_quality, 0) AS n_quality,
+         coalesce(n_after_dedup, 0) AS n_after_dedup,
+         coalesce(n_released, 0) AS n_released,
+         coalesce(released_tokens, 0) AS released_tokens,
+         coalesce(n_shards, 0) AS n_shards,
+         round(pow(coalesce(released_tokens, 0)::DOUBLE, 0.5), 7)::DECIMAL(20,7)
+             AS w7
+  FROM s_total t
+  LEFT JOIN s_quality USING (source) LEFT JOIN s_dedup USING (source)
+  LEFT JOIN s_rel USING (source) LEFT JOIN s_shards USING (source)),
+dw AS (SELECT sum(w7) AS dw FROM man)
+SELECT source, n_total, n_quality, n_after_dedup, n_released,
+       released_tokens,
+       round(w7::DOUBLE / dw::DOUBLE, 6) AS mix_weight, n_shards
+FROM man CROSS JOIN dw
+"""
+
+
 R6_CATALOG = {
     "dedup_incremental_indexed": (
         dedup_incremental_indexed,
@@ -462,4 +1135,17 @@ R6_CATALOG = {
     "dedup_lsh_index_erasure": (dedup_lsh_index_erasure, LSH_ERASURE_ORACLE),
     "embedding_ivfpq_recall": (embedding_ivfpq_recall, IVFPQ_RECALL_ORACLE),
     "embedding_pq_drift_audit": (embedding_pq_drift_audit, PQ_DRIFT_ORACLE),
+    "docs_source_crawl_caps": (docs_source_crawl_caps, CRAWL_CAPS_ORACLE),
+    "embedding_ood_distance_audit": (
+        embedding_ood_distance_audit,
+        OOD_DISTANCE_ORACLE,
+    ),
+    "docs_shard_skew_audit": (docs_shard_skew_audit, SHARD_SKEW_ORACLE),
+    "docs_dedup_cross_lang": (docs_dedup_cross_lang, CROSS_LANG_ORACLE),
+    "events_kmv_daily_merge": (events_kmv_daily_merge, KMV_DAILY_MERGE_ORACLE),
+    "docs_contamination_windowed": (
+        docs_contamination_windowed,
+        CONTAM_WINDOWED_ORACLE,
+    ),
+    "corpus_release_manifest": (corpus_release_manifest, RELEASE_MANIFEST_ORACLE),
 }

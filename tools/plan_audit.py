@@ -35,6 +35,11 @@ _ALLOWED_GLOBAL_WINDOW = {
     "events_key_skew_report": "rank over a post-limit 10-row frame",
     "sampling_reservoir": "keyed window (partition col parsed from spec)",
     "docs_zipf_slope": "row_number over a post-limit 100-row frame",
+    "events_kmv_daily_merge": (
+        "bottom-k merge over the union of per-day KMV sketches — "
+        "frame is ≤ days×256 rows (calendar-bounded), the whole point "
+        "of the mergeable-sketch contract"
+    ),
     # docs_trigram_vocab_growth / events_watermark_late_drop /
     # orders_open_backlog_monthly were de-listed in r4: their
     # cumulative aggregates now run as tiled prefix scans
