@@ -143,6 +143,10 @@ HEADLINE = [
     "events_kmv_daily_merge",
     "docs_contamination_windowed",
     "corpus_release_manifest",
+    "embedding_ivfpq_rerank_sweep",
+    "events_watermark_delay_sweep",
+    "events_session_gap_sweep",
+    "docs_quality_dup_interaction",
 ]
 
 

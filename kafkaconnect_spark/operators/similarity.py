@@ -949,6 +949,50 @@ def ivfpq_ann_topk(
     Returns (query_id, neighbor_id, cosine, adc_dist, rank ≤ k):
     ranking by exact cosine desc (tie → neighbor_id) within the
     ADC shortlist (adc asc, tie → neighbor_id)."""
+    sl = _ivfpq_shortlist(
+        embeddings,
+        queries,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        max_rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        dim=dim,
+        index=index,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sl.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "adc_dist", "rank")
+    )
+
+
+def _ivfpq_shortlist(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int,
+    n_probe: int,
+    n_sub: int,
+    n_codes: int,
+    max_rerank: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    dim: int | None,
+    index=None,
+) -> DataFrame:
+    """The shared ADC stage of IVF-PQ: probe cells, score candidates
+    on their codes, keep the ``max_rerank`` best per query WITH their
+    exact cosine and shortlist rank — so a rerank-depth sweep derives
+    every depth r ≤ max_rerank from ONE candidate scan (shortlist(r)
+    is a rank-prefix of shortlist(max_rerank)). Returns (query_id,
+    neighbor_id, cosine, adc_dist, shortlist_rank)."""
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
     corpus, norm_sql, cell_scores_sql = (
@@ -1006,11 +1050,12 @@ def ivfpq_ann_topk(
     )
     shortlist = (
         shortlisted.withColumn("__srn", F.row_number().over(w_adc))
-        .where(F.col("__srn") <= rerank)
+        .where(F.col("__srn") <= max_rerank)
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
             "__adc",
+            "__srn",
             "__qvec",
             "__nq",
         )
@@ -1021,7 +1066,7 @@ def ivfpq_ann_topk(
         F.col(vec_col).alias("__tvec"),
         F.expr(norm_sql(vec_col)).alias("__nt"),
     )
-    exact = shortlist.join(truth, "neighbor_id").select(
+    return shortlist.join(truth, "neighbor_id").select(
         query_id_col,
         "neighbor_id",
         F.round(
@@ -1029,12 +1074,5 @@ def ivfpq_ann_topk(
             6,
         ).alias("cosine"),
         F.col("__adc").alias("adc_dist"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine", "adc_dist", "rank")
+        F.col("__srn").alias("shortlist_rank"),
     )

@@ -1127,6 +1127,333 @@ FROM man CROSS JOIN dw
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ rerank-depth sweep — one candidate scan, three depths
+# ---------------------------------------------------------------------------
+
+def embedding_ivfpq_rerank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs re-rank depth for rerank ∈ {10, 30, 100} — the
+    tuning curve that prices the exact-re-rank stage of IVF-PQ
+    (embedding_ivfpq_recall is its rerank=30 point): how much recall
+    each extra fetched-and-scored true vector buys back from the PQ
+    approximation, at fixed probe fraction.
+
+    Scale shape: ONE ADC candidate scan at the deepest setting
+    (shortlist(r) is a rank-prefix of shortlist(100), so every depth
+    derives from the same persisted 100-deep shortlist — the same
+    share-the-expensive-stage rule as the n_probe sweep); ground
+    truth is persisted once; per depth the work is a ≤100-row-per-
+    query rank + a 100-row audit join."""
+    from kafkaconnect_spark.operators import similarity
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = (
+        similarity.brute_force_topk(emb, q, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    sl = similarity._ivfpq_shortlist(
+        emb,
+        q,
+        n_cells=8,
+        n_probe=2,
+        n_sub=4,
+        n_codes=8,
+        max_rerank=100,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="query_id",
+        dim=64,
+    ).persist()
+    sweeps = []
+    for rerank in (10, 30, 100):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        ann = (
+            sl.where(F.col("shortlist_rank") <= rerank)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 10)
+            .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+        )
+        sweeps.append(
+            gt.join(ann, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count_distinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("n_true_total"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits_total"),
+            )
+            .select(
+                F.lit(rerank).alias("rerank_depth"),
+                "n_queries",
+                "n_true_total",
+                "n_hits_total",
+                F.round(F.col("n_hits_total") / F.col("n_true_total"), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    out = sweeps[0]
+    for s in sweeps[1:]:
+        out = out.unionAll(s)
+    return _track_cached(out, [gt, sl])
+
+
+def _ivfpq_rerank_sweep_oracle(n_cells=8, n_probe=2, n_sub=4, n_codes=8, d=16) -> str:
+    """Same replay as the recall oracle, with rerank as a dimension
+    table joined on shortlist rank."""
+    base = _ivfpq_oracle(n_cells, n_probe, n_sub, n_codes, d, rerank=100)
+    # reuse everything through `shortlisted`, then re-derive the tail
+    head = base.split("shortlist AS")[0]
+    return head + """
+rr AS (SELECT unnest([10, 30, 100]) AS rerank_depth),
+ranked AS (SELECT query_id, neighbor_id, adc,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc ASC, neighbor_id ASC) AS srn
+           FROM shortlisted),
+exact AS (
+  SELECT r.query_id, r.neighbor_id, r.srn,
+         round(list_dot_product(qs.qv, v.vec) /
+               (sqrt(list_dot_product(qs.qv, qs.qv)) * sqrt(list_dot_product(v.vec, v.vec))), 6) AS cosine
+  FROM ranked r JOIN qs ON qs.query_id = r.query_id
+       JOIN v ON v.vec_id = r.neighbor_id
+  WHERE r.srn <= 100),
+ann AS (SELECT rerank_depth, query_id, neighbor_id, 1 AS hit FROM (
+    SELECT rr.rerank_depth, e.query_id, e.neighbor_id,
+           row_number() OVER (PARTITION BY rr.rerank_depth, e.query_id
+             ORDER BY e.cosine DESC, e.neighbor_id ASC) AS rn
+    FROM exact e JOIN rr ON e.srn <= rr.rerank_depth) WHERE rn <= 10),
+gtp AS (SELECT rerank_depth, query_id, neighbor_id FROM gt CROSS JOIN rr)
+SELECT rerank_depth, count(DISTINCT query_id)::BIGINT AS n_queries,
+       count(*)::BIGINT AS n_true_total,
+       sum(coalesce(hit, 0))::BIGINT AS n_hits_total,
+       round(sum(coalesce(hit, 0))::DOUBLE / count(*), 6) AS recall_at_10
+FROM gtp LEFT JOIN ann USING (rerank_depth, query_id, neighbor_id)
+GROUP BY rerank_depth
+"""
+
+
+IVFPQ_RERANK_SWEEP_ORACLE = _ivfpq_rerank_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# watermark delay sweep — one prefix scan, four delays
+# ---------------------------------------------------------------------------
+
+def events_watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-drop accounting across candidate watermark delays
+    {0, 10 min, 1 h, 6 h} under the same micro-batch replay (and
+    late-cohort model) as `events_watermark_late_drop` — the sweep
+    you read to PICK the delay: the knee where the dropped fraction
+    stops falling is the cheapest safe watermark.
+
+    Scale shape: the block-max tiled prefix scan (the only stateful
+    part) runs ONCE; each delay is a different constant in one
+    conditional aggregate over the same joined frame — a single pass
+    regardless of how many delays are swept."""
+    from kafkaconnect_spark.operators.prefix import tiled_prefix_max_exclusive
+
+    delays_min = [0, 10, 60, 360]
+    ev = _events(spark, sf_dir).withColumn(
+        "__block",
+        F.expr("event_id div 1000")
+        + F.when(F.col("user_id") % 20 == 0, F.lit(3)).otherwise(F.lit(0)),
+    )
+    bmax = ev.groupBy("__block").agg(F.max("ts").alias("__bm"))
+    wm = tiled_prefix_max_exclusive(bmax, "__block", "__bm", "__prev_max").select(
+        "__block", F.unix_micros("__prev_max").alias("__pm_us")
+    )
+    joined = ev.join(F.broadcast(wm), "__block").select(
+        F.unix_micros("ts").alias("__ts_us"), "__pm_us"
+    )
+    one = joined.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(
+                F.coalesce(
+                    F.col("__ts_us")
+                    < F.col("__pm_us") - F.lit(m * 60_000_000),
+                    F.lit(False),
+                ).cast("long")
+            ).alias(f"__d{i}")
+            for i, m in enumerate(delays_min)
+        ],
+    )
+    stacked = ", ".join(
+        f"{m}, __d{i}" for i, m in enumerate(delays_min)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(delays_min)}, {stacked}) "
+            "as (delay_minutes, n_late_dropped)"
+        ),
+        "n_events",
+    ).select(
+        F.col("delay_minutes").cast("int").alias("delay_minutes"),
+        "n_events",
+        "n_late_dropped",
+        F.round(F.col("n_late_dropped") / F.col("n_events"), 6).alias(
+            "late_frac"
+        ),
+    )
+
+
+WATERMARK_SWEEP_ORACLE = """
+WITH b AS (SELECT ts,
+                  event_id // 1000
+                  + CASE WHEN user_id % 20 = 0 THEN 3 ELSE 0 END AS block
+           FROM events),
+bm AS (SELECT block, max(ts) AS bmax FROM b GROUP BY 1),
+wm AS (SELECT block,
+              epoch_us(max(bmax) OVER (ORDER BY block
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS pm_us
+       FROM bm),
+f AS (SELECT epoch_us(ts) AS ts_us, pm_us FROM b JOIN wm USING (block)),
+d AS (SELECT unnest([0, 10, 60, 360]) AS delay_minutes)
+SELECT delay_minutes::INT AS delay_minutes, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN coalesce(ts_us < pm_us - delay_minutes::BIGINT * 60000000,
+                              false) THEN 1 ELSE 0 END)::BIGINT
+           AS n_late_dropped,
+       round(sum(CASE WHEN coalesce(ts_us < pm_us - delay_minutes::BIGINT * 60000000,
+                                    false) THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS late_frac
+FROM f CROSS JOIN d GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# session gap sensitivity — one lag pass, three gaps
+# ---------------------------------------------------------------------------
+
+def events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization gap sensitivity for gap ∈ {10, 30, 60} min —
+    total sessions and mean events/session at each setting (the
+    30-min row reconciles with `events_sessionization` summed over
+    users). The curve's elbow is how the inactivity threshold is
+    actually chosen.
+
+    Scale shape: the per-user lag window (the only shuffle) runs
+    ONCE; each gap is a different threshold over the same gap column
+    in one conditional aggregate."""
+    gaps_s = [600, 1800, 3600]
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = ev.select(
+        *[
+            (gap.isNull() | (gap > g)).cast("long").alias(f"__g{i}")
+            for i, g in enumerate(gaps_s)
+        ]
+    )
+    one = flagged.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[F.sum(f"__g{i}").alias(f"__s{i}") for i in range(len(gaps_s))],
+    )
+    stacked = ", ".join(
+        f"{g // 60}, __s{i}" for i, g in enumerate(gaps_s)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(gaps_s)}, {stacked}) as (gap_minutes, n_sessions)"
+        ),
+        "n_events",
+    ).select(
+        F.col("gap_minutes").cast("int").alias("gap_minutes"),
+        "n_events",
+        "n_sessions",
+        F.round(F.col("n_events") / F.col("n_sessions"), 6).alias(
+            "events_per_session"
+        ),
+    )
+
+
+SESSION_GAP_SWEEP_ORACLE = """
+WITH g AS (
+  SELECT epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS gap
+  FROM events),
+d AS (SELECT unnest([10, 30, 60]) AS gap_minutes)
+SELECT gap_minutes::INT AS gap_minutes, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN gap IS NULL OR gap > gap_minutes * 60
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       round(count(*)::DOUBLE
+             / sum(CASE WHEN gap IS NULL OR gap > gap_minutes * 60
+                        THEN 1 ELSE 0 END), 6) AS events_per_session
+FROM g CROSS JOIN d GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality-score × duplication interaction
+# ---------------------------------------------------------------------------
+
+def docs_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per quality-score decile — the screen for
+    the classic crawl pathology: boilerplate/templated pages score
+    low on quality AND duplicate heavily, so if dup_rate climbs as
+    the quality bucket falls, the dedup and quality stages are
+    double-spending on the same junk and the cheap filter should run
+    FIRST. Buckets are floor(score×10) capped at 9 (score is already
+    rounded to 6, so bucket edges are engine-exact).
+
+    Scale shape: one map (score + fingerprint), one fingerprint
+    groupBy (the proven dedup_exact shape), one doc-level join back
+    on the fingerprint key, one 10-key agg."""
+    from kafkaconnect_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.least(
+            F.floor(TX.quality_score("text") * 10), F.lit(9)
+        ).cast("int").alias("bucket"),
+        TX.fingerprint_md5("text").alias("__fp"),
+    )
+    fp_counts = scored.groupBy("__fp").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        scored.join(fp_counts, "__fp")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__n") > 1).cast("long")).alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+        )
+    )
+
+
+QUALITY_DUP_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g'))) * 1.0 / length(text) END AS praw,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> list_contains(['the','and','of','to','a','in','is','it','you','that'], lower(t)))) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\s+')) END AS swraw
+  FROM documents),
+scored AS (
+  SELECT least(floor(round(0.4 * least(n_tok / 100.0, 1.0)
+                           + 0.3 * least(swraw * 5.0, 1.0)
+                           + 0.3 * (1.0 - least(praw * 4.0, 1.0)), 6) * 10),
+               9)::INT AS bucket,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM m),
+fpc AS (SELECT fp, count(*) AS n FROM scored GROUP BY 1)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS dup_rate
+FROM scored JOIN fpc USING (fp) GROUP BY bucket
+"""
+
+
 R6_CATALOG = {
     "dedup_incremental_indexed": (
         dedup_incremental_indexed,
@@ -1148,4 +1475,17 @@ R6_CATALOG = {
         CONTAM_WINDOWED_ORACLE,
     ),
     "corpus_release_manifest": (corpus_release_manifest, RELEASE_MANIFEST_ORACLE),
+    "embedding_ivfpq_rerank_sweep": (
+        embedding_ivfpq_rerank_sweep,
+        IVFPQ_RERANK_SWEEP_ORACLE,
+    ),
+    "events_watermark_delay_sweep": (
+        events_watermark_delay_sweep,
+        WATERMARK_SWEEP_ORACLE,
+    ),
+    "events_session_gap_sweep": (events_session_gap_sweep, SESSION_GAP_SWEEP_ORACLE),
+    "docs_quality_dup_interaction": (
+        docs_quality_dup_interaction,
+        QUALITY_DUP_ORACLE,
+    ),
 }
