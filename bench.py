@@ -147,6 +147,19 @@ HEADLINE = [
     "events_watermark_delay_sweep",
     "events_session_gap_sweep",
     "docs_quality_dup_interaction",
+    # round-6 batch 3
+    "dedup_minhash_estimate_error",
+    "dedup_band_sweep",
+    "parts_neighbor_jaccard",
+    "embedding_int8_recall_audit",
+    "docs_dedup_removal_bias",
+    "docs_perplexity_threshold_sweep",
+    "events_bot_regularity_audit",
+    "multimodal_exact_dedup",
+    "events_kmv_k_sweep",
+    "docs_chunk_dedup",
+    "text_tokenizer_fertility",
+    "embedding_pq_distortion_by_dim",
 ]
 
 
@@ -161,8 +174,8 @@ def main() -> None:
     # UI on (random port) purely to expose the REST metrics API: the
     # per-query shuffle/spill numbers come from stage metrics, so
     # SCALE.md's "shuffle bounded by X" claims are measured, not
-    # narrated. Retention raised so 82 queries × 3 passes of jobs and
-    # stages survive until the end-of-run fetch.
+    # narrated. Retention raised so the full headline set × 3 passes
+    # of jobs and stages survives until the end-of-run fetch.
     spark = get_spark(
         "kafkaconnect-spark-bench",
         master=f"local[{cpus}]",

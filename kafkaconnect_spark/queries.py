@@ -3645,3 +3645,12 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R5.items()})
 from kafkaconnect_spark.queries_r6 import R6_CATALOG as _R6  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R6.items()})
+
+# r6 batch 3 — the catalog is a function (not a module dict) because
+# two of its oracles wrap fragments defined ABOVE in this module
+# (_bpe_oracle, BIGRAM_LM_ORACLE); the deferred import inside
+# _catalog() keeps queries_r6b directly importable by tests without a
+# circular-init hazard (same motivation as query_base's docstring)
+from kafkaconnect_spark import queries_r6b as _r6b  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _r6b._catalog().items()})
