@@ -160,6 +160,17 @@ HEADLINE = [
     "docs_chunk_dedup",
     "text_tokenizer_fertility",
     "embedding_pq_distortion_by_dim",
+    # round-6 batch 4
+    "docs_winnowing_plagiarism",
+    "docs_prefix_truncation_dups",
+    "dedup_threshold_sensitivity",
+    "embedding_duplicate_vectors",
+    "similarity_range_search",
+    "events_cms_width_sweep",
+    "docs_dedup_cluster_size_histogram",
+    "events_markov_stationary",
+    "events_dau_mau_stickiness",
+    "embedding_power_iteration_pca",
 ]
 
 

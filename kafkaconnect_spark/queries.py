@@ -3654,3 +3654,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R6.items()})
 from kafkaconnect_spark import queries_r6b as _r6b  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _r6b._catalog().items()})
+
+from kafkaconnect_spark.queries_r6c import R6C_CATALOG as _R6C  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R6C.items()})
