@@ -304,25 +304,33 @@ def docs_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     complement of the Bloom-filter decontam operator: this one audits
     the rate, that one drops the rows).
 
-    Scale shape: train shingles reduce to a distinct projection (one
-    shuffle on the shingle key); the test side LEFT SEMI joins it —
-    keyed, no row explosion; per-lang counts are a tiny groupBy."""
+    Scale shape (r6 rewrite): the split flag is a FUNCTION of doc_id,
+    so it attaches to the exploded shingle table NARROWLY — the
+    original plan equi-joined the corpus-sized shingle table against
+    the doc split on doc_id, a full shuffle that carried every
+    shingle STRING; gone. Shingles travel as 60-bit hashes (the
+    decontaminate_test_split join discipline — collision expectation
+    documented there; the oracle mirrors the hash), so the two
+    remaining shuffles (train distinct, test semi-join) carry 8-byte
+    keys instead of 3-gram strings. Per-lang counts are a tiny
+    groupBy."""
     from kafkaconnect_spark.functions.text import hash64
-    from kafkaconnect_spark.operators import dedup
+    from kafkaconnect_spark.operators import pipeline
 
     docs = _t(spark, sf_dir, "documents")
     is_test = hash64(F.col("doc_id").cast("string"), "contam") % 10 == 0
-    sh = dedup.shingle_table(docs)
-    split = docs.select("doc_id", "lang", is_test.alias("__test"))
-    sh = sh.join(split, "doc_id")
-    train_sh = sh.where(~F.col("__test")).select("shingle").distinct()
+    shh = pipeline._shingle_hashes(docs, "doc_id", "text", 3, "contamsh")
+    shh = shh.withColumn(
+        "__test", hash64(F.col("doc_id").cast("string"), "contam") % 10 == 0
+    )
+    train_sh = shh.where(~F.col("__test")).select("sh_hash").distinct()
     contaminated = (
-        sh.where(F.col("__test"))
-        .join(train_sh, "shingle", "left_semi")
+        shh.where(F.col("__test"))
+        .join(train_sh, "sh_hash", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    test_docs = split.where(F.col("__test"))
+    test_docs = docs.select("doc_id", "lang").where(is_test)
     per_lang = test_docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_test_docs")
     )
@@ -346,16 +354,18 @@ def docs_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFr
 
 CONTAMINATION_ORACLE = rf"""
 WITH {_SHINGLE_CTE},
+shh AS (SELECT doc_id, {_hash64_sql('shingle', 'contamsh')} AS sh_hash,
+               ({_hash64_sql('doc_id', 'contam')} % 10 = 0) AS is_test
+        FROM sh),
 split AS (SELECT doc_id, lang,
                  ({_hash64_sql('doc_id', 'contam')} % 10 = 0) AS is_test
           FROM documents),
-train_sh AS (SELECT DISTINCT shingle
-             FROM sh JOIN split USING (doc_id) WHERE NOT is_test),
+train_sh AS (SELECT DISTINCT sh_hash FROM shh WHERE NOT is_test),
 test_docs AS (SELECT doc_id, lang FROM split WHERE is_test),
 contaminated AS (
-  SELECT DISTINCT sh.doc_id
-  FROM sh JOIN test_docs USING (doc_id)
-       JOIN train_sh USING (shingle)),
+  SELECT DISTINCT shh.doc_id
+  FROM shh JOIN train_sh USING (sh_hash)
+  WHERE shh.is_test),
 per_lang AS (SELECT lang, count(*)::BIGINT AS n_test_docs
              FROM test_docs GROUP BY 1),
 cont AS (SELECT lang, count(*)::BIGINT AS n_contaminated

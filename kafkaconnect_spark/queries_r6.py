@@ -819,34 +819,45 @@ def docs_contamination_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     here as its batch equivalent over event-time windows. A rising
     rate means later crawls increasingly re-collect earlier content.
 
-    Scale shape: train shingles reduce to one (shingle, min_batch)
+    Scale shape (r6 rewrite, same as docs_contamination_ngram_overlap):
+    batch and split flags are FUNCTIONS of doc_id (+ one broadcast
+    max), so they attach to the exploded shingle table narrowly — no
+    corpus-sized doc_id join; shingles travel as 60-bit hashes, not
+    strings. Train shingles reduce to one (sh_hash, min_batch)
     projection — the accumulated-state table, ONE row per distinct
     shingle regardless of batch count; each test shingle joins it
     keyed and the ≤-batch comparison is a residual filter. No
     per-batch rescans."""
     from kafkaconnect_spark.functions.text import hash64
-    from kafkaconnect_spark.operators import dedup
+    from kafkaconnect_spark.operators import pipeline
 
     docs = _t(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").alias("__mx"))
+    batch_of = F.least(
+        F.floor(F.col("doc_id") * 5 / (F.col("__mx") + 1)), F.lit(4)
+    ).cast("int")
+    is_test = hash64(F.col("doc_id").cast("string"), "contam") % 10 == 0
     meta = docs.crossJoin(F.broadcast(mx)).select(
-        "doc_id",
-        F.least(
-            F.floor(F.col("doc_id") * 5 / (F.col("__mx") + 1)), F.lit(4)
-        ).cast("int").alias("batch"),
-        (hash64(F.col("doc_id").cast("string"), "contam") % 10 == 0).alias(
-            "__test"
-        ),
+        "doc_id", batch_of.alias("batch"), is_test.alias("__test")
     )
-    sh = dedup.shingle_table(docs).join(meta, "doc_id")
+    shh = (
+        pipeline._shingle_hashes(docs, "doc_id", "text", 3, "contamsh")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "sh_hash",
+            batch_of.alias("batch"),
+            is_test.alias("__test"),
+        )
+    )
     train_min = (
-        sh.where(~F.col("__test"))
-        .groupBy("shingle")
+        shh.where(~F.col("__test"))
+        .groupBy("sh_hash")
         .agg(F.min("batch").alias("__tb"))
     )
     contaminated = (
-        sh.where(F.col("__test"))
-        .join(train_min, "shingle")
+        shh.where(F.col("__test"))
+        .join(train_min, "sh_hash")
         .where(F.col("__tb") <= F.col("batch"))
         .select("doc_id")
         .distinct()
@@ -877,13 +888,14 @@ meta AS (SELECT doc_id,
                 least((doc_id * 5) // (m + 1), 4)::INT AS batch,
                 ({_hash64_sql('doc_id', 'contam')} % 10 = 0) AS is_test
          FROM documents CROSS JOIN mx),
-shm AS (SELECT sh.doc_id, shingle, batch, is_test
+shm AS (SELECT sh.doc_id, {_hash64_sql('shingle', 'contamsh')} AS sh_hash,
+               batch, is_test
         FROM sh JOIN meta USING (doc_id)),
-train_min AS (SELECT shingle, min(batch) AS tb
+train_min AS (SELECT sh_hash, min(batch) AS tb
               FROM shm WHERE NOT is_test GROUP BY 1),
 contaminated AS (
   SELECT DISTINCT shm.doc_id
-  FROM shm JOIN train_min USING (shingle)
+  FROM shm JOIN train_min USING (sh_hash)
   WHERE is_test AND tb <= batch),
 test_docs AS (SELECT doc_id, batch FROM meta WHERE is_test),
 per_batch AS (SELECT batch, count(*)::BIGINT AS n_test_docs
