@@ -58,6 +58,16 @@ SUBSET = [
     "dedup_lsh_index_lifecycle",
     "dedup_keep_policy",
     "docs_contamination_ngram_overlap",
+    # r6 batch 3/4 shapes new to the ladder: winnowing's capped local-
+    # fingerprint inverted index, the iterative BPE vocab-table rounds,
+    # the single-pass threshold sweep over verified minhash pairs, and
+    # the spectral fixed-point matvec. (dedup_band_sweep is NOT here:
+    # its exact-Jaccard truth side is the proven 31-word-vocab density
+    # artifact — see SCALE_LADDER.json "density_probe".)
+    "docs_winnowing_plagiarism",
+    "text_tokenizer_fertility",
+    "dedup_threshold_sensitivity",
+    "embedding_power_iteration_pca",
 ]
 RUNS = [("sf1", 1.0, "gen_sf1.0"), ("sf10", 10.0, "gen_sf10")]
 
