@@ -134,12 +134,23 @@ def _jaccard_verify(
     """Join candidate pairs back to the doc-level shingle SETS and
     compute exact Jaccard per-row (array_intersect) — the shared
     verify tail of every candidate-generation strategy. Ships each set
-    once per candidate; no shingle-level shuffle."""
+    once per candidate; no shingle-level shuffle.
+
+    Join strategy is pinned to shuffle-hash BUILT ON THE CANDIDATE
+    side: the shingle table's pre-materialization size estimate is
+    the COMPRESSED parquet scan (the arrays decompress ~15-20×), so
+    the planner routinely estimates it under
+    autoBroadcastJoinThreshold and builds a corpus-sized driver
+    HashedRelation — observed as a ~1 GiB broadcast OOM at the sf10
+    ladder. Shuffle-hash keys both sides on the doc id and hashes
+    only the (post-LSH, small) candidate side per partition — no
+    driver-sized build at any scale, and no sort of the corpus-sized
+    shingle rows (which is what makes SMJ the slower pin here)."""
     a = sharr_a.select(F.col(id_col).alias(key_a), F.col("__sh").alias("__sh_a"))
     b = sharr_b.select(F.col(id_col).alias(key_b), F.col("__sh").alias("__sh_b"))
     return (
-        cands.join(a, key_a)
-        .join(b, key_b)
+        cands.hint("shuffle_hash").join(a, key_a)
+        .hint("shuffle_hash").join(b, key_b)
         .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
         .withColumn(
             "jaccard",
@@ -455,11 +466,21 @@ def minhash_lsh_candidates(
 
     rows-per-band r = len(sig)/bands; collision prob ≈ 1-(1-s^r)^b for
     Jaccard s — the standard S-curve. Returns candidate (id_a, id_b)
-    pairs, deduplicated."""
+    pairs, deduplicated.
+
+    The self-join is pinned to sort-merge: both sides are the SAME
+    corpus-sized banded projection, so broadcasting either is wrong at
+    any scale — but post-explode size estimates routinely land under
+    autoBroadcastJoinThreshold and AQE then materializes a
+    corpus-sized HashedRelation on the driver (observed: a ~1 GiB
+    broadcast OOM at the sf10 ladder under heap pressure, while the
+    identical plan had squeaked through earlier in the same session).
+    SMJ shuffles each side once on the bucket key — bounded, linear,
+    and the same cost AQE would pay anyway once estimates are honest."""
     banded = _banded(sigs, bands, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, on=["band", "band_hash"])
+        a.hint("shuffle_merge").join(b, on=["band", "band_hash"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
