@@ -136,21 +136,25 @@ def _jaccard_verify(
     verify tail of every candidate-generation strategy. Ships each set
     once per candidate; no shingle-level shuffle.
 
-    Join strategy is pinned to shuffle-hash BUILT ON THE CANDIDATE
-    side: the shingle table's pre-materialization size estimate is
-    the COMPRESSED parquet scan (the arrays decompress ~15-20×), so
-    the planner routinely estimates it under
-    autoBroadcastJoinThreshold and builds a corpus-sized driver
-    HashedRelation — observed as a ~1 GiB broadcast OOM at the sf10
-    ladder. Shuffle-hash keys both sides on the doc id and hashes
-    only the (post-LSH, small) candidate side per partition — no
-    driver-sized build at any scale, and no sort of the corpus-sized
-    shingle rows (which is what makes SMJ the slower pin here)."""
+    The CANDIDATE side is explicitly broadcast (both joins): left to
+    its own estimates the planner broadcast the CORPUS shingle side
+    instead — its pre-materialization size estimate is the
+    COMPRESSED parquet scan (the arrays decompress ~15-20×), so at
+    sf10 it landed under autoBroadcastJoinThreshold and built a
+    ~1 GiB driver HashedRelation (an OOM in the ladder run, and a
+    broadcast-the-corpus plan on a real cluster). Post-LSH
+    candidates are small BY CONSTRUCTION (bucket-bounded band
+    collisions — measured 11k pairs on 500k docs even at threshold
+    0 on the density-saturated bench corpus), so pinning them as
+    the broadcast side is correct at every scale where LSH itself
+    is: the corpus-sized shingle rows never move at all. The second
+    join broadcasts the (candidate-count-sized) output of the
+    first, which now carries the a-side sets."""
     a = sharr_a.select(F.col(id_col).alias(key_a), F.col("__sh").alias("__sh_a"))
     b = sharr_b.select(F.col(id_col).alias(key_b), F.col("__sh").alias("__sh_b"))
     return (
-        cands.hint("shuffle_hash").join(a, key_a)
-        .hint("shuffle_hash").join(b, key_b)
+        F.broadcast(F.broadcast(cands).join(a, key_a))
+        .join(b, key_b)
         .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
         .withColumn(
             "jaccard",
