@@ -258,6 +258,21 @@ def main() -> None:
     # to that query — the exact numbers SCALE.md is checked against
     spark.sparkContext.setJobGroup("bench-aux", "post-headline workloads")
 
+    # second calibration probe AFTER the headline loop (r6 judge
+    # directive): one probe per run cannot bound INTRA-run VM drift
+    # (measured 1.04-1.62× between same-day runs); when pre and post
+    # disagree beyond 1.15× the record is flagged so a mid-run machine
+    # shift can't silently skew vs_prev adjudication.
+    calibration_post = _calibrate(spark)
+    intra_drift = (
+        round(
+            calibration_post["spark_shuffle_sec"] / calibration["spark_shuffle_sec"],
+            3,
+        )
+        if calibration.get("spark_shuffle_sec")
+        else None
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -266,6 +281,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration": calibration,
+        "calibration_post": calibration_post,
+        "intra_run_drift": intra_drift,
+        "intra_run_drift_alert": bool(
+            intra_drift and (intra_drift > 1.15 or intra_drift < 1 / 1.15)
+        ),
     }
     # the streaming pipeline itself (BASELINE.md operative workload):
     # 25k mixed-DML ops source → topic → sink to end-state parity —
@@ -306,6 +326,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "calibration": calibration,
+        "calibration_post": calibration_post,
+        "intra_run_drift": intra_drift,
+        "intra_run_drift_alert": out["intra_run_drift_alert"],
     }
     if dml is not None:
         summary["dml_parity_wall"] = dml
@@ -338,8 +361,10 @@ def main() -> None:
                 "total_ratio",
                 "total_ratio_normalized",
                 "calibration_factor",
+                "calibration_factor_alert",
                 "new_queries_total",
                 "regressions_over_2x",
+                "regressions_over_2x_raw",
             )
         }
     print(json.dumps(summary))
@@ -566,6 +591,22 @@ def _compare_runs(
         if r > 2.0
         and timings[n] / (factor or 1.0) - prev["queries"][n] > 0.75
     )
+    # raw-ratio flags recorded ALONGSIDE the normalized gate (r6
+    # ADVICE): normalization divides by a probe that runs under the
+    # same session config as the queries, so a framework-wide
+    # regression (bad serializer/shuffle-partitions change) slows the
+    # probe too and launders itself out of the normalized flags. Raw
+    # flags + the factor sanity alert below keep it visible.
+    flagged_raw = sorted(
+        n
+        for n, r in ratios.items()
+        if r > 2.0 and timings[n] - prev["queries"][n] > 0.75
+    )
+    # a calibration factor outside [1/1.5, 1.5] is itself reportable:
+    # either the VM shifted hard (believable on this host, but worth
+    # eyes) or the probe is seeing a code-level slowdown being
+    # normalized away
+    factor_alert = bool(factor and (factor > 1.5 or factor < 1 / 1.5))
     # totals compare ONLY the intersection: the headline set grows
     # every round, so whole-total / whole-total would read as a fake
     # regression whenever new queries are added
@@ -588,6 +629,8 @@ def _compare_runs(
         "ratios": ratios,
         "ratios_normalized": ratios_norm,
         "regressions_over_2x": flagged,
+        "regressions_over_2x_raw": flagged_raw,
+        "calibration_factor_alert": factor_alert,
     }
 
 

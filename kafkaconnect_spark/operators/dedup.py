@@ -52,8 +52,12 @@ def _track_cached(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
     intermediates must stay persisted until ``result`` is materialized
     (they feed both the candidate join and the verify tail), so the
     entry points cannot unpersist eagerly. Long-lived sessions call
-    :func:`release_cached` after collecting/writing the result."""
-    result._kc_cached = cached  # type: ignore[attr-defined]
+    :func:`release_cached` after collecting/writing the result.
+
+    EXTENDS any list already tagged on ``result`` (an operator deeper
+    in the derivation — e.g. _jaccard_verify's candidate persist — may
+    have tagged its own intermediates; overwriting would leak them)."""
+    result._kc_cached = list(getattr(result, "_kc_cached", [])) + list(cached)  # type: ignore[attr-defined]
     return result
 
 
@@ -136,25 +140,44 @@ def _jaccard_verify(
     verify tail of every candidate-generation strategy. Ships each set
     once per candidate; no shingle-level shuffle.
 
-    The CANDIDATE side is explicitly broadcast (both joins): left to
-    its own estimates the planner broadcast the CORPUS shingle side
-    instead — its pre-materialization size estimate is the
-    COMPRESSED parquet scan (the arrays decompress ~15-20×), so at
-    sf10 it landed under autoBroadcastJoinThreshold and built a
-    ~1 GiB driver HashedRelation (an OOM in the ladder run, and a
-    broadcast-the-corpus plan on a real cluster). Post-LSH
-    candidates are small BY CONSTRUCTION (bucket-bounded band
-    collisions — measured 11k pairs on 500k docs even at threshold
-    0 on the density-saturated bench corpus), so pinning them as
-    the broadcast side is correct at every scale where LSH itself
-    is: the corpus-sized shingle rows never move at all. The second
-    join broadcasts the (candidate-count-sized) output of the
-    first, which now carries the a-side sets."""
+    Broadcast discipline (two failure classes, one from each side):
+
+    - Left to its own estimates the planner broadcast the CORPUS
+      shingle side — its pre-materialization size estimate is the
+      COMPRESSED parquet scan (the arrays decompress ~15-20×), so at
+      sf10 it landed under autoBroadcastJoinThreshold and built a
+      ~1 GiB driver HashedRelation (an OOM in the r6 ladder run).
+    - The r6 interim fix broadcast the candidate side of BOTH joins —
+      but the second broadcast shipped candidates JOINED with their
+      full a-side shingle arrays, and candidate count is
+      data-dependent (one hot band bucket with m colliding docs is
+      O(m²) pairs; queries_r6b calls this with threshold=0), so on a
+      boilerplate-heavy corpus the forced hint was a guaranteed
+      driver OOM on the other side (r6 ADVICE).
+
+    Shape that is safe from both: only BARE ids ever broadcast. The
+    candidate pairs (two ids/row) broadcast into the a-side join and,
+    as a distinct-key semi-filter, prune the b-side corpus scan in
+    place — the corpus never moves and never hits the driver. The
+    final join carries the arrays but both inputs are now
+    candidate-bounded, and it is PINNED sort-merge: a
+    candidate-volume shuffle, never a driver materialization,
+    whatever the collision blowup. ``cands`` feeds two consumers
+    (pair broadcast + semi-filter), so it is persisted here and
+    tagged onto the result for the caller's release_cached."""
+    from pyspark import StorageLevel
+
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     a = sharr_a.select(F.col(id_col).alias(key_a), F.col("__sh").alias("__sh_a"))
     b = sharr_b.select(F.col(id_col).alias(key_b), F.col("__sh").alias("__sh_b"))
-    return (
-        F.broadcast(F.broadcast(cands).join(a, key_a))
-        .join(b, key_b)
+    b_pruned = b.join(
+        F.broadcast(cands.select(key_b).distinct()), key_b, "left_semi"
+    )
+    out = (
+        F.broadcast(cands)
+        .join(a, key_a)
+        .hint("merge")
+        .join(b_pruned, key_b)
         .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
         .withColumn(
             "jaccard",
@@ -167,6 +190,7 @@ def _jaccard_verify(
         .where(F.col("jaccard") >= threshold)
         .select(key_a, key_b, "jaccard")
     )
+    return _track_cached(out, [cands])
 
 
 def ngram_jaccard_pairs(

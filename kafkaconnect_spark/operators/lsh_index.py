@@ -23,7 +23,11 @@ that index's lifecycle:
   state).
 - ``compact``  — rewrite the accumulated append deltas (minus
   tombstoned docs) into one deduplicated, band_hash-clustered table
-  generation and clear the tombstone log.
+  generation; applied tombstones drop from the log, entries landing
+  after compact's snapshot carry forward.
+
+Writers (build/append/delete/compact) are SINGLE-WRITER, enforced by
+a lock file (``_writer_lock``); readers never block.
 
 Versioned layout (the lakehouse commit pattern — compaction never
 rewrites in place; readers pin the generation named by the manifest,
@@ -62,6 +66,7 @@ repartition per table — linear, and amortized across many appends.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -78,6 +83,55 @@ from kafkaconnect_spark.operators.dedup import (
     _track_cached,
     shingle_arrays,
 )
+
+
+class IndexWriterLockError(RuntimeError):
+    """A second writer tried to mutate the index concurrently."""
+
+
+@contextlib.contextmanager
+def _writer_lock(index_dir: str):
+    """Single-writer mutual exclusion for build/append/delete/compact
+    (r6 ADVICE): without it, a delete() or append() landing between a
+    compact's table snapshot and its manifest commit is silently
+    discarded in v+1 — for tombstones that silently loses a GDPR
+    erasure. Readers (match) never take the lock: they pin the
+    generation named by the manifest and are unaffected by writers.
+
+    O_CREAT|O_EXCL on a lock file is atomic on posix local/NFS; the
+    holder's pid is recorded so a conflict names it. A crashed
+    writer's stale lock must be removed by the operator (the error
+    says so) — auto-breaking on pid-liveness would be wrong on
+    multi-host object storage, the deployment this layout targets.
+
+    Acquisition also sweeps `.staging/` leftovers from a previously
+    interrupted writer (safe precisely because the lock guarantees no
+    other writer is mid-stage)."""
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, ".writer.lock")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(path) as fh:
+                holder = fh.read().strip() or "unknown"
+        except OSError:
+            holder = "unknown"
+        raise IndexWriterLockError(
+            f"another writer holds {path} ({holder}); index mutations are "
+            "single-writer — wait for it, or delete the lock file if its "
+            "process is dead"
+        ) from None
+    try:
+        os.write(fd, f"pid={os.getpid()}".encode())
+        os.close(fd)
+        staging_root = os.path.join(index_dir, ".staging")
+        if os.path.isdir(staging_root):
+            shutil.rmtree(staging_root, ignore_errors=True)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(path)
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -152,6 +206,15 @@ def build(
     Banding params (and the default verify threshold) are pinned in
     the manifest; match/append replay them from there."""
     _check_banding(num_hashes, bands)
+    with _writer_lock(index_dir):
+        _build_locked(
+            corpus, index_dir, num_hashes, bands, n, threshold, text_col, id_col
+        )
+
+
+def _build_locked(
+    corpus, index_dir, num_hashes, bands, n, threshold, text_col, id_col
+) -> None:
     sh = shingle_arrays(corpus, text_col, id_col, n)
     sh.write.mode("errorifexists").parquet(_table_path(index_dir, "shingles", 1))
     sh = corpus.sparkSession.read.parquet(_table_path(index_dir, "shingles", 1))
@@ -198,6 +261,29 @@ def match(
     banding and the verify join) and tagged via _track_cached —
     callers release with dedup.release_cached(result) after
     materializing."""
+    pairs, _sh_new = _match(
+        spark, index_dir, new_batch, threshold, num_hashes, bands, n,
+        text_col, id_col,
+    )
+    return pairs
+
+
+def _match(
+    spark: SparkSession,
+    index_dir: str,
+    new_batch: DataFrame,
+    threshold=None,
+    num_hashes=None,
+    bands=None,
+    n=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """match() plus the live persisted batch-shingle handle, so append
+    can write its index deltas from the SAME cache instead of
+    re-shingling the batch a second time (r6 ADVICE). Returns
+    (pairs, sh_new); sh_new is already tagged on pairs._kc_cached, so
+    releasing pairs releases it."""
     from pyspark import StorageLevel
 
     idx_sh, idx_bands, m = _tables(spark, index_dir)
@@ -230,7 +316,7 @@ def match(
     pairs = _jaccard_verify(
         cands, sh_new, idx_sh, threshold, "id_new", "id_corpus", id_col
     )
-    return _track_cached(pairs, [sh_new])
+    return _track_cached(pairs, [sh_new]), sh_new
 
 
 def _stage_then_move(df: DataFrame, index_dir: str, table: str, version: int) -> None:
@@ -270,38 +356,37 @@ def append(
     Note: a tombstoned id re-appended here stays suppressed until the
     next compact clears the tombstone log (tombstone wins within a
     generation) — append-after-delete-after-compact re-adds it."""
-    from pyspark import StorageLevel
-
-    m = _read_manifest(index_dir)
-    num_hashes, bands, n = _check_params(m, num_hashes, bands, n)
-    v = m["version"]
-    pairs = match(
-        spark,
-        index_dir,
-        new_batch,
-        threshold=threshold,
-        text_col=text_col,
-        id_col=id_col,
-    )
-    report = os.path.join(index_dir, "reports", f"v{v}-{uuid.uuid4().hex[:12]}")
-    pairs.write.mode("errorifexists").parquet(report)
-    # release match's tracked batch cache BEFORE re-deriving the
-    # delta frames: persisting the identical shingle plan while the
-    # old entry is live would only re-hit it (CacheManager matches
-    # analyzed plans) and warn 'already cached'
     from kafkaconnect_spark.operators.dedup import release_cached
 
-    release_cached(pairs)
-    sh_new = shingle_arrays(new_batch, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    b_new = _banded(_signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col)
-    # stage both deltas fully, then move — shingles first (see module
-    # docstring for the ordering rationale)
-    _stage_then_move(sh_new, index_dir, "shingles", v)
-    _stage_then_move(b_new, index_dir, "bands", v)
-    sh_new.unpersist()
-    return spark.read.parquet(report)
+    with _writer_lock(index_dir):
+        m = _read_manifest(index_dir)
+        num_hashes, bands, n = _check_params(m, num_hashes, bands, n)
+        v = m["version"]
+        pairs, sh_new = _match(
+            spark,
+            index_dir,
+            new_batch,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        report = os.path.join(index_dir, "reports", f"v{v}-{uuid.uuid4().hex[:12]}")
+        pairs.write.mode("errorifexists").parquet(report)
+        # the index deltas derive from _match's still-live sh_new cache
+        # — the batch is shingled exactly ONCE per append (r6 ADVICE;
+        # the report write above also materialized the cache, so these
+        # writes replay it instead of recomputing). sh_new reads only
+        # the BATCH's lineage, so neither the report write nor the
+        # delta moves below can refreshByPath-invalidate it.
+        b_new = _banded(
+            _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
+        )
+        # stage both deltas fully, then move — shingles first (see
+        # module docstring for the ordering rationale)
+        _stage_then_move(sh_new, index_dir, "shingles", v)
+        _stage_then_move(b_new, index_dir, "bands", v)
+        release_cached(pairs)  # sh_new + verify's candidate cache
+        return spark.read.parquet(report)
 
 
 def delete(spark: SparkSession, index_dir: str, ids) -> int:
@@ -311,83 +396,120 @@ def delete(spark: SparkSession, index_dir: str, ids) -> int:
     one-column DataFrame or a plain list of id values. Returns the
     number of ids tombstoned (after de-dup against the existing log).
     """
-    m = _read_manifest(index_dir)
-    v = m["version"]
-    id_col = m.get("id_col", "doc_id")
-    tomb_path = _table_path(index_dir, "tombstones", v)
-    existing = spark.read.parquet(tomb_path)
-    if isinstance(ids, DataFrame):
-        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        ids_df = spark.createDataFrame(
-            [(i,) for i in ids], schema=existing.schema
-        )
-    fresh = ids_df.distinct().join(existing, id_col, "left_anti")
-    n_new = fresh.count()
-    if n_new:
-        _stage_then_move(fresh, index_dir, "tombstones", v)
-    return n_new
+    with _writer_lock(index_dir):
+        m = _read_manifest(index_dir)
+        v = m["version"]
+        id_col = m.get("id_col", "doc_id")
+        tomb_path = _table_path(index_dir, "tombstones", v)
+        existing = spark.read.parquet(tomb_path)
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            ids_df = spark.createDataFrame(
+                [(i,) for i in ids], schema=existing.schema
+            )
+        fresh = ids_df.distinct().join(existing, id_col, "left_anti")
+        n_new = fresh.count()
+        if n_new:
+            _stage_then_move(fresh, index_dir, "tombstones", v)
+        return n_new
+
+
+# test seam (tests/test_lsh_index.py): runs inside compact right after
+# its tombstone snapshot, standing in for a concurrent writer that
+# bypassed the lock — the only way to exercise carry-forward, which is
+# unreachable under the lock by design
+_POST_SNAPSHOT_HOOK = None
 
 
 def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
     """Rewrite the current generation (base + append deltas, minus
     tombstoned docs) as generation v+1: one row per doc in
     `shingles`, distinct rows in `bands` clustered (repartitioned) by
-    band_hash so a batch join scans only matching clusters, and an
-    emptied tombstone log. Each table is written to a uuid staging
-    dir and renamed into v{N+1} before the manifest commits
-    atomically; stale unreferenced v{N+1} dirs from an interrupted
-    prior compact are removed on entry. The old generation stays
-    readable for pinned readers. Returns {"version", "n_docs",
-    "n_band_rows", "n_tombstones_dropped", "n_files_before/after"}."""
-    idx_sh, idx_bands, m = _tables(spark, index_dir)
-    v = m["version"]
-    id_col = m.get("id_col", "doc_id")
-    tomb = _tombstones(spark, index_dir, v)
-    n_tomb = tomb.count()
+    band_hash so a batch join scans only matching clusters, and the
+    tombstone log reduced to exactly the entries compact did NOT
+    apply. Each table is written to a uuid staging dir and renamed
+    into v{N+1} before the manifest commits atomically; stale
+    unreferenced v{N+1} dirs from an interrupted prior compact are
+    removed on entry. The old generation stays readable for pinned
+    readers. Returns {"version", "n_docs", "n_band_rows",
+    "n_tombstones_dropped", "n_files_before/after"}.
 
-    def _n_files(table: str, version: int) -> int:
-        p = _table_path(index_dir, table, version)
-        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    Tombstone handling (r6 ADVICE): the applied tombstone set is the
+    part-file SNAPSHOT taken here, and the v+1 log carries forward any
+    entries that land after it instead of being cleared wholesale.
+    Under the writer lock no late entry can appear, so this is defense
+    in depth for the GDPR path — if the lock is ever bypassed (manual
+    removal of a stale lock racing a live writer), a late delete()
+    survives into v+1 suppressed-but-uncompacted rather than being
+    silently discarded."""
+    with _writer_lock(index_dir):
+        idx_sh, idx_bands, m = _tables(spark, index_dir)
+        v = m["version"]
+        id_col = m.get("id_col", "doc_id")
+        tomb_dir = _table_path(index_dir, "tombstones", v)
+        snap_files = sorted(
+            f for f in os.listdir(tomb_dir) if f.endswith(".parquet")
+        )
+        tomb = spark.read.parquet(*[os.path.join(tomb_dir, f) for f in snap_files])
+        n_tomb = tomb.count()
+        if _POST_SNAPSHOT_HOOK is not None:  # test seam: simulate a
+            _POST_SNAPSHOT_HOOK()  # writer that bypassed the lock
 
-    files_before = _n_files("shingles", v) + _n_files("bands", v)
+        def _n_files(table: str, version: int) -> int:
+            p = _table_path(index_dir, table, version)
+            return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
 
-    def _commit_table(df: DataFrame, table: str) -> None:
-        staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
-        df.write.mode("errorifexists").parquet(staging)
-        dest = _table_path(index_dir, table, v + 1)
-        if os.path.exists(dest):
-            # unreferenced leftover of an interrupted compact (the
-            # manifest still names v, so nothing reads v+1) — safe to
-            # clear; without this a crash would wedge every future
-            # compact on errorifexists
-            shutil.rmtree(dest)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        os.replace(staging, dest)
+        files_before = _n_files("shingles", v) + _n_files("bands", v)
 
-    tomb_keyed = tomb.withColumnRenamed(tomb.columns[0], id_col)
-    sh_c = (
-        idx_sh.dropDuplicates([idx_sh.columns[0]])
-        .join(F.broadcast(tomb_keyed), id_col, "left_anti")
-        .repartition(n_buckets)
-    )
-    _commit_table(sh_c, "shingles")
-    bands_c = (
-        idx_bands.distinct()
-        .join(F.broadcast(tomb_keyed), id_col, "left_anti")
-        .repartition(n_buckets, "band_hash")
-    )
-    _commit_table(bands_c, "bands")
-    _commit_table(tomb.limit(0), "tombstones")  # erasure is now physical
-    m2 = dict(m)
-    m2["version"] = v + 1
-    _write_manifest(index_dir, m2)
-    new_sh, new_bands, _ = _tables(spark, index_dir)
-    return {
-        "version": v + 1,
-        "n_docs": new_sh.count(),
-        "n_band_rows": new_bands.count(),
-        "n_tombstones_dropped": n_tomb,
-        "n_files_before": files_before,
-        "n_files_after": _n_files("shingles", v + 1) + _n_files("bands", v + 1),
-    }
+        def _commit_table(df: DataFrame, table: str) -> None:
+            staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
+            df.write.mode("errorifexists").parquet(staging)
+            dest = _table_path(index_dir, table, v + 1)
+            if os.path.exists(dest):
+                # unreferenced leftover of an interrupted compact (the
+                # manifest still names v, so nothing reads v+1) — safe
+                # to clear; without this a crash would wedge every
+                # future compact on errorifexists
+                shutil.rmtree(dest)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(staging, dest)
+
+        tomb_keyed = tomb.withColumnRenamed(tomb.columns[0], id_col)
+        sh_c = (
+            idx_sh.dropDuplicates([idx_sh.columns[0]])
+            .join(F.broadcast(tomb_keyed), id_col, "left_anti")
+            .repartition(n_buckets)
+        )
+        _commit_table(sh_c, "shingles")
+        bands_c = (
+            idx_bands.distinct()
+            .join(F.broadcast(tomb_keyed), id_col, "left_anti")
+            .repartition(n_buckets, "band_hash")
+        )
+        _commit_table(bands_c, "bands")
+        # applied tombstones drop (erasure is now physical); any entry
+        # written AFTER the snapshot carries forward into the v+1 log
+        late_files = [
+            os.path.join(tomb_dir, f)
+            for f in os.listdir(tomb_dir)
+            if f.endswith(".parquet") and f not in snap_files
+        ]
+        late = (
+            spark.read.parquet(*late_files).join(tomb, tomb.columns[0], "left_anti")
+            if late_files
+            else tomb.limit(0)
+        )
+        _commit_table(late, "tombstones")
+        m2 = dict(m)
+        m2["version"] = v + 1
+        _write_manifest(index_dir, m2)
+        new_sh, new_bands, _ = _tables(spark, index_dir)
+        return {
+            "version": v + 1,
+            "n_docs": new_sh.count(),
+            "n_band_rows": new_bands.count(),
+            "n_tombstones_dropped": n_tomb,
+            "n_files_before": files_before,
+            "n_files_after": _n_files("shingles", v + 1) + _n_files("bands", v + 1),
+        }

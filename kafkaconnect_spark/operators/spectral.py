@@ -73,6 +73,25 @@ def matvec_fixed_point(
     )
 
 
+def _norm_agg(s_df: DataFrame, k: int) -> DataFrame:
+    """1-row (__norm) = ‖s‖₂ of the fixed-point coefficient column,
+    overflow-safe (r6 ADVICE): squaring the raw bigint as
+    decimal(19,0)² summed into decimal(38,0) overflows to NULL (ANSI
+    off) once |s| nears 9e18 on a large corpus. Prescale instead by
+    the power of two that keeps each |s| div 2^kk under 2^26 (``k`` =
+    bit length of max|s|): the squares (<2^52) and their D-term sum
+    (<2^58 for D ≤ 64) stay exact bigints in any engine,
+    order-independent; the final sqrt → ×2^kk is two
+    correctly-rounded double ops the oracle replays bit-identically
+    (abs(s) >> kk on its side). The dropped low bits perturb the norm
+    by ~2⁻²⁶ relative — far inside the 6-decimal output rounding."""
+    kk = max(k - 26, 0)
+    t = F.expr(f"abs(s) div {2 ** kk}")
+    return s_df.agg(
+        (F.sqrt(F.sum(t * t).cast("double")) * F.lit(float(2**kk))).alias("__norm")
+    )
+
+
 def power_iteration_top_component(
     embeddings: DataFrame,
     rounds: int = 2,
@@ -109,8 +128,7 @@ def power_iteration_top_component(
         s_ints = {r.dim: r.s for r in s_df.collect()}  # D exact bigints
         k = max(max(abs(x) for x in s_ints.values()).bit_length(), 1)
         v = [s_ints[j] / float(2**k) for j in range(dim)]  # /2^k: exact
-    s19 = F.col("s").cast("decimal(19,0)")
-    norm = s_df.agg(F.sqrt(F.sum(s19 * s19).cast("double")).alias("__norm"))
+    norm = _norm_agg(s_df, k)
     return _track_cached(
         s_df.crossJoin(F.broadcast(norm))
         .join(mu_rows, "dim")

@@ -779,8 +779,11 @@ s2 AS (SELECT u.j, sum(round((vec[j] - ml[j]) * dd * 1e7)::BIGINT) AS s
        FROM d2 CROSS JOIN mul
             CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS j) u
        GROUP BY u.j),
-nrm AS (SELECT sqrt(sum(s::DECIMAL(19,0) * s::DECIMAL(19,0))::DOUBLE) AS nn
-        FROM s2)
+k2 AS (SELECT greatest(greatest(length(bin(max(abs(s)))), 1) - 26, 0) AS kk
+       FROM s2),
+nrm AS (SELECT sqrt(sum((abs(s) >> kk) * (abs(s) >> kk))::DOUBLE)
+               * pow(2.0, max(kk)) AS nn
+        FROM s2 CROSS JOIN k2)
 SELECT (s2.j - 1)::INT AS dim, round(mu.m, 6) AS mean,
        round(s2.s / nrm.nn, 6) AS component
 FROM s2 JOIN mu ON mu.j = s2.j CROSS JOIN nrm

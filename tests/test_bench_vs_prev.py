@@ -84,3 +84,35 @@ def test_sub_second_noise_not_flagged():
     calib = {"cpu_matmul_sec": 0.02, "spark_shuffle_sec": 1.0}
     out = bench._compare_runs(timings, prev, "base", calib)
     assert out["regressions_over_2x"] == []
+
+
+def test_uniform_drift_still_visible_in_raw_flags_and_factor_alert():
+    """Normalization must not LAUNDER a framework-wide slowdown (r6
+    ADVICE): a uniform 2.5× — whether VM drift or a bad session-config
+    change — stays out of the normalized gate but lands in the raw
+    flags AND trips the calibration-factor sanity band."""
+    prev = _prev({"a": 1.0, "b": 2.0}, shuffle_sec=1.0)
+    timings = {"a": 2.5, "b": 5.0}
+    calib = {"cpu_matmul_sec": 0.05, "spark_shuffle_sec": 2.5}
+    out = bench._compare_runs(timings, prev, "base", calib)
+    assert out["regressions_over_2x"] == []
+    assert out["regressions_over_2x_raw"] == ["a", "b"]
+    assert out["calibration_factor_alert"] is True
+
+
+def test_factor_inside_band_no_alert():
+    prev = _prev({"a": 1.0}, shuffle_sec=1.0)
+    calib = {"cpu_matmul_sec": 0.02, "spark_shuffle_sec": 1.3}
+    out = bench._compare_runs({"a": 1.2}, prev, "base", calib)
+    assert out["calibration_factor_alert"] is False
+    assert out["regressions_over_2x_raw"] == []
+
+
+def test_fast_machine_factor_alert_fires_low_side():
+    """A probe 2× FASTER than the baseline's is as reportable as a
+    slower one — the band is symmetric."""
+    prev = _prev({"a": 2.0}, shuffle_sec=2.0)
+    calib = {"cpu_matmul_sec": 0.01, "spark_shuffle_sec": 0.9}
+    out = bench._compare_runs({"a": 1.9}, prev, "base", calib)
+    assert out["calibration_factor"] == 0.45
+    assert out["calibration_factor_alert"] is True

@@ -164,3 +164,92 @@ def test_degree_distribution_buckets(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 7: 2, 8: 3, 1024: 10}
+
+
+def test_writer_lock_excludes_second_writer(spark, index):
+    """append/delete/compact are single-writer (r6 ADVICE): a held
+    lock makes any concurrent mutation raise instead of silently
+    losing its work at the next compact."""
+    with lsh_index._writer_lock(index):
+        with pytest.raises(lsh_index.IndexWriterLockError, match="single-writer"):
+            lsh_index.delete(spark, index, [1])
+        with pytest.raises(lsh_index.IndexWriterLockError):
+            lsh_index.append(spark, index, _docs(spark, BATCH1))
+        with pytest.raises(lsh_index.IndexWriterLockError):
+            lsh_index.compact(spark, index)
+    # released on exit: mutations work again
+    assert lsh_index.delete(spark, index, [3]) == 1
+
+
+def test_writer_lock_sweeps_stale_staging(spark, index):
+    stale = os.path.join(index, ".staging", "deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "w") as fh:
+        fh.write("x")
+    lsh_index.append(spark, index, _docs(spark, BATCH1), threshold=0.5)
+    # an interrupted writer's orphaned staging dir is gone, and the
+    # append's own staging left nothing behind
+    staging_root = os.path.join(index, ".staging")
+    assert not os.path.isdir(stale)
+    assert not os.path.isdir(staging_root) or not os.listdir(staging_root)
+
+
+def test_compact_carries_forward_late_tombstones(spark, index):
+    """A tombstone written after compact's snapshot (lock bypassed —
+    simulated via the post-snapshot test seam) survives into the v+1
+    log instead of being cleared wholesale: the GDPR erasure stays
+    suppressed."""
+    import shutil as _sh
+
+    lsh_index.delete(spark, index, [2])  # applied by the compact below
+    v = lsh_index._read_manifest(index)["version"]
+    tomb_dir = lsh_index._table_path(index, "tombstones", v)
+
+    def late_delete():
+        # a late delete() lands after compact's snapshot: write a
+        # tombstone part file for doc 3 directly (the real delete()
+        # would block on the lock)
+        late = spark.createDataFrame([(3,)], "doc_id long")
+        tmp = os.path.join(index, "__late")
+        late.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                _sh.move(os.path.join(tmp, f), os.path.join(tomb_dir, "late-" + f))
+        _sh.rmtree(tmp)
+
+    try:
+        lsh_index._POST_SNAPSHOT_HOOK = late_delete
+        res = lsh_index.compact(spark, index)
+    finally:
+        lsh_index._POST_SNAPSHOT_HOOK = None
+    assert res["n_tombstones_dropped"] == 1  # doc 2 (the snapshot)
+    # doc 2 physically gone, doc 3's late tombstone carried forward
+    sh_new, _, m = lsh_index._tables(spark, index)
+    assert m["version"] == v + 1
+    ids = {r.doc_id for r in sh_new.select("doc_id").collect()}
+    assert 2 not in ids and 3 in ids  # 3 compacts later, suppressed now
+    carried = {
+        r.doc_id
+        for r in lsh_index._tombstones(spark, index, v + 1).collect()
+    }
+    assert carried == {3}
+    # and the suppression is live: a near-dup of 3 must not match it
+    pairs = lsh_index.match(
+        spark, index, _docs(spark, [(30, "p q r s t u v w")]), threshold=0.5
+    )
+    assert all(r.id_corpus != 3 for r in pairs.collect())
+
+
+def test_append_shingles_batch_exactly_once(spark, index, monkeypatch):
+    """append writes its index deltas from match's live batch-shingle
+    cache — one shingle_arrays call per append (r6 ADVICE), not two."""
+    calls: list[int] = []
+    orig = lsh_index.shingle_arrays
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(lsh_index, "shingle_arrays", counted)
+    lsh_index.append(spark, index, _docs(spark, BATCH1), threshold=0.5)
+    assert len(calls) == 1

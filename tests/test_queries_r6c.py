@@ -224,3 +224,21 @@ def test_power_iteration_two_rounds_deterministic(spark):
         for r in embedding_power_iteration_pca(spark, SF).collect()
     }
     assert a == b and len(a) == 64
+
+
+def test_norm_agg_survives_huge_coefficients(spark):
+    """The final-norm aggregation must stay finite (not NULL) when the
+    fixed-point coefficients approach the bigint range — the
+    decimal(19,0)² formulation overflowed decimal(38,0) to NULL there
+    (r6 ADVICE). Prescaled integer form: exact to ~2⁻²⁶ relative."""
+    import math
+
+    from kafkaconnect_spark.operators.spectral import _norm_agg
+
+    vals = [(-1) ** j * (9_000_000_000_000_000_000 - j * 17) for j in range(64)]
+    s_df = spark.createDataFrame([(v,) for v in vals], "s long")
+    k = max(abs(v) for v in vals).bit_length()
+    got = _norm_agg(s_df, k).collect()[0]["__norm"]
+    want = math.sqrt(sum(v * v for v in vals))  # exact python ints
+    assert got is not None and math.isfinite(got)
+    assert abs(got - want) / want < 1e-7
