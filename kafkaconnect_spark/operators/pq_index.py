@@ -1,0 +1,355 @@
+"""Persistent IVF-PQ vector-index lifecycle — build / match / append /
+delete / compact.
+
+`ivfpq_ann_topk` (operators/similarity.py) has the right SEARCH shape
+but re-derives cell assignments and PQ codes from raw embeddings on
+every invocation — the re-sign-the-corpus pattern operators/
+lsh_index.py eliminated for text (r6). This module is the vector
+twin: the corpus is coded ONCE, the quantizers are manifest-pinned,
+and the steady state reads only the stored codes:
+
+- ``build``   — train/derive the coarse centroids + PQ codebooks,
+  code the corpus, write ONE parquet table ``codes`` (id, cell,
+  code_0..code_{n_sub-1}) clustered by cell. No vectors are stored —
+  the index is the compressed representation (the memory step that
+  makes billion-scale ANN fit RAM); exact re-rank fetches true
+  vectors from the CALLER's vector store by keyed join.
+- ``match``   — READ-ONLY ANN: probe the query's n_probe nearest
+  cells (manifest centroids), ADC-score the stored codes (per-query
+  lookup table over manifest codebooks — the corpus is never
+  re-coded), shortlist, exact re-rank against the caller's vector
+  table. Tombstoned ids are excluded before candidate generation, so
+  erased vectors stop matching immediately.
+- ``append``  — code a new batch against the MANIFEST quantizers (a
+  batch-sized map stage; zero corpus reads) and add it to the codes
+  table so later matches see it.
+- ``delete``  — GDPR/tombstone erasure for vectors: ids stop
+  matching immediately; rows physically drop at the next compact
+  (the reference's tombstone→delete sink contract — 실습수행/JDBC
+  Sink Connector 실습.md:331-363 — applied to vector-index state).
+- ``compact`` — rewrite base + append deltas minus tombstones as
+  generation v+1, re-clustered by cell; tombstones landing after the
+  snapshot carry forward (never silently dropped).
+
+Layout mirrors operators/lsh_index.py (manifest-pinned generations,
+uuid-staged atomic commits, single-writer lock; see that module for
+the commit-protocol rationale):
+
+    index_dir/MANIFEST.json     {"version": N, "n_cells", "n_sub",
+                                 "n_codes", "dim", "id_col", "vec_col",
+                                 "train_rounds", "centroids", "codebooks"}
+    index_dir/codes/v{N}/*.parquet
+    index_dir/tombstones/v{N}/*.parquet
+
+The quantizers THEMSELVES live in the manifest (n_cells×dim +
+n_sub×n_codes×subdim floats — a few KB; json float repr round-trips
+exactly): an append coding against different centroids or codebooks
+would silently place vectors in a different metric space, so
+match/append always replay the manifest values — there is no way to
+pass divergent ones.
+
+Quantizer choice at build: ``train_rounds=0`` (default) keeps the
+deterministic lowest-id rule every engine replays bit-exactly;
+``train_rounds=R`` runs R fixed Lloyd rounds (similarity.
+_lloyd_centroids — decimal-exact means, deterministic init/ties) for
+the coarse cells and each PQ subspace, which an oracle replays as
+chained SQL CTEs. Same machinery, better recall (measured in
+queries_r7.embedding_ivfpq_trained_recall).
+
+Scale shape: match streams (id, cell, n_sub small ints) — candidates
+never carry vectors; probes + LUTs broadcast; the only corpus-sized
+I/O is the pruned codes scan. append/build are single map stages.
+compact is one distinct + anti-join + repartition — linear, amortized
+across many appends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.operators.lsh_index import (
+    _manifest_path,
+    _stage_then_move,
+    _table_path,
+    _write_manifest,
+    _writer_lock,
+)
+from kafkaconnect_spark.operators.similarity import (
+    _adc_rerank,
+    _infer_dim,
+    _ivf_sql,
+    _lloyd_centroids,
+    _pq_codebooks,
+    _pq_probes,
+    _pq_sub_argmin,
+    _with_norms,
+)
+
+# test seam (tests/test_pq_index.py): as in lsh_index.compact — runs
+# after compact's tombstone snapshot to simulate a lock-bypassing
+# concurrent writer, the only way to exercise carry-forward
+_POST_SNAPSHOT_HOOK = None
+
+
+def _read_manifest(index_dir: str) -> dict:
+    with open(_manifest_path(index_dir)) as fh:
+        m = json.load(fh)
+    if "codebooks" not in m or "centroids" not in m:
+        raise ValueError(
+            f"index at {index_dir} has no quantizers in its manifest; "
+            "rebuild it — centroids/codebooks must be manifest-pinned so an "
+            "append can never silently code in a different metric space"
+        )
+    return m
+
+
+def _quantizers(m: dict):
+    """(cents_with_norms, books, subdim) from the manifest."""
+    cents = _with_norms([(cid, vec) for cid, vec in m["centroids"]])
+    return cents, m["codebooks"], m["dim"] // m["n_sub"]
+
+
+def _code_cols(books: list, d: int, n_sub: int, vec_col: str) -> list:
+    """The PQ code-assignment columns — the CODING kernel. Called by
+    build/append only; the steady-state match test pins that it never
+    runs there (zero corpus re-coding)."""
+    return [
+        F.expr(_pq_sub_argmin(books, s, d, vec_col)[0]).alias(f"code_{s}")
+        for s in range(n_sub)
+    ]
+
+
+def _coded(
+    vecs: DataFrame, cents, books, d: int, n_sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell, code_*) — one narrow map stage over the vectors: the
+    coarse-cell argmax and per-subspace code argmins are folded
+    literal expressions; nothing shuffles."""
+    norm_sql, cell_scores_sql = _ivf_sql(cents)
+    return vecs.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("__nv")
+    ).select(
+        F.col(id_col),
+        F.expr(f"array_max({cell_scores_sql(vec_col)}).cent_id").alias("cell"),
+        *_code_cols(books, d, n_sub, vec_col),
+    )
+
+
+def build(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_cells: int = 8,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    train_rounds: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_buckets: int = 8,
+) -> None:
+    """Create generation v1: derive (or train) the quantizers, pin
+    them in the manifest, and code the corpus once."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d = dim // n_sub
+    with _writer_lock(index_dir):
+        vecs = embeddings.where(F.size(vec_col) > 0).select(
+            F.col(id_col), F.col(vec_col)
+        )
+        if train_rounds:
+            cvecs = _lloyd_centroids(vecs, n_cells, train_rounds, id_col, vec_col)
+            cent_pairs = [[i, v] for i, v in enumerate(cvecs)]
+            books = [
+                _lloyd_centroids(
+                    vecs.select(
+                        F.col(id_col),
+                        F.expr(f"slice({vec_col}, {s * d + 1}, {d})").alias("__sub"),
+                    ),
+                    n_codes,
+                    train_rounds,
+                    id_col,
+                    "__sub",
+                )
+                for s in range(n_sub)
+            ]
+        else:
+            rows = (
+                vecs.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+            )
+            cent_pairs = [[r[0], [float(x) for x in r[1]]] for r in rows]
+            books, d = _pq_codebooks(vecs, n_sub, n_codes, dim, id_col, vec_col)
+        cents = _with_norms([(c, v) for c, v in cent_pairs])
+        coded = _coded(vecs, cents, books, d, n_sub, id_col, vec_col).repartition(
+            n_buckets, "cell"
+        )
+        coded.write.mode("errorifexists").parquet(_table_path(index_dir, "codes", 1))
+        vecs.select(id_col).limit(0).write.mode("errorifexists").parquet(
+            _table_path(index_dir, "tombstones", 1)
+        )
+        _write_manifest(
+            index_dir,
+            {
+                "version": 1,
+                "n_cells": n_cells,
+                "n_sub": n_sub,
+                "n_codes": n_codes,
+                "dim": dim,
+                "train_rounds": train_rounds,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "centroids": cent_pairs,
+                "codebooks": books,
+            },
+        )
+
+
+def _codes_table(spark: SparkSession, index_dir: str) -> tuple[DataFrame, dict]:
+    m = _read_manifest(index_dir)
+    return spark.read.parquet(_table_path(index_dir, "codes", m["version"])), m
+
+
+def match(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 30,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """READ-ONLY IVF-PQ ANN against the stored codes. ``vectors`` is
+    the caller's true-vector store for the exact re-rank (the index
+    itself holds no vectors); only queries × rerank ids are fetched
+    from it by keyed join. Returns (query_id, neighbor_id, cosine,
+    adc_dist, rank ≤ k) — identical semantics to
+    similarity.ivfpq_ann_topk with the same quantizers, minus any
+    corpus re-coding (plan-pinned in tests/test_pq_index.py)."""
+    codes, m = _codes_table(spark, index_dir)
+    cents, books, d = _quantizers(m)
+    id_col, vec_col, n_sub = m["id_col"], m["vec_col"], m["n_sub"]
+    tomb = spark.read.parquet(
+        _table_path(index_dir, "tombstones", m["version"])
+    ).withColumnRenamed(m["id_col"], id_col)
+    codes = codes.join(F.broadcast(tomb), id_col, "left_anti")
+    norm_sql, cell_scores_sql = _ivf_sql(cents)
+    probes = _pq_probes(
+        queries, books, d, n_probe, norm_sql, cell_scores_sql, query_id_col, vec_col
+    )
+    sl = _adc_rerank(
+        codes, probes, vectors, n_sub, rerank, id_col, vec_col, query_id_col, norm_sql
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sl.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "adc_dist", "rank")
+    )
+
+
+def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
+    """Code a batch against the MANIFEST quantizers and add it to the
+    current generation — a batch-sized narrow map stage; the corpus is
+    never read, let alone re-coded. A tombstoned id re-appended here
+    stays suppressed until the next compact clears its tombstone
+    (tombstone wins within a generation), exactly as in lsh_index."""
+    with _writer_lock(index_dir):
+        m = _read_manifest(index_dir)
+        cents, books, d = _quantizers(m)
+        vecs = new_vecs.where(F.size(m["vec_col"]) > 0).select(
+            F.col(m["id_col"]), F.col(m["vec_col"])
+        )
+        coded = _coded(vecs, cents, books, d, m["n_sub"], m["id_col"], m["vec_col"])
+        _stage_then_move(coded, index_dir, "codes", m["version"])
+
+
+def delete(spark: SparkSession, index_dir: str, ids) -> int:
+    """Tombstone vector ids: they stop matching immediately; rows drop
+    physically at the next compact. ``ids`` is a one-column DataFrame
+    or a plain list. Returns the number newly tombstoned."""
+    with _writer_lock(index_dir):
+        m = _read_manifest(index_dir)
+        v, id_col = m["version"], m["id_col"]
+        existing = spark.read.parquet(_table_path(index_dir, "tombstones", v))
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            ids_df = spark.createDataFrame([(i,) for i in ids], schema=existing.schema)
+        fresh = ids_df.distinct().join(existing, id_col, "left_anti")
+        n_new = fresh.count()
+        if n_new:
+            _stage_then_move(fresh, index_dir, "tombstones", v)
+        return n_new
+
+
+def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
+    """Generation v+1: one row per id (append-latest-wins is moot —
+    codes are deterministic given the pinned quantizers, so duplicates
+    are identical rows), minus tombstoned ids, re-clustered by cell;
+    tombstones landing after the snapshot carry forward (see
+    lsh_index.compact for the protocol rationale)."""
+    with _writer_lock(index_dir):
+        codes, m = _codes_table(spark, index_dir)
+        v, id_col = m["version"], m["id_col"]
+        tomb_dir = _table_path(index_dir, "tombstones", v)
+        snap_files = sorted(f for f in os.listdir(tomb_dir) if f.endswith(".parquet"))
+        tomb = spark.read.parquet(*[os.path.join(tomb_dir, f) for f in snap_files])
+        n_tomb = tomb.count()
+        if _POST_SNAPSHOT_HOOK is not None:
+            _POST_SNAPSHOT_HOOK()
+
+        def _n_files(table: str, version: int) -> int:
+            p = _table_path(index_dir, table, version)
+            return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+        files_before = _n_files("codes", v)
+
+        def _commit_table(df: DataFrame, table: str) -> None:
+            import shutil
+            import uuid
+
+            staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
+            df.write.mode("errorifexists").parquet(staging)
+            dest = _table_path(index_dir, table, v + 1)
+            if os.path.exists(dest):
+                shutil.rmtree(dest)  # unreferenced interrupted-compact leftover
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(staging, dest)
+
+        tomb_keyed = tomb.withColumnRenamed(tomb.columns[0], id_col)
+        codes_c = (
+            codes.dropDuplicates([id_col])
+            .join(F.broadcast(tomb_keyed), id_col, "left_anti")
+            .repartition(n_buckets, "cell")
+        )
+        _commit_table(codes_c, "codes")
+        late_files = [
+            os.path.join(tomb_dir, f)
+            for f in os.listdir(tomb_dir)
+            if f.endswith(".parquet") and f not in snap_files
+        ]
+        late = (
+            spark.read.parquet(*late_files).join(tomb, tomb.columns[0], "left_anti")
+            if late_files
+            else tomb.limit(0)
+        )
+        _commit_table(late, "tombstones")
+        m2 = dict(m)
+        m2["version"] = v + 1
+        _write_manifest(index_dir, m2)
+        new_codes, _ = _codes_table(spark, index_dir)
+        return {
+            "version": v + 1,
+            "n_vectors": new_codes.count(),
+            "n_tombstones_dropped": n_tomb,
+            "n_files_before": files_before,
+            "n_files_after": _n_files("codes", v + 1),
+        }

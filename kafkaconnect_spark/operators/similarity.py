@@ -317,29 +317,62 @@ def _ivf_index(
     n_cells: int,
     id_col: str,
     vec_col: str,
+    cents: list[tuple] | None = None,
 ):
     """Shared IVF index build: deterministic centroids (the n_cells
-    lowest-id vectors), folded driver-side into ONE SQL expression
-    (per-element F.lit would cost thousands of py4j round-trips), and
-    the cell-assigned corpus. Returns (corpus, norm_sql,
-    cell_scores_sql): corpus carries (id, vec, __nv, cell) with the
-    assignment computed NARROWLY (argmax over n_cells struct
+    lowest-id vectors, or caller-supplied ``cents`` — e.g. k-means-
+    trained, or a persisted index manifest's), folded driver-side into
+    ONE SQL expression (per-element F.lit would cost thousands of py4j
+    round-trips), and the cell-assigned corpus. Returns (corpus,
+    norm_sql, cell_scores_sql): corpus carries (id, vec, __nv, cell)
+    with the assignment computed NARROWLY (argmax over n_cells struct
     comparisons — no shuffle); the SQL builders let callers score
     further vectors (IVF probes) against the same folded centroids."""
+    if cents is None:
+        cent_rows = (
+            embeddings.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+            .collect()
+        )
+        cents = _with_norms(
+            [(r.cent_id, [float(v) for v in r.cent_vec]) for r in cent_rows]
+        )
+    norm_sql, cell_scores_sql = _ivf_sql(cents)
+
+    # the norm bound for cell assignment rides along into downstream
+    # scoring — cosine there needs only the dot product per candidate
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("__nv")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__nv"),
+        F.expr(f"array_max({cell_scores_sql(vec_col)}).cent_id").alias("cell"),
+    )
+    return corpus, norm_sql, cell_scores_sql
+
+
+def _with_norms(pairs: list[tuple]) -> list[tuple]:
+    """(cid, vec) → (cid, vec, ‖vec‖) with the exact accumulation
+    order of ``l2_norm`` so folded-literal norms stay bit-identical
+    to computed ones."""
     import math
 
-    cent_rows = (
-        embeddings.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .collect()
-    )
-    cents = []
-    for r in cent_rows:
+    out = []
+    for cid, vec in pairs:
         acc = 0.0
-        for v in r.cent_vec:
+        for v in vec:
             acc += float(v) * float(v)
-        cents.append((r.cent_id, [float(v) for v in r.cent_vec], math.sqrt(acc)))
+        out.append((cid, [float(v) for v in vec], math.sqrt(acc)))
+    return out
+
+
+def _ivf_sql(cents: list[tuple]):
+    """(norm_sql, cell_scores_sql) SQL builders from centroid rows
+    (cid, vec, norm) — the folded-literal coarse quantizer shared by
+    the inline ``_ivf_index`` and the persisted ``pq_index`` (which
+    loads ``cents`` from its manifest instead of the corpus)."""
 
     def _id_lit(cid) -> str:
         if isinstance(cid, str):
@@ -380,17 +413,7 @@ def _ivf_index(
             "'negidx', c.negidx, 'cent_id', c.cent_id))"
         )
 
-    # the norm bound for cell assignment rides along into downstream
-    # scoring — cosine there needs only the dot product per candidate
-    corpus = embeddings.select(
-        F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("__nv")
-    ).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("__nv"),
-        F.expr(f"array_max({cell_scores_sql(vec_col)}).cent_id").alias("cell"),
-    )
-    return corpus, norm_sql, cell_scores_sql
+    return norm_sql, cell_scores_sql
 
 
 def ivf_ann_topk(
@@ -611,11 +634,50 @@ def kmeans_lloyd(
     SQL-expressible; exactness is pinned against a numpy reference in
     tests (same init, same decimal rule, same min-index tie-break).
     Empty cells keep their previous centroid (the standard rule)."""
-    import math
-
     vecs = embeddings.where(F.size(vec_col) > 0).select(
         F.col(id_col), F.col(vec_col)
     )
+    cents = _lloyd_centroids(vecs, n_cells, n_rounds, id_col, vec_col)
+    return _lloyd_assign(vecs, cents, vec_col).select(F.col(id_col), "cell")
+
+
+def _lloyd_assign(df: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
+    """+cell column = squared-Euclidean argmin over folded centroid
+    literals: struct ordering (negdist desc, negidx desc) ==
+    (dist asc, idx asc) — narrow, no shuffle."""
+    structs = ",".join(
+        "named_struct('negdist', -round({dist}, 6), 'negidx', {neg})".format(
+            neg=-i,
+            dist=(
+                "aggregate(zip_with({v}, array({cs}), "
+                "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+                "cast(0.0 as double), (acc, t) -> acc + t)"
+            ).format(
+                v=vec_col,
+                cs=",".join(f"cast('{x!r}' as double)" for x in c),
+            ),
+        )
+        for i, c in enumerate(cents)
+    )
+    return df.withColumn(
+        "cell", F.expr(f"-array_max(array({structs})).negidx").cast("int")
+    )
+
+
+def _lloyd_centroids(
+    vecs: DataFrame,
+    n_cells: int,
+    n_rounds: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[float]]:
+    """The Lloyd training loop, returning the trained CENTROID VECTORS
+    (kmeans_lloyd returns assignments; the quantizer trainers —
+    pq_index's coarse cells and per-subspace codebooks — need the
+    centroids themselves). Deterministic init (n_cells lowest-id
+    vectors), fixed ``n_rounds``, decimal-exact mean updates, empty
+    cells keep their previous centroid — every step an oracle can
+    replay as chained SQL CTEs."""
     init = (
         vecs.orderBy(id_col)
         .limit(n_cells)
@@ -623,30 +685,8 @@ def kmeans_lloyd(
         .collect()
     )
     cents: list[list[float]] = [[float(x) for x in r[0]] for r in init]
-
-    def assign(df: DataFrame) -> DataFrame:
-        # fold centroids into one literal argmin expression: struct
-        # ordering (negdist desc, negidx desc) == (dist asc, idx asc)
-        structs = ",".join(
-            "named_struct('negdist', -round({dist}, 6), 'negidx', {neg})".format(
-                neg=-i,
-                dist=(
-                    "aggregate(zip_with({v}, array({cs}), "
-                    "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-                    "cast(0.0 as double), (acc, t) -> acc + t)"
-                ).format(
-                    v=vec_col,
-                    cs=",".join(f"cast('{x!r}' as double)" for x in c),
-                ),
-            )
-            for i, c in enumerate(cents)
-        )
-        return df.withColumn(
-            "cell", F.expr(f"-array_max(array({structs})).negidx").cast("int")
-        )
-
     for _ in range(n_rounds):
-        assigned = assign(vecs)
+        assigned = _lloyd_assign(vecs, cents, vec_col)
         stats = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "__x"))
             .withColumn(
@@ -666,7 +706,7 @@ def kmeans_lloyd(
         if new_cents == cents:
             break
         cents = new_cents
-    return assign(vecs).select(F.col(id_col), "cell")
+    return cents
 
 
 def embedding_near_dup_pairs(
@@ -1012,7 +1052,29 @@ def _ivfpq_shortlist(
             for s in range(n_sub)
         ],
     )
-    probes = queries.select(
+    probes = _pq_probes(
+        queries, books, d, n_probe, norm_sql, cell_scores_sql, query_id_col, vec_col
+    )
+    return _adc_rerank(
+        coded, probes, embeddings, n_sub, max_rerank, id_col, vec_col,
+        query_id_col, norm_sql,
+    )
+
+
+def _pq_probes(
+    queries: DataFrame,
+    books: list,
+    d: int,
+    n_probe: int,
+    norm_sql,
+    cell_scores_sql,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One row per (query, probed cell): the query vector + norm, its
+    per-subspace ADC lookup table, and the probe cell — everything the
+    candidate scan needs, built once per query (tiny; broadcasts)."""
+    return queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.expr(norm_sql(vec_col)).alias("__nv"),
@@ -1028,6 +1090,24 @@ def _ivfpq_shortlist(
             )
         ).alias("cell"),
     )
+
+
+def _adc_rerank(
+    coded: DataFrame,
+    probes: DataFrame,
+    vectors: DataFrame,
+    n_sub: int,
+    max_rerank: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    norm_sql,
+) -> DataFrame:
+    """The shared ADC-score → shortlist → exact-re-rank tail of IVF-PQ
+    search, over ANY coded source — the inline corpus coding above or
+    a persisted index's stored codes (operators/pq_index.match).
+    ``vectors`` is the true-vector store the exact re-rank joins by id
+    (only queries × max_rerank ids are fetched)."""
     # per-entry values are already rounded to 6 decimals; summing them
     # as DECIMAL(18,6) is EXACT in any engine — no float-association
     # sensitivity between this plan and an oracle replay
@@ -1061,7 +1141,7 @@ def _ivfpq_shortlist(
         )
     )
     # exact re-rank: fetch true vectors for ONLY the shortlist ids
-    truth = embeddings.select(
+    truth = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__tvec"),
         F.expr(norm_sql(vec_col)).alias("__nt"),

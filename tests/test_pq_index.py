@@ -1,0 +1,242 @@
+"""Persistent IVF-PQ index lifecycle (operators/pq_index.py): match
+equals the inline ivfpq search with the same quantizers, the steady
+state never re-codes the corpus (plan-pinned), erasure suppresses
+immediately and compacts physically, trained quantizers round-trip
+through the manifest, and writers are mutually excluded."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.operators import pq_index, similarity
+from kafkaconnect_spark.operators.lsh_index import IndexWriterLockError
+
+DIM = 8
+N_SUB = 2
+
+
+def _vecs(spark, ids):
+    """Deterministic low-dim embeddings: two obvious clusters so ANN
+    results are stable and meaningful."""
+    rows = []
+    for i in ids:
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + (i % 7) * 0.01 * (d + 1) for d in range(DIM)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+CORPUS_IDS = list(range(10, 40))
+BATCH_IDS = list(range(40, 50))
+QUERY_IDS = [100, 101]
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    d = str(tmp_path / "pqidx")
+    pq_index.build(
+        _vecs(spark, CORPUS_IDS), d, n_cells=4, n_sub=N_SUB, n_codes=4, dim=DIM
+    )
+    return d
+
+
+def _queries(spark):
+    return _vecs(spark, QUERY_IDS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_match_equals_inline_ivfpq(spark, index):
+    """Stored-codes search == the inline recompute search with the
+    same quantizers — the index changes WHERE codes come from, never
+    what they are."""
+    corpus = _vecs(spark, CORPUS_IDS)
+    q = _queries(spark)
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.adc_dist, r.rank)
+        for r in pq_index.match(
+            spark, index, q, corpus, k=5, n_probe=2, rerank=10
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine, r.adc_dist, r.rank)
+        for r in similarity.ivfpq_ann_topk(
+            corpus, q, k=5, n_cells=4, n_probe=2, n_sub=N_SUB, n_codes=4,
+            rerank=10, dim=DIM,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_match_plan_reads_stored_codes_never_recodes(spark, index):
+    """Zero corpus re-coding in the steady state: the plan reads the
+    stored codes table, and the PQ assignment kernel ('negdist'
+    argmin structs — present in every coding expression) appears
+    NOWHERE (queries are handled via ADC lookup tables, not codes)."""
+    df = pq_index.match(
+        spark, index, _queries(spark), _vecs(spark, CORPUS_IDS), k=5
+    )
+    # file scans via inputFiles (the plan string truncates long file:
+    # locations at ~100 chars, which can cut off the suffix)
+    files = df.inputFiles()
+    assert any(f"{index}/codes/v1/" in f for f in files)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "negdist" not in plan
+
+
+def test_match_never_calls_coding_kernel(spark, index, monkeypatch):
+    calls: list[int] = []
+    orig = pq_index._code_cols
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pq_index, "_code_cols", counted)
+    pq_index.match(spark, index, _queries(spark), _vecs(spark, CORPUS_IDS)).collect()
+    assert calls == []
+    pq_index.append(spark, index, _vecs(spark, BATCH_IDS))
+    assert len(calls) == 1  # append codes the BATCH (once), nothing else
+
+
+def test_append_extends_matches(spark, index):
+    corpus = _vecs(spark, CORPUS_IDS)
+    q = _queries(spark)
+    before = {
+        r.neighbor_id
+        for r in pq_index.match(spark, index, q, corpus, k=30, rerank=60).collect()
+    }
+    assert before and before <= set(CORPUS_IDS)
+    pq_index.append(spark, index, _vecs(spark, BATCH_IDS))
+    all_vecs = _vecs(spark, CORPUS_IDS + BATCH_IDS)
+    after = {
+        r.neighbor_id
+        for r in pq_index.match(spark, index, q, all_vecs, k=30, rerank=60).collect()
+    }
+    assert after & set(BATCH_IDS), "appended vectors must become matchable"
+
+
+def test_delete_suppresses_then_compact_drops(spark, index):
+    corpus = _vecs(spark, CORPUS_IDS)
+    q = _queries(spark)
+    victim = CORPUS_IDS[0]
+    assert pq_index.delete(spark, index, [victim]) == 1
+    got = {
+        r.neighbor_id
+        for r in pq_index.match(spark, index, q, corpus, k=30, rerank=60).collect()
+    }
+    assert victim not in got  # immediate suppression, pre-compact
+    res = pq_index.compact(spark, index)
+    assert res["n_tombstones_dropped"] == 1
+    assert res["n_vectors"] == len(CORPUS_IDS) - 1
+    codes, _ = pq_index._codes_table(spark, index)
+    assert victim not in {r.vec_id for r in codes.select("vec_id").collect()}
+    # re-append after compact: the id is a stranger again and re-enters
+    pq_index.append(spark, index, _vecs(spark, [victim]))
+    got2 = {
+        r.neighbor_id
+        for r in pq_index.match(spark, index, q, corpus, k=30, rerank=60).collect()
+    }
+    assert victim in got2 or got2  # present in index again (may rank out)
+    codes2, _ = pq_index._codes_table(spark, index)
+    assert victim in {r.vec_id for r in codes2.select("vec_id").collect()}
+
+
+def test_exhaustive_probe_full_rerank_equals_brute_force(spark, index):
+    """The IVF-PQ invariant: probing every cell with rerank ≥ corpus
+    reduces to exact brute force (ADC only mis-orders the SHORTLIST,
+    and here nothing is cut)."""
+    corpus = _vecs(spark, CORPUS_IDS)
+    q = _queries(spark)
+    ann = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_index.match(
+            spark, index, q, corpus, k=5, n_probe=4, rerank=len(CORPUS_IDS)
+        ).collect()
+    }
+    bf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.brute_force_topk(corpus, q, k=5).collect()
+    }
+    assert ann == bf
+
+
+def test_trained_quantizers_roundtrip_manifest(spark, tmp_path):
+    """train_rounds=2 trains Lloyd centroids/codebooks, pins them in
+    the manifest, and match still satisfies the brute-force invariant
+    (training changes the partition quality, never correctness)."""
+    d = str(tmp_path / "pqtrained")
+    corpus = _vecs(spark, CORPUS_IDS)
+    pq_index.build(
+        corpus, d, n_cells=4, n_sub=N_SUB, n_codes=4, dim=DIM, train_rounds=2
+    )
+    m = pq_index._read_manifest(d)
+    assert m["train_rounds"] == 2
+    assert [cid for cid, _ in m["centroids"]] == [0, 1, 2, 3]  # synthetic ids
+    q = _queries(spark)
+    ann = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_index.match(
+            spark, d, q, corpus, k=5, n_probe=4, rerank=len(CORPUS_IDS)
+        ).collect()
+    }
+    bf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.brute_force_topk(corpus, q, k=5).collect()
+    }
+    assert ann == bf
+
+
+def test_writer_lock_excludes_second_writer(spark, index):
+    from kafkaconnect_spark.operators.lsh_index import _writer_lock
+
+    with _writer_lock(index):
+        with pytest.raises(IndexWriterLockError):
+            pq_index.delete(spark, index, [CORPUS_IDS[0]])
+        with pytest.raises(IndexWriterLockError):
+            pq_index.append(spark, index, _vecs(spark, BATCH_IDS))
+        with pytest.raises(IndexWriterLockError):
+            pq_index.compact(spark, index)
+
+
+def test_compact_carries_forward_late_tombstones(spark, index):
+    import shutil as _sh
+
+    pq_index.delete(spark, index, [CORPUS_IDS[0]])
+    v = pq_index._read_manifest(index)["version"]
+    tomb_dir = pq_index._table_path(index, "tombstones", v)
+    late_id = CORPUS_IDS[1]
+
+    def late_delete():
+        late = spark.createDataFrame([(late_id,)], "vec_id long")
+        tmp = os.path.join(index, "__late")
+        late.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                _sh.move(os.path.join(tmp, f), os.path.join(tomb_dir, "late-" + f))
+        _sh.rmtree(tmp)
+
+    try:
+        pq_index._POST_SNAPSHOT_HOOK = late_delete
+        res = pq_index.compact(spark, index)
+    finally:
+        pq_index._POST_SNAPSHOT_HOOK = None
+    assert res["n_tombstones_dropped"] == 1
+    carried = {
+        r.vec_id
+        for r in spark.read.parquet(
+            pq_index._table_path(index, "tombstones", v + 1)
+        ).collect()
+    }
+    assert carried == {late_id}
+    # suppression live post-compact: the late-erased id never matches
+    got = {
+        r.neighbor_id
+        for r in pq_index.match(
+            spark, index, _queries(spark), _vecs(spark, CORPUS_IDS),
+            k=30, rerank=60,
+        ).collect()
+    }
+    assert late_id not in got
