@@ -965,6 +965,7 @@ def ivfpq_ann_topk(
     query_id_col: str = "query_id",
     dim: int | None = None,
     index=None,
+    quantizers=None,
 ) -> DataFrame:
     """IVF-PQ ANN with asymmetric distance computation (Jégou et al.
     2011, public) — the composed memory-bounded search real 100 TB
@@ -1002,6 +1003,7 @@ def ivfpq_ann_topk(
         query_id_col=query_id_col,
         dim=dim,
         index=index,
+        quantizers=quantizers,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -1026,23 +1028,38 @@ def _ivfpq_shortlist(
     query_id_col: str,
     dim: int | None,
     index=None,
+    quantizers=None,
 ) -> DataFrame:
     """The shared ADC stage of IVF-PQ: probe cells, score candidates
     on their codes, keep the ``max_rerank`` best per query WITH their
     exact cosine and shortlist rank — so a rerank-depth sweep derives
     every depth r ≤ max_rerank from ONE candidate scan (shortlist(r)
     is a rank-prefix of shortlist(max_rerank)). Returns (query_id,
-    neighbor_id, cosine, adc_dist, shortlist_rank)."""
+    neighbor_id, cosine, adc_dist, shortlist_rank).
+
+    ``quantizers``: optional (cents, books) — centroid rows (cid, vec,
+    norm) + per-subspace codebooks — replacing the lowest-id defaults;
+    how k-means-trained quantizers plug in without changing the plan
+    shape (queries_r7.embedding_ivfpq_trained_recall)."""
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
-    corpus, norm_sql, cell_scores_sql = (
-        index
-        if index is not None
-        else _ivf_index(embeddings, n_cells, id_col, vec_col)
-    )
-    books, d = _pq_codebooks(
-        embeddings.select(id_col, vec_col), n_sub, n_codes, dim, id_col, vec_col
-    )
+    if quantizers is not None:
+        cents, books = quantizers
+        d = dim // n_sub
+        corpus, norm_sql, cell_scores_sql = (
+            index
+            if index is not None
+            else _ivf_index(embeddings, n_cells, id_col, vec_col, cents=cents)
+        )
+    else:
+        corpus, norm_sql, cell_scores_sql = (
+            index
+            if index is not None
+            else _ivf_index(embeddings, n_cells, id_col, vec_col)
+        )
+        books, d = _pq_codebooks(
+            embeddings.select(id_col, vec_col), n_sub, n_codes, dim, id_col, vec_col
+        )
     # the stored index at scale: (id, cell, codes) — no vectors
     coded = corpus.select(
         F.col(id_col),

@@ -3658,3 +3658,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _r6b._catalog().items()})
 from kafkaconnect_spark.queries_r6c import R6C_CATALOG as _R6C  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R6C.items()})
+
+from kafkaconnect_spark.queries_r7 import R7_CATALOG as _R7  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R7.items()})
