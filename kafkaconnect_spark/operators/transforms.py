@@ -543,6 +543,24 @@ def _build_ts_router(p: dict[str, str]) -> Transform:
     )
 
 
+def _build_dedup_index(p: dict[str, str]) -> Transform:
+    """Streaming ingest dedup against the persisted LSH index
+    (operators/lsh_index.streaming_dedup_transform): drop records
+    whose document near-duplicates the index, append survivors."""
+    from kafkaconnect_spark.operators.lsh_index import streaming_dedup_transform
+
+    if not p.get("index.dir"):
+        raise SpecError("DedupIndex requires index.dir")
+    thr = p.get("threshold")
+    return streaming_dedup_transform(
+        index_dir=str(p["index.dir"]),
+        id_field=p.get("id.field", "doc_id"),
+        text_field=p.get("text.field", "text"),
+        threshold=float(thr) if thr is not None else None,
+        append_survivors=str(p.get("append.survivors", "true")).lower() == "true",
+    )
+
+
 def _build_filter(p: dict[str, str]) -> Transform:
     return filter_records(
         predicate=p.get("predicate", ""),
@@ -559,6 +577,7 @@ TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
     "RegexRouter": _build_router,
     "TimestampConverter$Value": _build_ts_converter,
     "PythonFunction": _build_python_function,
+    "DedupIndex": _build_dedup_index,
     # standard Connect set beyond the reference's labs
     "InsertField$Value": _build_insert_field,
     "ReplaceField$Value": _build_replace_field,
