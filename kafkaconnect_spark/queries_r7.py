@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaconnect_spark.query_base import _t
@@ -508,3 +508,470 @@ R7_CATALOG = {
         TRAINED_RECALL_ORACLE,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# corpus governance (r6 judge directive #6)
+# ---------------------------------------------------------------------------
+
+def corpus_diff_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-generation release delta (v1→v2) with attrition
+    attribution — the release-artifact extension of
+    dedup_drift_snapshots: v1 = the release built from the older half
+    of the crawl (doc_id ≤ max/2), v2 = the release built from the
+    full corpus, SAME release rule both times (language+length gate,
+    then exact-fingerprint dedup keeping the longest copy, tie →
+    lowest doc_id). Per source:
+
+    - n_released_v1 / n_released_v2 — the two manifests;
+    - n_added_new — v2-released docs from the NEW crawl slice;
+    - n_removed_displaced — v1-released docs that LOST their keeper
+      status to a longer new duplicate (the only removal channel:
+      the gate is version-independent);
+    - n_new_rejected_dup — new-slice docs that passed the gate but
+      were deduplicated away against the standing corpus.
+
+    Scale shape: one fingerprint window per snapshot (keyed by the
+    128-bit fp — uniform), keyed anti-joins between the two release
+    sets, source-cardinality aggs. Nothing corpus-sized beyond the
+    two ranked passes."""
+    from kafkaconnect_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    cut = docs.agg(F.floor(F.max("doc_id") / 2).alias("__cut"))
+    gate = F.col("lang").isin("en", "de", "es", "fr") & TX.token_count(
+        "text"
+    ).between(20, 2000)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    gated = (
+        docs.where(gate)
+        .crossJoin(F.broadcast(cut))
+        .select("doc_id", "source", "n_chars", fp.alias("fp"), "__cut")
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+
+    def _released(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("doc_id", "source", "__cut")
+        )
+
+    v1 = _released(gated.where(F.col("doc_id") <= F.col("__cut")))
+    v2 = _released(gated)
+    s_base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    c_v1 = v1.groupBy("source").agg(F.count(F.lit(1)).alias("n_released_v1"))
+    c_v2 = v2.groupBy("source").agg(F.count(F.lit(1)).alias("n_released_v2"))
+    c_added = (
+        v2.where(F.col("doc_id") > F.col("__cut"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_added_new"))
+    )
+    c_removed = (
+        v1.join(v2.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_removed_displaced"))
+    )
+    c_rejected = (
+        gated.where(F.col("doc_id") > F.col("__cut"))
+        .join(v2.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new_rejected_dup"))
+    )
+    out = (
+        s_base.join(c_v1, "source", "left")
+        .join(c_v2, "source", "left")
+        .join(c_added, "source", "left")
+        .join(c_removed, "source", "left")
+        .join(c_rejected, "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_total",
+        *[
+            F.coalesce(c, F.lit(0)).alias(c)
+            for c in (
+                "n_released_v1",
+                "n_released_v2",
+                "n_added_new",
+                "n_removed_displaced",
+                "n_new_rejected_dup",
+            )
+        ],
+    )
+
+
+from kafkaconnect_spark.query_base import _NTOK_SQL  # noqa: E402
+
+_GATE_SQL = f"lang IN ('en','de','es','fr') AND ({_NTOK_SQL}) BETWEEN 20 AND 2000"
+
+CORPUS_DIFF_ORACLE = rf"""
+WITH cut AS (SELECT (max(doc_id) // 2) AS c FROM documents),
+gated AS (
+  SELECT doc_id, source, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE {_GATE_SQL}),
+v1 AS (SELECT doc_id, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp
+               ORDER BY n_chars DESC, doc_id ASC) rn
+    FROM gated WHERE doc_id <= (SELECT c FROM cut)) WHERE rn = 1),
+v2 AS (SELECT doc_id, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp
+               ORDER BY n_chars DESC, doc_id ASC) rn
+    FROM gated) WHERE rn = 1)
+SELECT d.source,
+       count(*)::BIGINT AS n_total,
+       coalesce((SELECT count(*) FROM v1 WHERE v1.source = d.source), 0)::BIGINT
+           AS n_released_v1,
+       coalesce((SELECT count(*) FROM v2 WHERE v2.source = d.source), 0)::BIGINT
+           AS n_released_v2,
+       coalesce((SELECT count(*) FROM v2 WHERE v2.source = d.source
+                 AND v2.doc_id > (SELECT c FROM cut)), 0)::BIGINT
+           AS n_added_new,
+       coalesce((SELECT count(*) FROM v1 WHERE v1.source = d.source
+                 AND v1.doc_id NOT IN (SELECT doc_id FROM v2)), 0)::BIGINT
+           AS n_removed_displaced,
+       coalesce((SELECT count(*) FROM gated g WHERE g.source = d.source
+                 AND g.doc_id > (SELECT c FROM cut)
+                 AND g.doc_id NOT IN (SELECT doc_id FROM v2)), 0)::BIGINT
+           AS n_new_rejected_dup
+FROM documents d GROUP BY d.source
+"""
+
+
+def dedup_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality of the full detect→cluster→keep dedup
+    pipeline against exact-Jaccard truth — the doc-level extension of
+    dedup_band_sweep's pair-level S-curve. Truth = the exact shingle-
+    inverted-index Jaccard pairs (≥ 0.2); prediction = the production
+    minhash-LSH pipeline at the same threshold; both are then pushed
+    through the SAME cluster (min-label components) and keep policy
+    (longest doc wins) to the actual DROP sets. Two rows:
+
+    - level='pair': pred pairs vs true pairs. The LSH pipeline
+      verifies candidates exactly, so precision is 1 by construction
+      (modulo the inverted index's df cap) — the interesting number
+      is RECALL: what fraction of true near-dup pairs the banding
+      surfaces at all.
+    - level='doc': the drop sets. Cluster structure AMPLIFIES pair
+      misses (a missed bridge pair splits a cluster and changes both
+      keepers), so doc-level precision/recall are the numbers a
+      release manifest actually experiences.
+
+    Scale shape: reuses the two proven pair plans + label
+    propagation; the metric tail is 1-row aggs unioned."""
+    from kafkaconnect_spark.operators import dedup
+    from kafkaconnect_spark.operators.dedup import carry_cached
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    pred = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
+
+    def _drop_set(pairs: DataFrame) -> DataFrame:
+        clusters = dedup.duplicate_clusters(pairs)
+        members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        return (
+            members.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select("doc_id")
+        )
+
+    t_drop = _drop_set(truth)
+    p_drop = _drop_set(pred)
+
+    def _metrics(level: str, t: DataFrame, p: DataFrame, keys: list[str]) -> DataFrame:
+        hits = p.join(t, keys, "left_semi")
+        return (
+            t.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_pred"))))
+            .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+            .select(
+                F.lit(level).alias("level"),
+                "n_true",
+                "n_pred",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.expr("nullif(n_pred, 0)"), 6
+                ).alias("precision"),
+                F.round(
+                    F.col("n_hits") / F.expr("nullif(n_true, 0)"), 6
+                ).alias("recall"),
+            )
+        )
+
+    out = _metrics(
+        "pair",
+        truth.select("id_a", "id_b"),
+        pred.select("id_a", "id_b"),
+        ["id_a", "id_b"],
+    ).unionAll(_metrics("doc", t_drop, p_drop, ["doc_id"]))
+    return carry_cached(out, truth, pred)
+
+
+from kafkaconnect_spark.query_base import (  # noqa: E402
+    _MINHASH_AGGS,
+    _SHINGLE_CTE,
+    _SIG_LIST,
+)
+
+
+def _clusters_sql(pairs_cte: str, prefix: str) -> str:
+    """Min-label connected components + longest-doc keep policy over a
+    pairs CTE (id_a, id_b) — the KEEP_POLICY_ORACLE fragment, reusable
+    for both the truth and the predicted pipeline. Emits
+    `{prefix}drop` (doc_id)."""
+    return f"""
+{prefix}e AS (SELECT id_a AS a, id_b AS b FROM {pairs_cte}
+     UNION ALL SELECT id_b, id_a FROM {pairs_cte}),
+{prefix}reach AS (
+  SELECT a AS n, a AS m FROM {prefix}e
+  UNION
+  SELECT {prefix}e.b, r.m FROM {prefix}reach r JOIN {prefix}e ON {prefix}e.a = r.n),
+{prefix}clusters AS (SELECT n AS doc_id, min(m) AS cluster_id
+                     FROM {prefix}reach GROUP BY n),
+{prefix}members AS (SELECT cluster_id, c.doc_id, d.n_chars
+            FROM {prefix}clusters c JOIN documents d USING (doc_id)),
+{prefix}drop AS (SELECT doc_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) rn FROM {prefix}members)
+    WHERE rn > 1)"""
+
+
+DEDUP_QUALITY_EVAL_ORACLE = rf"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+tinter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+tpairs AS (
+  SELECT id_a, id_b FROM tinter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+pinter AS (
+  SELECT id_a, id_b, count(*) inter
+  FROM cands JOIN sh a ON a.doc_id = id_a
+       JOIN sh b ON b.doc_id = id_b AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+ppairs AS (
+  SELECT id_a, id_b FROM pinter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+{_clusters_sql('tpairs', 't')},
+{_clusters_sql('ppairs', 'p')}
+SELECT 'pair' AS level,
+       (SELECT count(*) FROM tpairs)::BIGINT AS n_true,
+       (SELECT count(*) FROM ppairs)::BIGINT AS n_pred,
+       (SELECT count(*) FROM ppairs WHERE (id_a, id_b) IN
+          (SELECT (id_a, id_b) FROM tpairs))::BIGINT AS n_hits,
+       round((SELECT count(*) FROM ppairs WHERE (id_a, id_b) IN
+          (SELECT (id_a, id_b) FROM tpairs))
+          / nullif((SELECT count(*) FROM ppairs), 0), 6) AS precision,
+       round((SELECT count(*) FROM ppairs WHERE (id_a, id_b) IN
+          (SELECT (id_a, id_b) FROM tpairs))
+          / nullif((SELECT count(*) FROM tpairs), 0), 6) AS recall
+UNION ALL
+SELECT 'doc',
+       (SELECT count(*) FROM tdrop)::BIGINT,
+       (SELECT count(*) FROM pdrop)::BIGINT,
+       (SELECT count(*) FROM pdrop WHERE doc_id IN
+          (SELECT doc_id FROM tdrop))::BIGINT,
+       round((SELECT count(*) FROM pdrop WHERE doc_id IN
+          (SELECT doc_id FROM tdrop))
+          / nullif((SELECT count(*) FROM pdrop), 0), 6),
+       round((SELECT count(*) FROM pdrop WHERE doc_id IN
+          (SELECT doc_id FROM tdrop))
+          / nullif((SELECT count(*) FROM tdrop), 0), 6)
+"""
+
+
+def docs_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction chained into the release gate (the audit the
+    corpus_release_manifest implies but does not itemize): docs
+    passing the language+length gate get their PII redacted before
+    release; per source this reports how much PII the redactor
+    actually removed. The corpus itself is synthetic-clean, so a
+    deterministic contact line is appended to every 4th doc (same
+    device as the pii_redaction golden query) — the AUDIT numbers are
+    then exact and oracle-checkable: released docs, docs carrying
+    PII, email/phone instance totals, characters removed by
+    redaction, and the per-source PII document rate.
+
+    Scale shape: the gate and the regex counting are narrow per-row
+    column ops (RE2-compatible patterns, JVM-side); the only shuffle
+    is the source-cardinality agg."""
+    from kafkaconnect_spark.functions import text as TX
+    from kafkaconnect_spark.operators import pipeline
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    gate = F.col("lang").isin("en", "de", "es", "fr") & TX.token_count(
+        "text"
+    ).between(20, 2000)
+    contact = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    full = F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), contact)).otherwise(
+        F.col("text")
+    )
+    emails, phones = pipeline.pii_counts(full)
+    released = docs.where(gate).select(
+        "source",
+        emails.alias("__e"),
+        phones.alias("__p"),
+        (F.length(full) - F.length(pipeline.redact_pii(full))).alias("__delta"),
+    )
+    return released.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_released"),
+        F.sum(((F.col("__e") + F.col("__p")) > 0).cast("long")).alias(
+            "n_docs_with_pii"
+        ),
+        F.sum("__e").alias("total_emails"),
+        F.sum("__p").alias("total_phones"),
+        F.sum("__delta").alias("chars_redacted"),
+        F.round(
+            F.sum(((F.col("__e") + F.col("__p")) > 0).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pii_doc_rate"),
+    )
+
+
+_PII_EMAIL_SQL = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+_PII_PHONE_SQL = r"'\+?[0-9][0-9-]{5,}[0-9]'"
+_PII_FULL_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id "
+    "|| '@mail.example.com or call +1-555-' "
+    "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE text END"
+)
+
+PII_AUDIT_ORACLE = rf"""
+WITH released AS (
+  SELECT source, {_PII_FULL_SQL} AS full_text
+  FROM documents WHERE {_GATE_SQL}),
+counted AS (
+  SELECT source,
+         len(regexp_extract_all(full_text, {_PII_EMAIL_SQL})) AS e,
+         len(regexp_extract_all(
+             regexp_replace(full_text, {_PII_EMAIL_SQL}, '[EMAIL]', 'g'),
+             {_PII_PHONE_SQL})) AS p,
+         length(full_text) - length(
+             regexp_replace(
+                 regexp_replace(full_text, {_PII_EMAIL_SQL}, '[EMAIL]', 'g'),
+                 {_PII_PHONE_SQL}, '[PHONE]', 'g')) AS delta
+  FROM released)
+SELECT source, count(*)::BIGINT AS n_released,
+       sum(CASE WHEN e + p > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+       sum(e)::BIGINT AS total_emails,
+       sum(p)::BIGINT AS total_phones,
+       sum(delta)::BIGINT AS chars_redacted,
+       round(sum(CASE WHEN e + p > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS pii_doc_rate
+FROM counted GROUP BY source
+"""
+
+
+def docs_domain_dedup_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL dedup feeding the crawl-politeness cap — the
+    two-stage admission control a crawler frontier runs: first
+    deduplicate fetched pages WITHIN each domain (the driver corpus
+    has no URL column, so the dedup key is the normalized-content
+    fingerprint — the semantics, per-domain dedup before the budget,
+    are identical), keeping the lowest doc_id per fingerprint; then
+    admit at most 100 UNIQUE docs per domain, longest first (the
+    docs_source_crawl_caps priority rule). Per domain (= source):
+    raw fetches, unique docs, dup_rate, admitted, overflow,
+    overflow_rate, and the admission threshold.
+
+    Scale shape: one (source, fp) window + one per-source window on
+    the deduped set + a source-cardinality agg — each keyed, never
+    partitionless; skewed mega-domains are exactly what the cap
+    bounds."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    tagged = docs.select("source", "doc_id", "n_chars", fp.alias("fp"))
+    w_dedup = Window.partitionBy("source", "fp").orderBy(F.col("doc_id").asc())
+    uniq = (
+        tagged.withColumn("__rn", F.row_number().over(w_dedup))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w_cap = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = uniq.withColumn("__cap_rn", F.row_number().over(w_cap))
+    admitted = F.col("__cap_rn") <= 100
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    per = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(admitted.cast("long")).alias("n_admitted"),
+        F.min(F.when(admitted, F.col("n_chars"))).alias("min_admitted_chars"),
+    )
+    return raw.join(per, "source").select(
+        "source",
+        "n_raw",
+        "n_unique",
+        F.round((F.col("n_raw") - F.col("n_unique")) / F.col("n_raw"), 6).alias(
+            "dup_rate"
+        ),
+        "n_admitted",
+        (F.col("n_unique") - F.col("n_admitted")).alias("n_overflow"),
+        F.round(
+            (F.col("n_unique") - F.col("n_admitted")) / F.col("n_unique"), 6
+        ).alias("overflow_rate"),
+        "min_admitted_chars",
+    )
+
+
+DOMAIN_POLITENESS_ORACLE = r"""
+WITH tagged AS (
+  SELECT source, doc_id, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+uniq AS (SELECT source, doc_id, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY source, fp
+               ORDER BY doc_id ASC) rn FROM tagged) WHERE rn = 1),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id ASC) AS cap_rn FROM uniq),
+raw AS (SELECT source, count(*)::BIGINT AS n_raw FROM documents GROUP BY source),
+per AS (SELECT source, count(*)::BIGINT AS n_unique,
+               sum(CASE WHEN cap_rn <= 100 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_admitted,
+               min(CASE WHEN cap_rn <= 100 THEN n_chars END)
+                   AS min_admitted_chars
+        FROM ranked GROUP BY source)
+SELECT raw.source, n_raw, n_unique,
+       round((n_raw - n_unique)::DOUBLE / n_raw, 6) AS dup_rate,
+       n_admitted, (n_unique - n_admitted)::BIGINT AS n_overflow,
+       round((n_unique - n_admitted)::DOUBLE / n_unique, 6) AS overflow_rate,
+       min_admitted_chars
+FROM raw JOIN per USING (source)
+"""
+
+
+R7_CATALOG.update(
+    {
+        "corpus_diff_manifest": (corpus_diff_manifest, CORPUS_DIFF_ORACLE),
+        "dedup_quality_eval": (dedup_quality_eval, DEDUP_QUALITY_EVAL_ORACLE),
+        "docs_pii_redaction_audit": (docs_pii_redaction_audit, PII_AUDIT_ORACLE),
+        "docs_domain_dedup_politeness": (
+            docs_domain_dedup_politeness,
+            DOMAIN_POLITENESS_ORACLE,
+        ),
+    }
+)

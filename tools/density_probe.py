@@ -40,9 +40,35 @@ def main() -> int:
     vocab_n = 20_000
     if "--vocab" in args:
         vocab_n = int(args[args.index("--vocab") + 1])
+    # r7: the probe generalizes to any flagged query/scale pair —
+    # --queries a,b --scales sf1:1,sf10:10 --section <ladder key>
+    # (defaults keep the r5 invocation byte-identical)
+    queries = QUERIES
+    runs = RUNS
+    section = "density_probe"
+    if "--queries" in args:
+        queries = args[args.index("--queries") + 1].split(",")
+    if "--scales" in args:
+        runs = [
+            (p.split(":")[0], float(p.split(":")[1]))
+            for p in args[args.index("--scales") + 1].split(",")
+        ]
+    if "--section" in args:
+        section = args[args.index("--section") + 1]
+    note = (
+        "same catalog queries as the ladder, documents regenerated "
+        "with a realistic vocabulary — the ladder's superlinear "
+        "flags on these two are corpus-density artifacts, not plan "
+        "defects (see SCALE.md)"
+    )
+    if "--note" in args:
+        note = args[args.index("--note") + 1]
+    shuffle_partitions = 32
+    if "--shuffle-partitions" in args:
+        shuffle_partitions = int(args[args.index("--shuffle-partitions") + 1])
 
     dirs: dict[str, str] = {}
-    for tag, sf in RUNS:
+    for tag, sf in runs:
         out = os.path.join(ROOT, ".data", f"genw_{tag}")
         marker = os.path.join(out, f".vocab{vocab_n}")
         if not os.path.exists(marker):
@@ -54,14 +80,19 @@ def main() -> int:
     from kafkaconnect_spark.queries import QUERY_CATALOG
     from kafkaconnect_spark.session import get_spark
 
-    spark = get_spark("kafkaconnect-density-probe", master="local[32]")
+    spark = get_spark(
+        "kafkaconnect-density-probe",
+        master="local[32]",
+        shuffle_partitions=shuffle_partitions,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     probe: dict[str, dict] = {}
-    for name in QUERIES:
+    tags = [t for t, _ in runs]
+    for name in queries:
         fn = QUERY_CATALOG[name].fn
         row: dict[str, float | int | None] = {}
-        for tag, _sf in RUNS:
+        for tag, _sf in runs:
             # warmup + best-of-2, same protocol as bench.py — INCLUDING
             # its cache fence: both probed queries persist shingle/
             # signature intermediates (_track_cached), and without
@@ -83,32 +114,27 @@ def main() -> int:
                 spark.catalog.clearCache()
             row[f"sec_{tag}"] = round(best, 3)
             row[f"pairs_{tag}"] = n_rows
-        row["time_ratio"] = (
-            round(row["sec_sf1"] / row["sec_sf01"], 2) if row["sec_sf01"] else None
-        )
+        lo, hi = f"sec_{tags[0]}", f"sec_{tags[-1]}"
+        row["time_ratio"] = round(row[hi] / row[lo], 2) if row[lo] else None
         probe[name] = row
         print(json.dumps({name: row}), flush=True)
     spark.stop()
 
     out = {
         "vocab_n": vocab_n,
-        "note": (
-            "same catalog queries as the ladder, documents regenerated "
-            "with a realistic vocabulary — the ladder's superlinear "
-            "flags on these two are corpus-density artifacts, not plan "
-            "defects (see SCALE.md)"
-        ),
+        "shuffle_partitions": shuffle_partitions,
+        "note": note,
         "queries": probe,
     }
     ladder_path = os.path.join(ROOT, "SCALE_LADDER.json")
     if os.path.exists(ladder_path):
         with open(ladder_path) as fh:
             ladder = json.load(fh)
-        ladder["density_probe"] = out
+        ladder[section] = out
         with open(ladder_path, "w") as fh:
             json.dump(ladder, fh, indent=1, sort_keys=True)
         print(f"merged density_probe into {ladder_path}")
-    print(json.dumps({"density_probe": out}))
+    print(json.dumps({section: out}))
     return 0
 
 
