@@ -853,6 +853,7 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    books: list | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011, "Product quantization
     for nearest neighbor search", public): split each vector into
@@ -873,7 +874,10 @@ def pq_codes(
     vecs = embeddings.where(F.size(vec_col) > 0).select(
         F.col(id_col), F.col(vec_col)
     )
-    books, d = _pq_codebooks(vecs, n_sub, n_codes, dim, id_col, vec_col)
+    if books is None:
+        books, d = _pq_codebooks(vecs, n_sub, n_codes, dim, id_col, vec_col)
+    else:  # caller-supplied (e.g. Lloyd-trained) codebooks
+        d = dim // n_sub
     out = vecs
     err_terms = []
     for s in range(n_sub):

@@ -3662,3 +3662,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R6C.items()})
 from kafkaconnect_spark.queries_r7 import R7_CATALOG as _R7  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R7.items()})
+
+from kafkaconnect_spark.queries_r7b import R7B_CATALOG as _R7B  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R7B.items()})
