@@ -24,7 +24,7 @@ from kafkaconnect_spark.query_base import (
     _events,
     _t,
 )
-from kafkaconnect_spark.queries_r7 import _clusters_sql, _lloyd_cents_cte
+from kafkaconnect_spark.queries_r7 import _lloyd_cents_cte
 
 
 # ---------------------------------------------------------------------------
@@ -475,55 +475,47 @@ FROM volume LEFT JOIN novel USING (decile)
 """
 
 
-def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster-size distribution (minhash-LSH pairs → min-
-    label components): per cluster size, how many clusters and docs —
-    the shape that decides whether dedup is dominated by pair-dups or
-    boilerplate mega-clusters (which need the df-cap / keep-policy
-    treatment, not pairwise handling).
+def docs_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile in power-of-two buckets —
+    the audit behind ngram_jaccard_pairs' df cap: per df bucket
+    (2^k ≤ df < 2^(k+1)), how many distinct shingles land there, the
+    posting volume they contribute, and the exact candidate-pair cost
+    Σ df·(df−1)/2 an uncapped inverted-index join would pay for them.
+    The cap lever reads directly off this curve: the top buckets are
+    boilerplate that costs O(df²) and links near-nothing.
 
-    Scale shape: the proven pair + propagation plans, then two tiny
-    keyed aggs."""
-    from kafkaconnect_spark.operators import dedup
-    from kafkaconnect_spark.operators.dedup import carry_cached
+    Scale shape: one explode + df groupBy (map-side combined, keyed by
+    the 64-bit shingle hash), then a ≤64-row bucket agg. The bucket
+    exponent is length(bin(df))−1 — exact integer arithmetic, no
+    float log."""
+    from kafkaconnect_spark.operators.pipeline import _shingle_hashes
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
-    clusters = dedup.duplicate_clusters(pairs)
-    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
-    out = sizes.groupBy(F.col("__sz").alias("cluster_size")).agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        F.sum("__sz").alias("n_docs"),
+    shh = _shingle_hashes(docs, "doc_id", "text", 3, "dfprof")
+    df_tab = shh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("__df"))
+    bucket = (F.length(F.bin(F.col("__df"))) - 1).alias("df_bucket_log2")
+    return (
+        df_tab.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__df").alias("n_postings"),
+            F.sum(
+                (F.col("__df") * (F.col("__df") - 1) / 2).cast("long")
+            ).alias("candidate_pairs"),
+        )
     )
-    return carry_cached(out, pairs)
 
 
-CLUSTER_HISTOGRAM_ORACLE = rf"""
-WITH RECURSIVE {_SHINGLE_CTE},
-sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
-sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
-banded AS (
-  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
-  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
-cands AS (
-  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-  FROM banded a JOIN banded b USING (band, band_hash)
-  WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT id_a, id_b, count(*) inter
-  FROM cands JOIN sh a ON a.doc_id = id_a
-       JOIN sh b ON b.doc_id = id_b AND a.shingle = b.shingle
-  GROUP BY 1, 2),
-ppairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
-{_clusters_sql('ppairs', 'p')}
-SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
-       sum(sz)::BIGINT AS n_docs
-FROM (SELECT cluster_id, count(*)::BIGINT AS sz FROM pclusters GROUP BY 1)
-GROUP BY sz
+SHINGLE_DF_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+df_tab AS (SELECT {_hash64_sql('shingle', 'dfprof')} AS sh_hash,
+                  count(*)::BIGINT AS df
+           FROM sh GROUP BY 1)
+SELECT (length(bin(df)) - 1)::INT AS df_bucket_log2,
+       count(*)::BIGINT AS n_shingles,
+       sum(df)::BIGINT AS n_postings,
+       sum((df * (df - 1)) // 2)::BIGINT AS candidate_pairs
+FROM df_tab GROUP BY 1
 """
 
 
@@ -577,9 +569,6 @@ R7B_CATALOG = {
         IVF_BALANCE_ORACLE,
     ),
     "docs_ngram_novelty_curve": (docs_ngram_novelty_curve, NOVELTY_ORACLE),
-    "dedup_cluster_size_histogram": (
-        dedup_cluster_size_histogram,
-        CLUSTER_HISTOGRAM_ORACLE,
-    ),
+    "docs_shingle_df_profile": (docs_shingle_df_profile, SHINGLE_DF_ORACLE),
     "events_user_rate_audit": (events_user_rate_audit, USER_RATE_ORACLE),
 }
