@@ -171,6 +171,22 @@ HEADLINE = [
     "events_markov_stationary",
     "events_dau_mau_stickiness",
     "embedding_power_iteration_pca",
+    # round-7: persisted vector-index lifecycle, trained quantizers,
+    # corpus governance, index-tuning audits
+    "embedding_pq_index_lifecycle",
+    "embedding_pq_index_erasure",
+    "embedding_ivfpq_trained_recall",
+    "corpus_diff_manifest",
+    "dedup_quality_eval",
+    "docs_pii_redaction_audit",
+    "docs_domain_dedup_politeness",
+    "dedup_lsh_bucket_profile",
+    "embedding_pq_code_balance",
+    "embedding_pq_quant_error_by_variant",
+    "embedding_ivf_cell_balance_trained",
+    "docs_ngram_novelty_curve",
+    "docs_shingle_df_profile",
+    "events_user_rate_audit",
 ]
 
 
