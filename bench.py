@@ -241,6 +241,15 @@ def main() -> None:
         # vs 20.5 s standalone before this fence existed
         spark.catalog.clearCache()
 
+    # warm-JVM calibration re-probe: the session-start probe above is
+    # COLD (first exercise of the shuffle path — JIT/codegen inflate
+    # it ~1.4× on this VM: measured 0.921 cold vs 0.634 warm with
+    # cpu_matmul flat). The cold probe stays where it is because the
+    # cross-round normalization chain compares cold-to-cold; the
+    # INTRA-run drift check below must compare warm-to-warm or it
+    # fires on warmup every run.
+    calibration_warm = _calibrate(spark)
+
     # best-of-2 timed passes per query: the metric is steady-state
     # engine cost, and min-of-N is the standard way to strip scheduler
     # noise from a shared machine without inflating the mean
@@ -274,18 +283,21 @@ def main() -> None:
     # to that query — the exact numbers SCALE.md is checked against
     spark.sparkContext.setJobGroup("bench-aux", "post-headline workloads")
 
-    # second calibration probe AFTER the headline loop (r6 judge
+    # third calibration probe AFTER the headline loop (r6 judge
     # directive): one probe per run cannot bound INTRA-run VM drift
-    # (measured 1.04-1.62× between same-day runs); when pre and post
-    # disagree beyond 1.15× the record is flagged so a mid-run machine
-    # shift can't silently skew vs_prev adjudication.
+    # (measured 1.04-1.62× between same-day runs); when the
+    # post-headline probe disagrees with the post-WARMUP probe beyond
+    # 1.15× the record is flagged so a mid-run machine shift can't
+    # silently skew vs_prev adjudication. (post vs the COLD pre probe
+    # would flag JVM warmup on every run — see calibration_warm.)
     calibration_post = _calibrate(spark)
     intra_drift = (
         round(
-            calibration_post["spark_shuffle_sec"] / calibration["spark_shuffle_sec"],
+            calibration_post["spark_shuffle_sec"]
+            / calibration_warm["spark_shuffle_sec"],
             3,
         )
-        if calibration.get("spark_shuffle_sec")
+        if calibration_warm.get("spark_shuffle_sec")
         else None
     )
 
@@ -297,6 +309,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration": calibration,
+        "calibration_warm": calibration_warm,
         "calibration_post": calibration_post,
         "intra_run_drift": intra_drift,
         "intra_run_drift_alert": bool(
