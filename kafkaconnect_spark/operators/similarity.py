@@ -709,6 +709,77 @@ def _lloyd_centroids(
     return cents
 
 
+def _lloyd_subspace_books(
+    vecs: DataFrame,
+    n_sub: int,
+    d: int,
+    n_codes: int,
+    n_rounds: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """Train ALL n_sub per-subspace PQ codebooks with ONE corpus pass
+    per round: each subspace's assignment is an independent folded
+    argmin column, and the mean-update statistics for every
+    (subspace, cell, dim) come back from a single explode + groupBy —
+    n_sub separate `_lloyd_centroids` calls pay n_sub corpus scans
+    per round for the identical numbers (bit-identical: same slice,
+    same cast, same round-7 decimal sums, same empty-cell rule —
+    pinned in tests/test_ann_recall.py). Driver state per round is
+    n_sub·k·d floats."""
+    init = vecs.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    books = [
+        [[float(x) for x in r[0][s * d : (s + 1) * d]] for r in init]
+        for s in range(n_sub)
+    ]
+    for _ in range(n_rounds):
+        work = vecs.select(
+            *[
+                F.expr(f"slice({vec_col}, {s * d + 1}, {d})").alias(f"__sub{s}")
+                for s in range(n_sub)
+            ]
+        )
+        for s in range(n_sub):
+            work = _lloyd_assign(work, books[s], f"__sub{s}").withColumnRenamed(
+                "cell", f"__cell{s}"
+            )
+        long = work.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"__cell{s}").alias("cell"),
+                            F.col(f"__sub{s}").alias("sub"),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.s", "e.cell", F.posexplode("e.sub").alias("dim", "__x"))
+        stats = (
+            long.withColumn(
+                "__xd",
+                F.expr("cast(round(cast(__x as double), 7) as decimal(20,7))"),
+            )
+            .groupBy("s", "cell", "dim")
+            .agg(F.sum("__xd").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        new_books = [[list(c) for c in books[s]] for s in range(n_sub)]
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            by.setdefault((r["s"], r["cell"]), {})[r["dim"]] = (
+                float(r["__s"]) / r["__n"]
+            )
+        for (s, cell), dims in by.items():
+            new_books[s][cell] = [dims[dd] for dd in sorted(dims)]
+        if new_books == books:
+            break
+        books = new_books
+    return books
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

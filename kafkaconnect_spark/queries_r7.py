@@ -253,6 +253,7 @@ def embedding_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFram
     from kafkaconnect_spark.operators.dedup import _track_cached
     from kafkaconnect_spark.operators.similarity import (
         _lloyd_centroids,
+        _lloyd_subspace_books,
         _with_norms,
     )
 
@@ -296,18 +297,7 @@ def embedding_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFram
         emb, q, k=10, n_cells=8, n_probe=2, n_sub=4, n_codes=8, rerank=30, dim=64
     )
     cvecs = _lloyd_centroids(vecs, 8, 2, "vec_id", "embedding")
-    books = [
-        _lloyd_centroids(
-            vecs.select(
-                "vec_id", F.expr(f"slice(embedding, {s * 16 + 1}, 16)").alias("__sub")
-            ),
-            8,
-            2,
-            "vec_id",
-            "__sub",
-        )
-        for s in range(4)
-    ]
+    books = _lloyd_subspace_books(vecs, 4, 16, 8, 2, "vec_id", "embedding")
     trained = similarity.ivfpq_ann_topk(
         emb,
         q,

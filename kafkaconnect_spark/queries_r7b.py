@@ -98,22 +98,11 @@ def embedding_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; then one groupBy (subspace implicit in the unpivot, code)
     and a tiny agg. Training adds k·d driver state per round."""
     from kafkaconnect_spark.operators import similarity
-    from kafkaconnect_spark.operators.similarity import _lloyd_centroids
+    from kafkaconnect_spark.operators.similarity import _lloyd_subspace_books
 
     emb = _t(spark, sf_dir, "embeddings", spread=True)
     vecs = emb.where(F.size("embedding") > 0).select("vec_id", "embedding")
-    books_t = [
-        _lloyd_centroids(
-            vecs.select(
-                "vec_id", F.expr(f"slice(embedding, {s * 16 + 1}, 16)").alias("__sub")
-            ),
-            8,
-            2,
-            "vec_id",
-            "__sub",
-        )
-        for s in range(4)
-    ]
+    books_t = _lloyd_subspace_books(vecs, 4, 16, 8, 2, "vec_id", "embedding")
 
     def _balance2(codes: DataFrame, label: str) -> DataFrame:
         long = codes.select(
@@ -235,22 +224,11 @@ def embedding_pq_quant_error_by_variant(
     Scale shape: two narrow coding passes + 1-row aggs; training adds
     the Lloyd rounds' k·d driver state."""
     from kafkaconnect_spark.operators import similarity
-    from kafkaconnect_spark.operators.similarity import _lloyd_centroids
+    from kafkaconnect_spark.operators.similarity import _lloyd_subspace_books
 
     emb = _t(spark, sf_dir, "embeddings", spread=True)
     vecs = emb.where(F.size("embedding") > 0).select("vec_id", "embedding")
-    books_t = [
-        _lloyd_centroids(
-            vecs.select(
-                "vec_id", F.expr(f"slice(embedding, {s * 16 + 1}, 16)").alias("__sub")
-            ),
-            8,
-            2,
-            "vec_id",
-            "__sub",
-        )
-        for s in range(4)
-    ]
+    books_t = _lloyd_subspace_books(vecs, 4, 16, 8, 2, "vec_id", "embedding")
 
     def _stats(codes: DataFrame, label: str) -> DataFrame:
         return codes.agg(

@@ -234,3 +234,32 @@ def test_ivfpq_candidates_stream_codes_not_vectors(spark, sf_dir):
     # Spark pushes the rank limit into the shuffle (WindowGroupLimit)
     # — candidates are capped at rerank per query before the full sort
     assert any("WindowGroupLimit" in ln for ln in lines[win : win + 3])
+
+
+def test_fused_subspace_training_matches_per_subspace(spark, sf_dir):
+    """_lloyd_subspace_books (one corpus pass per round for ALL
+    subspaces) must be bit-identical to n_sub independent
+    _lloyd_centroids calls — same slice, cast, decimal means,
+    empty-cell rule."""
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.operators.similarity import (
+        _lloyd_centroids,
+        _lloyd_subspace_books,
+    )
+    from kafkaconnect_spark.query_base import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.where(F.size("embedding") > 0).select("vec_id", "embedding")
+    fused = _lloyd_subspace_books(vecs, 4, 16, 8, 2, "vec_id", "embedding")
+    for s in range(4):
+        solo = _lloyd_centroids(
+            vecs.select(
+                "vec_id", F.expr(f"slice(embedding, {s * 16 + 1}, 16)").alias("__sub")
+            ),
+            8,
+            2,
+            "vec_id",
+            "__sub",
+        )
+        assert fused[s] == solo, f"subspace {s} diverged"
