@@ -271,6 +271,96 @@ def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
         _stage_then_move(coded, index_dir, "codes", m["version"])
 
 
+def streaming_semdedup_transform(
+    index_dir: str,
+    vector_store,
+    threshold: float = 0.95,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+    n_probe: int = 2,
+    rerank: int = 30,
+    append_survivors: bool = True,
+):
+    """The vector twin of lsh_index.streaming_dedup_transform —
+    SemDeDup over a stream: each micro-batch of embedding records
+    ANN-matches against the persisted PQ index (probe + ADC over
+    stored codes + exact re-rank), records whose best exact cosine
+    against the corpus reaches ``threshold`` are DROPPED (the
+    standing corpus wins), survivors are appended so later batches —
+    and a restarted engine — deduplicate against them. Spec form:
+
+        {"type": "kafkaconnect_spark.SemDeDupIndex",
+         "index.dir": "...", "threshold": "0.95",
+         "vector.store": "<parquet path of the true-vector table>"}
+
+    ``vector_store`` is the true-vector table (path string or
+    DataFrame factory) for the exact re-rank — the index itself holds
+    only codes. Appended survivors must also be appended to that
+    store by the surrounding pipeline (the sink writes them); within
+    one batch the survivors' own vectors ride along from the batch,
+    so re-rank correctness never depends on the store being
+    up-to-the-batch: an id in the index but missing from the store
+    simply can't confirm a drop (conservative — the record survives).
+
+    The matched-duplicate report (query_id = batch vec id,
+    neighbor_id = corpus vec id, cosine) is written durably under the
+    index before the append mutates it (refreshByPath discipline,
+    same as the text transform). Replays after a crash converge: a
+    re-ingested id already in the index is excluded from being its
+    own neighbor, so the survivor set is stable (idempotent)."""
+    import uuid as _uuid
+
+    def _apply(records: DataFrame) -> DataFrame:
+        spark = records.sparkSession
+        vecs = records.select(
+            F.col(f"value.{id_field}").cast("long").alias("query_id"),
+            F.col(f"value.{vec_field}").alias(vec_field),
+        )
+        store = (
+            spark.read.parquet(vector_store)
+            if isinstance(vector_store, str)
+            else vector_store()
+        )
+        # batch vectors ride along so same-generation re-rank works
+        # even when the external store lags the index appends
+        m = _read_manifest(index_dir)
+        full_store = store.select(
+            F.col(m["id_col"]), F.col(m["vec_col"])
+        ).unionByName(
+            vecs.select(
+                F.col("query_id").alias(m["id_col"]),
+                F.col(vec_field).alias(m["vec_col"]),
+            )
+        ).dropDuplicates([m["id_col"]])
+        matches = match(
+            spark, index_dir, vecs, full_store,
+            k=1, n_probe=n_probe, rerank=rerank,
+        ).where(F.col("cosine") >= threshold)
+        report = os.path.join(
+            index_dir, "reports", f"stream-{_uuid.uuid4().hex[:12]}"
+        )
+        matches.select("query_id", "neighbor_id", "cosine").write.mode(
+            "errorifexists"
+        ).parquet(report)
+        dup_ids = (
+            spark.read.parquet(report).select("query_id").distinct()
+        )
+        survivors = records.join(
+            F.broadcast(dup_ids),
+            records[f"value.{id_field}"] == dup_ids["query_id"],
+            "left_anti",
+        )
+        if append_survivors:
+            surv_vecs = survivors.select(
+                F.col(f"value.{id_field}").cast("long").alias(m["id_col"]),
+                F.col(f"value.{vec_field}").alias(m["vec_col"]),
+            )
+            append(spark, index_dir, surv_vecs)
+        return survivors
+
+    return _apply
+
+
 def delete(spark: SparkSession, index_dir: str, ids) -> int:
     """Tombstone vector ids: they stop matching immediately; rows drop
     physically at the next compact. ``ids`` is a one-column DataFrame

@@ -561,6 +561,29 @@ def _build_dedup_index(p: dict[str, str]) -> Transform:
     )
 
 
+def _build_semdedup_index(p: dict[str, str]) -> Transform:
+    """Streaming vector dedup against the persisted IVF-PQ index
+    (operators/pq_index.streaming_semdedup_transform): drop records
+    whose embedding's best exact cosine vs the indexed corpus reaches
+    the threshold, append survivors."""
+    from kafkaconnect_spark.operators.pq_index import streaming_semdedup_transform
+
+    if not p.get("index.dir"):
+        raise SpecError("SemDeDupIndex requires index.dir")
+    if not p.get("vector.store"):
+        raise SpecError("SemDeDupIndex requires vector.store (true-vector table)")
+    return streaming_semdedup_transform(
+        index_dir=str(p["index.dir"]),
+        vector_store=str(p["vector.store"]),
+        threshold=float(p.get("threshold", "0.95")),
+        id_field=p.get("id.field", "vec_id"),
+        vec_field=p.get("vec.field", "embedding"),
+        n_probe=int(p.get("n.probe", "2")),
+        rerank=int(p.get("rerank", "30")),
+        append_survivors=str(p.get("append.survivors", "true")).lower() == "true",
+    )
+
+
 def _build_filter(p: dict[str, str]) -> Transform:
     return filter_records(
         predicate=p.get("predicate", ""),
@@ -578,6 +601,7 @@ TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
     "TimestampConverter$Value": _build_ts_converter,
     "PythonFunction": _build_python_function,
     "DedupIndex": _build_dedup_index,
+    "SemDeDupIndex": _build_semdedup_index,
     # standard Connect set beyond the reference's labs
     "InsertField$Value": _build_insert_field,
     "ReplaceField$Value": _build_replace_field,

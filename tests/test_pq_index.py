@@ -240,3 +240,71 @@ def test_compact_carries_forward_late_tombstones(spark, index):
         ).collect()
     }
     assert late_id not in got
+
+
+def test_streaming_semdedup_transform(spark, tmp_path):
+    """The vector twin of the DedupIndex SMT: micro-batch records
+    whose embedding near-duplicates the indexed corpus (cosine ≥ τ)
+    drop with a durable report; survivors append and block the NEXT
+    batch's duplicates — across the same chain contract the engine's
+    foreachBatch applies."""
+    from kafkaconnect_spark.operators.transforms import build_transform_chain
+    from kafkaconnect_spark.plans.spec import TransformSpec
+
+    d = str(tmp_path / "semidx")
+    corpus = _vecs(spark, CORPUS_IDS)
+    store = str(tmp_path / "store")
+    corpus.write.parquet(store)
+    pq_index.build(corpus, d, n_cells=4, n_sub=N_SUB, n_codes=4, dim=DIM)
+
+    chain = build_transform_chain(
+        [
+            TransformSpec(
+                alias="sem",
+                type="kafkaconnect_spark.SemDeDupIndex",
+                params={
+                    "index.dir": d,
+                    "vector.store": store,
+                    "threshold": "0.999999",
+                    "n.probe": "4",
+                    "rerank": "60",
+                },
+            )
+        ]
+    )
+
+    def _records(rows):
+        return spark.createDataFrame(
+            [(r,) for r in rows],
+            "value struct<vec_id:long, embedding:array<double>>",
+        )
+
+    # batch 1: 200 duplicates corpus id 12 exactly (cosine 1); 201 is
+    # far from everything (opposite-sign cluster pattern, unique)
+    dup_vec = [float(x) for x in corpus.where("vec_id = 12").first()[1]]
+    novel1 = [7.0 + i * 0.31 for i in range(DIM)]
+    out1 = chain(_records([(200, dup_vec), (201, novel1)]))
+    ids1 = {r["value"]["vec_id"] for r in out1.collect()}
+    assert ids1 == {201}
+    # the pipeline contract: the SINK appends batch-1 survivors to the
+    # vector store before the next drain (the store is the sink's lake
+    # table); the transform's own append already put them in the INDEX
+    spark.createDataFrame(
+        [(201, novel1)], "vec_id long, embedding array<double>"
+    ).write.mode("append").parquet(store)
+    # batch 2: 300 duplicates SURVIVOR 201 (in the index only via the
+    # stream's append) → dropped; 301 novel → survives
+    novel2 = [-3.0 - i * 0.17 for i in range(DIM)]
+    out2 = chain(_records([(300, novel1), (301, novel2)]))
+    ids2 = {r["value"]["vec_id"] for r in out2.collect()}
+    assert ids2 == {301}
+    # the drop reports are durable and name the right neighbors
+    import glob as _glob
+
+    pairs = set()
+    for rep in _glob.glob(f"{d}/reports/stream-*"):
+        pairs |= {
+            (r.query_id, r.neighbor_id)
+            for r in spark.read.parquet(rep).collect()
+        }
+    assert (200, 12) in pairs and (300, 201) in pairs
