@@ -14,7 +14,7 @@ integers is bit-identical in any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkaconnect_spark.query_base import (
