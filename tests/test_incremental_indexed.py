@@ -6,6 +6,8 @@ the stored index tables only)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from kafkaconnect_spark.operators import lsh_index
@@ -85,3 +87,28 @@ def test_index_cache_invalidated_by_file_identity(spark, sf_dir, warm_index, tmp
         shutil.copy(f"{sf_dir}/{t}.parquet", alt / f"{t}.parquet")
     d2 = _incremental_index_dir(spark, str(alt))
     assert d2 != warm_index
+
+
+def test_durable_index_root_survives_process_cache(spark, sf_dir, tmp_path, monkeypatch):
+    """SPARK_GRAFT_INDEX_ROOT pins the incremental-dedup index to a
+    stable fingerprint-keyed directory that a LATER process (simulated
+    by clearing the in-process cache) rediscovers instead of
+    rebuilding."""
+    from kafkaconnect_spark import queries_r6
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path / "idxroot"))
+    monkeypatch.setattr(queries_r6, "_INCR_INDEX_CACHE", {})
+    d1 = queries_r6._incremental_index_dir(spark, sf_dir)
+    assert str(tmp_path / "idxroot") in d1
+    mtime = os.path.getmtime(os.path.join(d1, "MANIFEST.json"))
+    # "new process": empty cache → must REUSE the durable index
+    monkeypatch.setattr(queries_r6, "_INCR_INDEX_CACHE", {})
+    d2 = queries_r6._incremental_index_dir(spark, sf_dir)
+    assert d2 == d1
+    assert os.path.getmtime(os.path.join(d1, "MANIFEST.json")) == mtime
+    # and matching against it still works end to end
+    df = queries_r6.dedup_incremental_indexed(spark, sf_dir)
+    assert df.count() >= 0
+    from kafkaconnect_spark.operators.dedup import release_cached
+
+    release_cached(df)
