@@ -78,14 +78,29 @@ def _incremental_index_dir(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="lsh_incr_idx_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents", spread=True)
-    lsh_index.build(
-        docs.where(F.col("doc_id") % 10 != 0),
-        d,
-        num_hashes=16,
-        bands=4,
-        n=3,
-        threshold=0.2,
-    )
+    try:
+        lsh_index.build(
+            docs.where(F.col("doc_id") % 10 != 0),
+            d,
+            num_hashes=16,
+            bands=4,
+            n=3,
+            threshold=0.2,
+        )
+    except lsh_index.IndexWriterLockError:
+        # a concurrent process is building the SAME fingerprint-keyed
+        # index (durable-root deployments): wait for its manifest and
+        # reuse instead of failing the query (r7 ADVICE #1)
+        import time
+
+        deadline = time.time() + 300
+        manifest = os.path.join(d, "MANIFEST.json")
+        while time.time() < deadline:
+            if os.path.exists(manifest):
+                break
+            time.sleep(1.0)
+        else:
+            raise
     _INCR_INDEX_CACHE[key] = d
     return d
 
