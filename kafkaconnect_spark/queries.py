@@ -1206,17 +1206,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.3, num_planes=4, dim=64)
 
 
-def _hyperplane_sql(vec: str, planes: int, dim: int) -> str:
-    bits = []
-    for p in range(planes):
-        w = (
-            f"[(('0x'||substr(md5('{p}:'||d),1,8))::BIGINT / 2147483648.0 - 1.0) "
-            f"FOR d IN range(0, {dim})]"
-        )
-        bits.append(
-            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {w}) >= 0 THEN {2 ** p} ELSE 0 END)"
-        )
-    return "(" + " + ".join(bits) + ")"
+# moved to query_base (r8) so per-round oracle builders can share it
+from kafkaconnect_spark.query_base import _hyperplane_sql  # noqa: E402
 
 
 DEDUP_EMB_ORACLE = f"""
@@ -3666,3 +3657,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R7.items()})
 from kafkaconnect_spark.queries_r7b import R7B_CATALOG as _R7B  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R7B.items()})
+
+from kafkaconnect_spark.queries_r8 import R8_CATALOG as _R8  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R8.items()})

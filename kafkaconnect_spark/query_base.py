@@ -188,3 +188,19 @@ _SIMHASH_BITSUMS = ", ".join(
 _SIMHASH_VALUE = " + ".join(
     f"CASE WHEN b{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(32)
 )
+
+
+def _hyperplane_sql(vec: str, planes: int, dim: int) -> str:
+    """DuckDB replay of similarity.hyperplane_signature — the md5-
+    derived random hyperplane bucket (shared by queries.py's
+    embedding oracles and the per-round modules')."""
+    bits = []
+    for p in range(planes):
+        w = (
+            f"[(('0x'||substr(md5('{p}:'||d),1,8))::BIGINT / 2147483648.0 - 1.0) "
+            f"FOR d IN range(0, {dim})]"
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {w}) >= 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
