@@ -272,6 +272,48 @@ def test_build_recovers_from_interrupted_predecessor(spark, tmp_path):
     assert pq_index.match(spark, dpq, q, _vecs(spark, range(10, 30)), k=3).count() == 3
 
 
+def test_incremental_index_waits_for_concurrent_builder(spark, tmp_path, monkeypatch):
+    """With a durable index root, a second process hitting the writer
+    lock WAITS for the winner's manifest and reuses the index instead
+    of failing the query (r7 ADVICE #1)."""
+    import threading
+    import time as _time
+
+    from kafkaconnect_spark import queries_r6
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path / "root"))
+    monkeypatch.setattr(queries_r6, "_INCR_INDEX_CACHE", {})
+    sf_dir = "/root/testdata/sf0.001"
+
+    # precompute the fingerprint-keyed dir and hold the winner's lock
+    import hashlib
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    key = (os.path.abspath(docs_path), st.st_mtime_ns, st.st_size)
+    tag = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
+    d = str(tmp_path / "root" / f"lsh_incr_{tag}")
+    os.makedirs(d)
+    lock = os.path.join(d, ".writer.lock")
+    open(lock, "w").close()
+
+    def _winner_finishes():
+        _time.sleep(3.0)
+        # the winner commits its manifest and releases the lock
+        with open(os.path.join(d, "MANIFEST.json"), "w") as fh:
+            fh.write('{"version": 1, "num_hashes": 16, "bands": 4, "n": 3, '
+                     '"threshold": 0.2, "id_col": "doc_id"}')
+        os.remove(lock)
+
+    t = threading.Thread(target=_winner_finishes)
+    t.start()
+    try:
+        got = queries_r6._incremental_index_dir(spark, sf_dir)
+    finally:
+        t.join()
+    assert got == d  # waited, then reused the winner's index
+
+
 def test_build_still_refuses_live_overwrite(spark, tmp_path):
     """Recovery must not weaken the overwrite guard: a COMPLETE index
     (manifest present) still refuses a second build."""
