@@ -187,6 +187,12 @@ HEADLINE = [
     "docs_ngram_novelty_curve",
     "docs_shingle_df_profile",
     "events_user_rate_audit",
+    # r8: streaming SMT replays (full 3-batch ingest lifecycles against
+    # fresh persisted indexes per pass) + the cross-index audits
+    "streaming_dedup_replay",
+    "streaming_semdedup_replay",
+    "dedup_cross_index_agreement",
+    "embedding_quantizer_staleness",
 ]
 
 
