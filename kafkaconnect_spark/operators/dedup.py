@@ -167,7 +167,10 @@ def _jaccard_verify(
     tagged onto the result for the caller's release_cached."""
     from pyspark import StorageLevel
 
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    if cands.storageLevel == StorageLevel.NONE:
+        # callers that pre-collect a bucket set from cands (lsh_index.
+        # _match's shingle-partition prune) pass it already persisted
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     a = sharr_a.select(F.col(id_col).alias(key_a), F.col("__sh").alias("__sh_a"))
     b = sharr_b.select(F.col(id_col).alias(key_b), F.col("__sh").alias("__sh_b"))
     b_pruned = b.join(

@@ -193,9 +193,12 @@ def _maybe_broadcast_tombstones(tomb: DataFrame, tomb_dir: str) -> DataFrame:
     return tomb  # AQE picks the join strategy for an oversized log
 
 
-# hive-partition bucket count for the band table; pinned in the
-# manifest at build() so every append writes the same layout
+# hive-partition bucket counts; pinned in the manifest at build() so
+# every append writes the same layout. The SHINGLE table (full arrays
+# — the index's biggest table by far) gets its own id-hash bucket key
+# so the verify join's corpus scan prunes to the candidates' buckets.
 DEFAULT_BAND_BUCKETS = 8
+DEFAULT_SHINGLE_BUCKETS = 16
 
 
 def _band_bucket_expr(n_buckets: int):
@@ -204,6 +207,22 @@ def _band_bucket_expr(n_buckets: int):
     (uniform), mod n. Engine-portable (conv/substring exist in DuckDB
     too), though the bucket never appears in query output."""
     return F.expr(f"int(conv(substring(band_hash, 1, 4), 16, 10) % {n_buckets})")
+
+
+def _shingle_bucket_expr(n_buckets: int, id_col: str):
+    """Deterministic id-hash bucket — the hive partition key of the
+    stored shingle table. Spark murmur3 (fixed seed) of the id's
+    STRING form: hash() is type-dependent (hash(12) != hash(12L)),
+    and append deltas arrive with narrower inferred types (CSV int
+    ids against a bigint index) — hashing the canonical string makes
+    the bucket identical for the same id value whatever the carrier
+    type. Engine-internal only (the bucket never reaches an oracle or
+    query output), so cross-engine portability doesn't apply; what
+    matters is that build/append/match compute the identical bucket
+    for the same id across sessions, which this guarantees."""
+    return F.pmod(
+        F.hash(F.col(id_col).cast("string")), F.lit(n_buckets)
+    ).cast("int")
 
 
 def _check_params(manifest: dict, num_hashes, bands, n) -> tuple[int, int, int]:
@@ -247,27 +266,39 @@ def build(
     text_col: str = "text",
     id_col: str = "doc_id",
     band_buckets: int = DEFAULT_BAND_BUCKETS,
+    shingle_buckets: int = DEFAULT_SHINGLE_BUCKETS,
 ) -> None:
     """Create generation v1 of the index from the standing corpus.
     Banding params (and the default verify threshold) are pinned in
-    the manifest; match/append replay them from there. The band table
-    is hive-partitioned by band_bucket so a match scans only the
-    buckets the batch's own hashes land in."""
+    the manifest; match/append replay them from there. Both stored
+    tables are hive-partitioned: the band table by band_bucket (a
+    match scans only the buckets the batch's own hashes land in), the
+    shingle table by an id-hash shingle_bucket (the verify join's
+    corpus scan prunes to the CANDIDATES' buckets — the shingle table
+    carries the full arrays and dominates index bytes, so this is the
+    larger I/O saving; size ``shingle_buckets`` so corpus_bytes/n is
+    a sane file size at the deployment's scale)."""
     _check_banding(num_hashes, bands)
     with _writer_lock(index_dir):
         _clear_manifestless_debris(index_dir, ("shingles", "bands", "tombstones"))
         _build_locked(
             corpus, index_dir, num_hashes, bands, n, threshold, text_col,
-            id_col, band_buckets,
+            id_col, band_buckets, shingle_buckets,
         )
 
 
 def _build_locked(
     corpus, index_dir, num_hashes, bands, n, threshold, text_col, id_col,
-    band_buckets,
+    band_buckets, shingle_buckets,
 ) -> None:
     sh = shingle_arrays(corpus, text_col, id_col, n)
-    sh.write.mode("errorifexists").parquet(_table_path(index_dir, "shingles", 1))
+    sh.withColumn(
+        "shingle_bucket", _shingle_bucket_expr(shingle_buckets, id_col)
+    ).repartition(shingle_buckets, "shingle_bucket").write.mode(
+        "errorifexists"
+    ).partitionBy("shingle_bucket").parquet(
+        _table_path(index_dir, "shingles", 1)
+    )
     sh = corpus.sparkSession.read.parquet(_table_path(index_dir, "shingles", 1))
     b = _banded(_signatures_from_arrays(sh, num_hashes, id_col), bands, id_col)
     # repartition by the bucket key first so partitionBy emits ~1 file
@@ -291,6 +322,7 @@ def _build_locked(
             "threshold": threshold,
             "id_col": id_col,
             "band_buckets": band_buckets,
+            "shingle_buckets": shingle_buckets,
         },
     )
 
@@ -389,6 +421,32 @@ def _match(
         .select("id_new", "id_corpus")
         .distinct()
     )
+    if "shingle_buckets" in m:
+        # the verify join only ever fetches CANDIDATE corpus docs from
+        # the stored shingle table (the index's biggest table — full
+        # arrays) — collect the candidates' bucket set (bounded by
+        # shingle_buckets, a manifest constant) and push it as a
+        # partition filter, so verify reads only those buckets instead
+        # of scanning the whole table. cands is persisted here so the
+        # collect materializes the SAME frame _jaccard_verify's two
+        # consumers replay (its own persist of the same object is a
+        # no-op), not a recompute.
+        from pyspark import StorageLevel as _SL
+
+        cands = cands.persist(_SL.MEMORY_AND_DISK)
+        hit_sb = sorted(
+            r[0]
+            for r in cands.select(
+                _shingle_bucket_expr(m["shingle_buckets"], "id_corpus").alias(
+                    "sb"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        idx_sh = idx_sh.where(F.col("shingle_bucket").isin(hit_sb)).drop(
+            "shingle_bucket"
+        )
     pairs = _jaccard_verify(
         cands, sh_new, idx_sh, threshold, "id_new", "id_corpus", id_col
     )
@@ -528,7 +586,8 @@ def append(
         )
         # stage both deltas fully, then move — shingles first (see
         # module docstring for the ordering rationale)
-        _stage_then_move(sh_new, index_dir, "shingles", v)
+        sd, spart = _shingles_delta(sh_new, m, id_col)
+        _stage_then_move(sd, index_dir, "shingles", v, partition_by=spart)
         bd, bpart = _bands_delta(b_new, m)
         _stage_then_move(bd, index_dir, "bands", v, partition_by=bpart)
         release_cached(pairs)  # sh_new + verify's candidate cache
@@ -538,13 +597,35 @@ def append(
 def _bands_delta(b_new: DataFrame, m: dict) -> tuple[DataFrame, str | None]:
     """(delta, partition_by) for a band-table append: hive-partitioned
     indexes get the bucket column + partitioned staging; a legacy flat
-    index (pre-band_buckets manifest) appends flat."""
+    index (pre-band_buckets manifest) appends flat. The delta is
+    REPARTITIONED by the bucket key first — a partitionBy write from T
+    tasks otherwise sprays up to T×buckets part files per append
+    (moved one rename at a time, then paid for by every later scan);
+    repartitioned it is exactly one file per touched bucket."""
     if "band_buckets" in m:
+        bb = m["band_buckets"]
         return (
-            b_new.withColumn("band_bucket", _band_bucket_expr(m["band_buckets"])),
+            b_new.withColumn("band_bucket", _band_bucket_expr(bb)).repartition(
+                bb, "band_bucket"
+            ),
             "band_bucket",
         )
     return b_new, None
+
+
+def _shingles_delta(
+    sh_new: DataFrame, m: dict, id_col: str
+) -> tuple[DataFrame, str | None]:
+    """Shingle-table twin of _bands_delta."""
+    if "shingle_buckets" in m:
+        sb = m["shingle_buckets"]
+        return (
+            sh_new.withColumn(
+                "shingle_bucket", _shingle_bucket_expr(sb, id_col)
+            ).repartition(sb, "shingle_bucket"),
+            "shingle_bucket",
+        )
+    return sh_new, None
 
 
 def add(spark: SparkSession, index_dir: str, new_batch: DataFrame,
@@ -565,7 +646,8 @@ def add(spark: SparkSession, index_dir: str, new_batch: DataFrame,
         b_new = _banded(
             _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
         )
-        _stage_then_move(sh_new, index_dir, "shingles", m["version"])
+        sd, spart = _shingles_delta(sh_new, m, id_col)
+        _stage_then_move(sd, index_dir, "shingles", m["version"], partition_by=spart)
         bd, bpart = _bands_delta(b_new, m)
         _stage_then_move(bd, index_dir, "bands", m["version"], partition_by=bpart)
         sh_new.unpersist()
@@ -819,12 +901,18 @@ def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
         tomb_gated = _maybe_broadcast_tombstones(
             tomb.withColumnRenamed(tomb.columns[0], id_col), tomb_dir
         )
-        sh_c = (
-            idx_sh.dropDuplicates([idx_sh.columns[0]])
-            .join(tomb_gated, id_col, "left_anti")
-            .repartition(n_buckets)
+        sb = m.get("shingle_buckets", DEFAULT_SHINGLE_BUCKETS)
+        sh_c = idx_sh.dropDuplicates([idx_sh.columns[0]]).join(
+            tomb_gated, id_col, "left_anti"
         )
-        _commit_generation_table(sh_c, index_dir, "shingles", v + 1)
+        if "shingle_bucket" not in sh_c.columns:  # pre-r8 flat index
+            sh_c = sh_c.withColumn(
+                "shingle_bucket", _shingle_bucket_expr(sb, id_col)
+            )
+        sh_c = sh_c.repartition(sb, "shingle_bucket")
+        _commit_generation_table(
+            sh_c, index_dir, "shingles", v + 1, partition_by="shingle_bucket"
+        )
         # restore (or, for a pre-r8 flat index, INTRODUCE — compact
         # rewrites the whole table anyway) the pruned hive layout:
         # bucket dirs, clustered by band_hash inside each so a probe
@@ -854,7 +942,9 @@ def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
         _commit_generation_table(late, index_dir, "tombstones", v + 1)
         m2 = dict(m)
         m2["version"] = v + 1
-        m2["band_buckets"] = bb  # a legacy index is partitioned from here on
+        # a legacy index is partitioned from here on
+        m2["band_buckets"] = bb
+        m2["shingle_buckets"] = sb
         _write_manifest(index_dir, m2)
         new_sh, new_bands, _ = _tables(spark, index_dir)
         return {

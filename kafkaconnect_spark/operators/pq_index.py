@@ -286,9 +286,13 @@ def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
         )
         coded = _coded(vecs, cents, books, d, m["n_sub"], m["id_col"], m["vec_col"])
         # match the stored layout: hive cell-partitioned (current) or
-        # flat (an index built before r8 — upgraded at its next compact)
+        # flat (an index built before r8 — upgraded at its next compact).
+        # Repartition by cell first so the staged write emits one file
+        # per touched cell, not tasks×cells small files.
         dest = _table_path(index_dir, "codes", m["version"])
         pby = "cell" if ifs.partition_subdirs(dest) else None
+        if pby:
+            coded = coded.repartition(F.col("cell"))
         _stage_then_move(coded, index_dir, "codes", m["version"], partition_by=pby)
 
 

@@ -97,6 +97,39 @@ def test_lsh_match_scan_is_partition_pruned(spark, tmp_path):
     release_cached(pairs)
 
 
+def test_lsh_verify_shingle_scan_is_partition_pruned(spark, tmp_path):
+    """The verify join's corpus-side shingle scan — the index's
+    biggest table — reads only the CANDIDATES' id-hash buckets."""
+    d = str(tmp_path / "lsh")
+    lsh_index.build(_docs(spark, BASE_DOCS), d, num_hashes=16, bands=4)
+    assert index_fs.partition_subdirs(os.path.join(d, "shingles", "v1"))
+    batch = _docs(spark, [(10, "a b c d e f g h")])
+    pairs = lsh_index.match(spark, d, batch, threshold=0.5)
+    scans = _scan_lines(pairs, "PartitionFilters: [shingle_bucket#")
+    assert scans, "shingle verify scan is not partition-pruned"
+    for sc in scans:
+        m = re.search(r"PartitionFilters: \[shingle_bucket#\d+ IN \(([^)]*)\)", sc)
+        assert m, f"shingle scan is not partition-pruned: {sc}"
+        # candidates of one probe doc land in few of the 16 buckets
+        assert 1 <= len(m.group(1).split(",")) <= 4
+    got = {(r.id_new, r.id_corpus) for r in pairs.collect()}
+    assert (10, 1) in got  # pruned plan still verifies the real pair
+    from kafkaconnect_spark.operators.dedup import release_cached
+
+    release_cached(pairs)
+    # type-independent bucketing: an int-id delta (CSV inference)
+    # appended into a bigint index must land in the bucket match
+    # computes for the bigint id — hash() is type-dependent, the
+    # bucket expr hashes the canonical string
+    ok = spark.createDataFrame([(77, "h g f e d c b a")], "doc_id int, text string")
+    lsh_index.add(spark, d, ok)
+    p2 = lsh_index.match(
+        spark, d, _docs(spark, [(99, "h g f e d c b a")]), threshold=0.5
+    )
+    assert (99, 77) in {(r.id_new, r.id_corpus) for r in p2.collect()}
+    release_cached(p2)
+
+
 def test_pq_append_preserves_partitioned_layout(spark, tmp_path):
     """Append deltas land inside the cell=… dirs (no flat files mixed
     into the hive layout) and extend match results."""
