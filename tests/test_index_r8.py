@@ -251,6 +251,26 @@ def test_streaming_transform_bounds_report_dirs(spark, tmp_path, monkeypatch):
     assert len(lsh_index._report_dirs(d)) <= 3
 
 
+def test_pq_streaming_transform_bounds_report_dirs(spark, tmp_path, monkeypatch):
+    """The vector SMT auto-folds its per-batch report dirs too."""
+    monkeypatch.setattr(lsh_index, "REPORTS_AUTO_COMPACT_AFTER", 2)
+    d = str(tmp_path / "pq")
+    store_path = str(tmp_path / "store")
+    corpus = _vecs(spark, range(10, 30))
+    corpus.write.parquet(store_path)
+    pq_index.build(corpus, d, n_cells=4, n_sub=2, n_codes=4, dim=DIM)
+    transform = pq_index.streaming_semdedup_transform(
+        d, store_path, threshold=0.999, n_probe=4, rerank=20
+    )
+    for i in range(5):
+        alt = [float(100 + i) * (1 if dd % 2 == 0 else -1) for dd in range(DIM)]
+        batch = spark.createDataFrame(
+            [(200 + i, alt)], "vec_id long, embedding array<double>"
+        ).select(F.struct("vec_id", "embedding").alias("value"))
+        transform(batch).collect()
+    assert len(lsh_index._report_dirs(d)) <= 3
+
+
 # ---------------------------------------------------------------------------
 # staged-delta type validation (r7 ADVICE #3)
 # ---------------------------------------------------------------------------

@@ -45,10 +45,14 @@ def main() -> int:
     from kafkaconnect_spark.operators import index_fs, pq_index
     from kafkaconnect_spark.session import get_spark
 
-    sf_dirs = sys.argv[1:] or [
+    lsh_only = "--lsh-only" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--lsh-only"]
+    sf_dirs = argv or [
         os.path.join(ROOT, ".data", "gen_sf1.0"),
         os.path.join(ROOT, ".data", "gen_sf10"),
     ]
+    if lsh_only:
+        sf_dirs = []
     spark = get_spark(
         "kafkaconnect-prune-probe", master="local[32]", shuffle_partitions=64
     )
@@ -133,15 +137,156 @@ def main() -> int:
         ),
         "runs": out,
     }
+    # realistic 20k-token vocab corpora (the r7 density-probe data):
+    # under the 31-word bench vocab every doc band-collides with
+    # thousands of others, so candidate sets would trivially cover all
+    # buckets — the steady-state ingest shape this measures is a small
+    # batch whose candidates are FEW, as on a real corpus
+    lsh_dirs = [
+        p
+        for p in (
+            os.path.join(ROOT, ".data", "genw_sf1"),
+            os.path.join(ROOT, ".data", "genw_sf10"),
+        )
+        if os.path.exists(os.path.join(p, "documents.parquet"))
+    ]
+    lsh_out = [row for d in lsh_dirs for row in _lsh_probe(spark, d)]
+    lsh_section = {
+        "note": (
+            "lsh_index.match partition pruning on the realistic-vocab "
+            "(20k-token) corpora, measured from the executed plan's own "
+            "PartitionFilters IN-lists (the ground truth of what the scans "
+            "admit): a 20-doc batch match reads only the batch's band "
+            "buckets and the CANDIDATES' shingle buckets — the shingle "
+            "table carries the full arrays and dominates index bytes, so "
+            "its pruned fraction is the one that matters at 100 TB; "
+            "buckets sized 256/64 so batch ≪ buckets, the steady-state "
+            "ingest shape."
+        ),
+        "runs": lsh_out,
+    }
     ladder_path = os.path.join(ROOT, "SCALE_LADDER.json")
     with open(ladder_path) as fh:
         ladder = json.load(fh)
-    ladder["prune_probe_r8"] = section
+    if not lsh_only:
+        ladder["prune_probe_r8"] = section
+    ladder["prune_probe_r8_lsh"] = lsh_section
     with open(ladder_path, "w") as fh:
         json.dump(ladder, fh, indent=1, sort_keys=True)
-    print(f"merged prune_probe_r8 into {ladder_path}")
+    print(f"merged prune_probe_r8 + prune_probe_r8_lsh into {ladder_path}")
     spark.stop()
     return 0
+
+
+def _lsh_probe(spark, sf_dir: str) -> dict:
+    """Build an LSH index over the corpus, match a 20-doc batch, and
+    measure the two pruned byte fractions from the pushed bucket
+    sets (recomputed exactly as _match pushes them — the plan prints
+    >10-value lists as INSET, so plan parsing is format-fragile)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafkaconnect_spark.operators import index_fs, lsh_index
+    from kafkaconnect_spark.operators.dedup import release_cached
+
+    from kafkaconnect_spark.operators.dedup import (
+        _banded,
+        _signatures_from_arrays,
+        shingle_arrays,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    d = tempfile.mkdtemp(prefix="prune_probe_lsh_") + "/idx"
+    t0 = time.perf_counter()
+    lsh_index.build(docs.where(F.col("doc_id") % 500 != 0), d,
+                    num_hashes=16, bands=4, threshold=0.2,
+                    band_buckets=64, shingle_buckets=256)
+    build_sec = time.perf_counter() - t0
+    m = lsh_index._read_manifest(d)
+
+    def _frac(table: str, col: str, hit: list) -> tuple[float, int, int]:
+        tdir = os.path.join(d, table, "v1")
+        total = index_fs.dir_bytes(tdir)
+        got = sum(
+            index_fs.dir_bytes(os.path.join(tdir, f"{col}={v}")) for v in hit
+        )
+        n_dirs = len(index_fs.partition_subdirs(tdir))
+        return round(got / total, 4), len(hit), n_dirs
+
+    def _measure(batch, label: str) -> dict:
+        t0 = time.perf_counter()
+        pairs = lsh_index.match(spark, d, batch)
+        pairs.write.format("noop").mode("overwrite").save()
+        match_sec = time.perf_counter() - t0
+        n_pairs = pairs.count()
+        release_cached(pairs)
+        # recompute the two hit sets EXACTLY as _match pushes them
+        # (the plan prints >10-value lists as INSET, so plan parsing
+        # is format-fragile; the bucket sets ARE the pushed filters)
+        sh_new = shingle_arrays(batch, "text", "doc_id", m["n"])
+        b_new = _banded(
+            _signatures_from_arrays(sh_new, m["num_hashes"], "doc_id"),
+            m["bands"],
+            "doc_id",
+        )
+        hit_bb = sorted(
+            r[0]
+            for r in b_new.select(
+                lsh_index._band_bucket_expr(m["band_buckets"]).alias("bb")
+            ).distinct().collect()
+        )
+        idx_bands = spark.read.parquet(
+            lsh_index._table_path(d, "bands", m["version"])
+        ).where(F.col("band_bucket").isin(hit_bb))
+        cands = (
+            b_new.withColumnRenamed("doc_id", "id_new")
+            .join(idx_bands.withColumnRenamed("doc_id", "id_corpus"),
+                  ["band", "band_hash"])
+            .where(F.col("id_new") != F.col("id_corpus"))
+            .select("id_corpus")
+            .distinct()
+        )
+        hit_sb = sorted(
+            r[0]
+            for r in cands.select(
+                lsh_index._shingle_bucket_expr(
+                    m["shingle_buckets"], "id_corpus"
+                ).alias("sb")
+            ).distinct().collect()
+        )
+        sh_frac, sh_hit, sh_dirs = _frac("shingles", "shingle_bucket", hit_sb)
+        bd_frac, bd_hit, bd_dirs = _frac("bands", "band_bucket", hit_bb)
+        row = {
+            "corpus_dir": os.path.basename(sf_dir),
+            "batch": label,
+            "n_docs": n_docs,
+            "batch_docs": batch.count(),
+            "n_verified_pairs": n_pairs,
+            "frac_shingle_bytes": sh_frac,
+            "hit_shingle_buckets": sh_hit,
+            "n_shingle_buckets": sh_dirs,
+            "frac_band_bytes": bd_frac,
+            "hit_band_buckets": bd_hit,
+            "n_band_buckets": bd_dirs,
+            "match_sec": round(match_sec, 3),
+            "build_sec": round(build_sec, 3),
+        }
+        print(json.dumps(row), flush=True)
+        spark.catalog.clearCache()
+        return row
+
+    # stranger batch: no candidates → the verify scan reads NOTHING
+    strangers = docs.where(F.col("doc_id") % 500 == 0).limit(20)
+    # dup batch: 10 corpus texts re-ingested under new ids → candidates
+    # exist and the verify scan reads only THEIR buckets (≈10 of 256)
+    dups = (
+        docs.where(F.col("doc_id") % 500 == 7)
+        .limit(10)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    return [_measure(strangers, "strangers"), _measure(dups, "planted_dups")]
 
 
 if __name__ == "__main__":
