@@ -76,6 +76,7 @@ from kafkaconnect_spark.operators.lsh_index import (
     _auto_compact_reports,
     _clear_manifestless_debris,
     _commit_generation_table,
+    _gc_locked,
     _manifest_path,
     _maybe_broadcast_tombstones,
     _stage_then_move,
@@ -84,6 +85,9 @@ from kafkaconnect_spark.operators.lsh_index import (
     _writer_lock,
     compact_reports,  # noqa: F401 — re-exported: shared report layout
 )
+
+# generation directories retention GC sweeps for this index
+_PQ_TABLES = ("codes", "tombstones")
 from kafkaconnect_spark.operators.similarity import (
     _adc_rerank,
     _infer_dim,
@@ -211,6 +215,12 @@ def build(
                 "vec_col": vec_col,
                 "centroids": cent_pairs,
                 "codebooks": books,
+                # layout is a MANIFEST fact, not a directory inference:
+                # a v1 build whose codes table happened to write zero
+                # rows has no cell= subdirs, and sniffing dirs would
+                # then flatten every later append, silently losing the
+                # cell prune until a compact (r8 ADVICE #4)
+                "codes_partitioned": True,
             },
         )
 
@@ -229,6 +239,7 @@ def match(
     n_probe: int = 2,
     rerank: int = 30,
     query_id_col: str = "query_id",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """READ-ONLY IVF-PQ ANN against the stored codes. ``vectors`` is
     the caller's true-vector store for the exact re-rank (the index
@@ -236,14 +247,30 @@ def match(
     from it by keyed join. Returns (query_id, neighbor_id, cosine,
     adc_dist, rank ≤ k) — identical semantics to
     similarity.ivfpq_ann_topk with the same quantizers, minus any
-    corpus re-coding (plan-pinned in tests/test_pq_index.py)."""
+    corpus re-coding (plan-pinned in tests/test_pq_index.py).
+
+    ``exclude_ids`` (one id column) removes corpus ids from the
+    candidate pool BEFORE the ADC shortlist — not a post-hoc filter
+    on the top-k, which would silently shrink result depth and, in
+    the streaming replay path, let an excluded id crowd the true
+    neighbor out of the shortlist (r8 ADVICE #2). The streaming SMT
+    passes the batch's own ids so a replayed batch searches exactly
+    the pool the original run saw.
+
+    The probes frame feeds both the cell collect and the ADC join —
+    it is persisted so the probe pipeline computes once (r8 ADVICE
+    #5), tagged on the result for dedup.release_cached."""
+    from pyspark import StorageLevel
+
+    from kafkaconnect_spark.operators.dedup import _track_cached
+
     codes, m = _codes_table(spark, index_dir)
     cents, books, d = _quantizers(m)
     id_col, vec_col, n_sub = m["id_col"], m["vec_col"], m["n_sub"]
     norm_sql, cell_scores_sql = _ivf_sql(cents)
     probes = _pq_probes(
         queries, books, d, n_probe, norm_sql, cell_scores_sql, query_id_col, vec_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # the probed-cell set is bounded by n_cells (a manifest constant) —
     # collect it and push it as a PARTITION filter on the hive-
     # partitioned codes table: steady-state search reads only the
@@ -259,17 +286,28 @@ def match(
         tomb_dir,
     )
     codes = codes.join(tomb, id_col, "left_anti")
+    if exclude_ids is not None:
+        codes = codes.join(
+            F.broadcast(
+                exclude_ids.select(
+                    F.col(exclude_ids.columns[0]).alias(id_col)
+                ).distinct()
+            ),
+            id_col,
+            "left_anti",
+        )
     sl = _adc_rerank(
         codes, probes, vectors, n_sub, rerank, id_col, vec_col, query_id_col, norm_sql
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         sl.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "adc_dist", "rank")
     )
+    return _track_cached(out, [probes])
 
 
 def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
@@ -287,10 +325,16 @@ def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
         coded = _coded(vecs, cents, books, d, m["n_sub"], m["id_col"], m["vec_col"])
         # match the stored layout: hive cell-partitioned (current) or
         # flat (an index built before r8 — upgraded at its next compact).
+        # The layout is read from the MANIFEST pin; directory sniffing
+        # remains only as the legacy fallback for pre-pin manifests —
+        # it misreads an empty partitioned build as flat (r8 ADVICE #4).
         # Repartition by cell first so the staged write emits one file
         # per touched cell, not tasks×cells small files.
         dest = _table_path(index_dir, "codes", m["version"])
-        pby = "cell" if ifs.partition_subdirs(dest) else None
+        if "codes_partitioned" in m:
+            pby = "cell" if m["codes_partitioned"] else None
+        else:
+            pby = "cell" if ifs.partition_subdirs(dest) else None
         if pby:
             coded = coded.repartition(F.col("cell"))
         _stage_then_move(coded, index_dir, "codes", m["version"], partition_by=pby)
@@ -426,12 +470,30 @@ def delete(spark: SparkSession, index_dir: str, ids) -> int:
         return n_new
 
 
-def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
+def drop_generations(index_dir: str, keep: int = 1) -> dict:
+    """Explicit generation GC for the vector index — see
+    lsh_index.drop_generations (same retention semantics, this
+    module's table set)."""
+    with _writer_lock(index_dir):
+        m = _read_manifest(index_dir)
+        return _gc_locked(index_dir, m, keep, _PQ_TABLES)
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    n_buckets: int = 8,
+    keep_generations: int = 1,
+) -> dict:
     """Generation v+1: one row per id (append-latest-wins is moot —
     codes are deterministic given the pinned quantizers, so duplicates
     are identical rows), minus tombstoned ids, re-clustered by cell;
     tombstones landing after the snapshot carry forward (see
-    lsh_index.compact for the protocol rationale)."""
+    lsh_index.compact for the protocol rationale). Generations older
+    than ``version - keep_generations`` are GC'd after the manifest
+    commit — a tombstoned vector's code bytes physically leave disk
+    once no retained generation carries them (immediately at
+    keep_generations=0)."""
     with _writer_lock(index_dir):
         codes, m = _codes_table(spark, index_dir)
         v, id_col = m["version"], m["id_col"]
@@ -473,7 +535,11 @@ def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
         _commit_generation_table(late, index_dir, "tombstones", v + 1)
         m2 = dict(m)
         m2["version"] = v + 1
+        # compact always writes the partitioned layout (legacy flat
+        # indexes are upgraded here) — pin it for later appends
+        m2["codes_partitioned"] = True
         _write_manifest(index_dir, m2)
+        gc = _gc_locked(index_dir, m2, keep_generations, _PQ_TABLES)
         new_codes, _ = _codes_table(spark, index_dir)
         return {
             "version": v + 1,
@@ -481,4 +547,5 @@ def compact(spark: SparkSession, index_dir: str, n_buckets: int = 8) -> dict:
             "n_tombstones_dropped": n_tomb,
             "n_files_before": files_before,
             "n_files_after": _n_files("codes", v + 1),
+            "oldest_retained": gc["oldest_retained"],
         }
