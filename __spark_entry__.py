@@ -58,9 +58,28 @@ def _driver_covered() -> set[str]:
     return covered
 
 
+# Covered queries whose ENGINE SEMANTICS changed this round, so their
+# standing green rows describe code that no longer exists — they jump
+# to the front of the covered block for a fresh driver proof. Emptied
+# (or re-filled) each round; names here must already be covered, so
+# they can never displace a genuinely-unproven query out of the
+# window (pinned in tests/test_entry_ordering.py).
+_REPROVE_CHANGED = [
+    # r9: compact() now garbage-collects old generations and the two
+    # erasure queries run it with keep_generations=0 (physical-erasure
+    # path); the streaming SMTs gained within-batch dedup + corpus-
+    # pool exclusion, changing the replay queries' drop semantics.
+    "dedup_lsh_index_erasure",
+    "embedding_pq_index_erasure",
+    "streaming_dedup_replay",
+    "streaming_semdedup_replay",
+]
+
+
 def _ordered_names() -> list[str]:
-    """Not-yet-driver-verified names first, then verified ones; each
-    block in catalog insertion order.
+    """Not-yet-driver-verified names first, then verified ones whose
+    semantics changed this round (_REPROVE_CHANGED), then the rest;
+    each block in catalog insertion order.
 
     The driver records a bounded prefix (50 rows per round), so the
     invariant that matters is: a brand-new query must never displace
@@ -75,9 +94,12 @@ def _ordered_names() -> list[str]:
     tests/test_entry_ordering.py."""
     covered = _driver_covered()
     names = list(QUERY_CATALOG)
-    return [n for n in names if n not in covered] + [
-        n for n in names if n in covered
-    ]
+    changed = set(_REPROVE_CHANGED) & covered
+    return (
+        [n for n in names if n not in covered]
+        + [n for n in names if n in changed]
+        + [n for n in names if n in covered and n not in changed]
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

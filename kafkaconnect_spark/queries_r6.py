@@ -192,7 +192,10 @@ def dedup_lsh_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_index.build(corpus, index_dir, num_hashes=16, bands=4, threshold=0.2)
     lsh_index.delete(spark, index_dir, erased.select("doc_id"))
     p1 = lsh_index.append(spark, index_dir, batch)
-    lsh_index.compact(spark, index_dir)
+    # keep_generations=0: the pre-compact generation that still holds
+    # the erased docs' shingle/band rows is GC'd in the same call —
+    # erasure is physical on disk, not just in the serving view (r9)
+    lsh_index.compact(spark, index_dir, keep_generations=0)
     p2 = lsh_index.append(spark, index_dir, erased)
     return (
         p1.withColumn("phase", F.lit(1))

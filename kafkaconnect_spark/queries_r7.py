@@ -115,7 +115,10 @@ def embedding_pq_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = _materialized(
         pq_index.match(spark, d, q, emb, k=10, n_probe=2, rerank=30), d, "p1"
     )
-    pq_index.compact(spark, d)
+    # keep_generations=0: the erased vectors' code bytes leave disk in
+    # the same call (generation GC) — physical erasure, not just a
+    # serving-view filter (r9)
+    pq_index.compact(spark, d, keep_generations=0)
     pq_index.append(spark, d, erased)
     p2 = pq_index.match(spark, d, q, emb, k=10, n_probe=2, rerank=30)
     return (

@@ -129,29 +129,52 @@ jac AS MATERIALIZED (
        JOIN sizes sb ON sb.doc_id = id_corpus
   WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
 docs_ok AS MATERIALIZED (SELECT DISTINCT doc_id FROM sh),
+-- r9 SMT semantics: per batch, (a) WITHIN-BATCH self-dedup first
+-- (fresh batches: lowest id wins each verified pair), then (b) the
+-- corpus match of the self-survivors with the batch's own ids
+-- excluded from the pool. These single-class batches are disjoint
+-- from the standing corpus, so the indexed-mate clause of the
+-- winner rule never fires here (it does in the *_within_batch
+-- planted replays) and the pool exclusion is structural.
+w1 AS MATERIALIZED (
+  SELECT 1 AS batch, id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 = 0 AND id_corpus % 10 = 0 AND id_corpus < id_new),
 r1 AS MATERIALIZED (
   SELECT 1 AS batch, id_new, id_corpus, jaccard FROM jac
-  WHERE id_new % 10 = 0 AND id_corpus % 10 >= 3),
+  WHERE id_new % 10 = 0 AND id_new NOT IN (SELECT id_new FROM w1)
+    AND id_corpus % 10 >= 3),
 s1 AS MATERIALIZED (
   SELECT doc_id FROM docs_ok WHERE doc_id % 10 = 0
+  AND doc_id NOT IN (SELECT id_new FROM w1)
   AND doc_id NOT IN (SELECT id_new FROM r1)),
+w2 AS MATERIALIZED (
+  SELECT 2 AS batch, id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 = 1 AND id_corpus % 10 = 1 AND id_corpus < id_new),
 r2 AS MATERIALIZED (
   SELECT 2 AS batch, id_new, id_corpus, jaccard FROM jac
-  WHERE id_new % 10 = 1
+  WHERE id_new % 10 = 1 AND id_new NOT IN (SELECT id_new FROM w2)
     AND (id_corpus % 10 >= 3 OR id_corpus IN (SELECT doc_id FROM s1))),
 s2 AS MATERIALIZED (
   SELECT doc_id FROM docs_ok WHERE doc_id % 10 = 1
+  AND doc_id NOT IN (SELECT id_new FROM w2)
   AND doc_id NOT IN (SELECT id_new FROM r2)),
+w3 AS MATERIALIZED (
+  SELECT 3 AS batch, id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 = 2 AND id_corpus % 10 = 2 AND id_corpus < id_new),
 r3 AS MATERIALIZED (
   SELECT 3 AS batch, id_new, id_corpus, jaccard FROM jac
-  WHERE id_new % 10 = 2
+  WHERE id_new % 10 = 2 AND id_new NOT IN (SELECT id_new FROM w3)
     AND (id_corpus % 10 >= 3 OR id_corpus IN (SELECT doc_id FROM s1)
          OR id_corpus IN (SELECT doc_id FROM s2))),
 s3 AS MATERIALIZED (
   SELECT doc_id FROM docs_ok WHERE doc_id % 10 = 2
+  AND doc_id NOT IN (SELECT id_new FROM w3)
   AND doc_id NOT IN (SELECT id_new FROM r3))
-SELECT batch, id_new, id_corpus, jaccard FROM r1
+SELECT batch, id_new, id_corpus, jaccard FROM w1
+UNION ALL SELECT batch, id_new, id_corpus, jaccard FROM r1
+UNION ALL SELECT batch, id_new, id_corpus, jaccard FROM w2
 UNION ALL SELECT batch, id_new, id_corpus, jaccard FROM r2
+UNION ALL SELECT batch, id_new, id_corpus, jaccard FROM w3
 UNION ALL SELECT batch, id_new, id_corpus, jaccard FROM r3
 UNION ALL SELECT 0, doc_id, NULL, NULL FROM docs_ok WHERE doc_id % 10 >= 3
 UNION ALL SELECT 0, doc_id, NULL, NULL FROM s1
@@ -297,13 +320,32 @@ codes AS MATERIALIZED (
   FROM s0 {code_joins} JOIN cells USING (vec_id))"""
     member_prev = "SELECT vec_id FROM v WHERE vec_id % 10 >= 3"
     for k in (1, 2, 3):
+        # r9 SMT semantics, mirrored from the transform: (a) WITHIN-
+        # BATCH self-dedup — candidates are batch-mates whose coded
+        # cell lies in the query's n_probe probed cells, verified with
+        # EXACT cosine, lowest id wins (these fresh single-class
+        # batches have no indexed mates, so the indexed-wins clause
+        # never fires here); (b) the corpus ANN match runs on the
+        # self-SURVIVORS only, and the batch's own ids are excluded
+        # from the pool (structural for these disjoint batches).
         sql += f""",
+w{k} AS MATERIALIZED (
+  SELECT {k} AS batch, pc.query_id, c2.vec_id AS neighbor_id,
+         {_COS6.format(a='qs.qv', b='v2.vec')} AS cosine
+  FROM probe_cells pc
+       JOIN cells c2 ON c2.cell = pc.cell
+       JOIN v v2 ON v2.vec_id = c2.vec_id
+       JOIN qs ON qs.query_id = pc.query_id
+  WHERE pc.query_id % 10 = {k - 1} AND c2.vec_id % 10 = {k - 1}
+    AND c2.vec_id < pc.query_id
+    AND {_COS6.format(a='qs.qv', b='v2.vec')} >= {tau}),
 member{k} AS MATERIALIZED ({member_prev}),
 sl{k} AS MATERIALIZED (
   SELECT pc.query_id, codes.vec_id AS neighbor_id, ({adc_sum})::DOUBLE AS adc
   FROM probe_cells pc JOIN codes USING (cell)
        JOIN member{k} m ON m.vec_id = codes.vec_id {lut_joins}
-  WHERE pc.query_id % 10 = {k - 1} AND codes.vec_id != pc.query_id),
+  WHERE pc.query_id % 10 = {k - 1} AND codes.vec_id != pc.query_id
+    AND pc.query_id NOT IN (SELECT query_id FROM w{k})),
 top{k} AS MATERIALIZED (SELECT query_id, neighbor_id, adc FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY adc ASC, neighbor_id ASC) srn
@@ -320,14 +362,18 @@ r{k} AS MATERIALIZED (
   WHERE rnk = 1 AND cosine >= {tau}),
 s_v{k} AS MATERIALIZED (
   SELECT vec_id FROM v WHERE vec_id % 10 = {k - 1}
+  AND vec_id NOT IN (SELECT query_id FROM w{k})
   AND vec_id NOT IN (SELECT query_id FROM r{k}))"""
         member_prev = (
             f"SELECT vec_id FROM member{k} UNION ALL SELECT vec_id FROM s_v{k}"
         )
     return sql + f""",
 final AS ({member_prev})
-SELECT batch, query_id, neighbor_id, cosine FROM r1
+SELECT batch, query_id, neighbor_id, cosine FROM w1
+UNION ALL SELECT batch, query_id, neighbor_id, cosine FROM r1
+UNION ALL SELECT batch, query_id, neighbor_id, cosine FROM w2
 UNION ALL SELECT batch, query_id, neighbor_id, cosine FROM r2
+UNION ALL SELECT batch, query_id, neighbor_id, cosine FROM w3
 UNION ALL SELECT batch, query_id, neighbor_id, cosine FROM r3
 UNION ALL SELECT 0, vec_id, NULL, NULL FROM final
 """

@@ -44,16 +44,24 @@ def test_ordering_properties():
     assert len(names) == len(set(names))
 
     covered = mod._driver_covered()
+    changed = set(mod._REPROVE_CHANGED) & covered
     uncovered_block = [n for n in names if n not in covered]
-    covered_block = [n for n in names if n in covered]
+    changed_block = [n for n in names if n in changed]
+    covered_block = [n for n in names if n in covered and n not in changed]
 
-    # 2. all-uncovered-first: the two blocks are contiguous
-    assert names == uncovered_block + covered_block
+    # 2. all-uncovered-first; then the semantics-changed re-proof
+    #    block; then the stable covered tail — contiguous blocks, so a
+    #    re-proof entry can never displace an unproven query
+    assert names == uncovered_block + changed_block + covered_block
 
     # 3. each block preserves catalog insertion order
     idx = {n: i for i, n in enumerate(catalog)}
     assert uncovered_block == sorted(uncovered_block, key=idx.__getitem__)
+    assert changed_block == sorted(changed_block, key=idx.__getitem__)
     assert covered_block == sorted(covered_block, key=idx.__getitem__)
+
+    # _REPROVE_CHANGED may only name already-covered catalog queries
+    assert set(mod._REPROVE_CHANGED) <= set(catalog)
 
 
 def test_oracles_match_queries():

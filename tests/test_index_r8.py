@@ -403,20 +403,28 @@ def test_index_rejects_object_store_paths(spark):
 
 
 def test_lsh_replay_keeps_within_batch_neardup_group(spark, tmp_path):
-    """Crash-replay: the batch was appended but the sink never
-    committed. On replay, two batch-mates that near-duplicate each
-    other must NOT be dropped as duplicates of one another —
-    at-least-once must not become data loss."""
+    """Within-batch dedup (r8 judge directive #3) + crash-replay
+    convergence: two batch-mates that near-duplicate each other
+    resolve deterministically (lowest id wins) on the FIRST run, and
+    a replay — after the survivor was already appended — converges to
+    the SAME survivor, neither annihilating the group (the r7 bug)
+    nor re-dropping the winner against its own pre-crash append."""
     d = str(tmp_path / "lsh")
     lsh_index.build(_docs(spark, BASE_DOCS), d, num_hashes=16, bands=4)
     transform = lsh_index.streaming_dedup_transform(d, threshold=0.5)
     group = [(50, "q1 q2 q3 q4 q5 q6 q7 q8"), (51, "q1 q2 q3 q4 q5 q6 q7 q8")]
     batch = _docs(spark, group).select(F.struct("doc_id", "text").alias("value"))
     first = {r["value"]["doc_id"] for r in transform(batch).collect()}
-    assert first == {50, 51}  # both strangers to the corpus: survive
-    # the replay: the index now CONTAINS 50 and 51
+    assert first == {50}  # lowest id wins the within-batch group
+    # the replay: the index now CONTAINS the winner 50
     replay = {r["value"]["doc_id"] for r in transform(batch).collect()}
-    assert replay == {50, 51}  # convergence, not mutual annihilation
+    assert replay == {50}  # convergence: same survivor, not data loss
+    # and the replay appended nothing new — stored state is unchanged
+    m = lsh_index._read_manifest(d)
+    sh = spark.read.parquet(
+        lsh_index._table_path(d, "shingles", m["version"])
+    )
+    assert sh.where(F.col("doc_id") == 50).count() == 1
     # while a genuine corpus duplicate still drops on replay shapes
     dup = _docs(spark, [(60, "a b c d e f g h")]).select(
         F.struct("doc_id", "text").alias("value")
@@ -442,9 +450,71 @@ def test_pq_replay_keeps_within_batch_neardup_group(spark, tmp_path):
         rows, "vec_id long, embedding array<double>"
     ).select(F.struct("vec_id", "embedding").alias("value"))
     first = {r["value"]["vec_id"] for r in transform(batch).collect()}
-    assert first == {70, 71}
+    assert first == {70}  # lowest id wins the within-batch pair
     replay = {r["value"]["vec_id"] for r in transform(batch).collect()}
-    assert replay == {70, 71}
+    assert replay == {70}  # convergence across the crash boundary
+    codes, m = pq_index._codes_table(spark, d)
+    assert codes.where(F.col("vec_id") == 70).count() == 1  # no re-append
+    assert codes.where(F.col("vec_id") == 71).count() == 0
+
+
+def test_lsh_same_batch_redelivery_does_not_mask_corpus_dup(spark, tmp_path):
+    """r8 ADVICE #3: doc 1 is IN the index and gets redelivered in the
+    same micro-batch as a fresh near-duplicate. The old batch-mate
+    exemption let the fresh dup through; the winner rule drops it
+    (indexed mate wins) whatever the id order."""
+    d = str(tmp_path / "lsh")
+    lsh_index.build(_docs(spark, BASE_DOCS), d, num_hashes=16, bands=4)
+    transform = lsh_index.streaming_dedup_transform(d, threshold=0.5)
+    # doc 3 has no standing near-dup (docs 1/2 near-dup EACH OTHER, so
+    # their redeliveries would drop as corpus dups — correct but not
+    # this test). Fresh near-dup id 99 SORTS AFTER the redelivered 3:
+    b1 = _docs(spark, [(3, "p q r s t u v w"), (99, "p q r s t u v w")]).select(
+        F.struct("doc_id", "text").alias("value")
+    )
+    got = {r["value"]["doc_id"] for r in transform(b1).collect()}
+    assert got == {3}  # redelivery passes through; the dup drops
+    # fresh near-dup id 0 SORTS BEFORE the indexed doc 4: lowest-id
+    # alone would keep 0 and drop the redelivery — the indexed mate
+    # must still win
+    b2 = _docs(spark, [(0, "k l m n o p q r"), (4, "k l m n o p q r")]).select(
+        F.struct("doc_id", "text").alias("value")
+    )
+    got2 = {r["value"]["doc_id"] for r in transform(b2).collect()}
+    assert got2 == {4}
+    # and neither fresh dup entered the index
+    m = lsh_index._read_manifest(d)
+    sh = spark.read.parquet(lsh_index._table_path(d, "shingles", m["version"]))
+    assert sh.where(F.col("doc_id").isin([99, 0])).count() == 0
+
+
+def test_pq_same_batch_redelivery_does_not_mask_corpus_dup(spark, tmp_path):
+    d = str(tmp_path / "pq")
+    store_path = str(tmp_path / "store")
+    # the all-positive _vecs family is mutually near-identical (a
+    # redelivery of any of them would legitimately drop as a corpus
+    # dup of its siblings) — give the corpus ONE vector with no
+    # standing near-dup: the alternating pattern, id 40
+    alt = [9.0 if dd % 2 == 0 else -9.0 for dd in range(DIM)]
+    corpus = _vecs(spark, range(10, 30)).unionByName(
+        spark.createDataFrame([(40, alt)], "vec_id long, embedding array<double>")
+    )
+    corpus.write.parquet(store_path)
+    pq_index.build(corpus, d, n_cells=4, n_sub=2, n_codes=4, dim=DIM)
+    transform = pq_index.streaming_semdedup_transform(
+        d, store_path, threshold=0.999, n_probe=4, rerank=20
+    )
+    # vec 40 redelivered with a same-batch clone whose id sorts FIRST:
+    # lowest-id alone would keep the clone — the indexed mate must win
+    rows = [(5, alt), (40, alt)]
+    batch = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).select(F.struct("vec_id", "embedding").alias("value"))
+    got = {r["value"]["vec_id"] for r in transform(batch).collect()}
+    assert got == {40}  # indexed mate wins despite the larger id
+    codes, _m = pq_index._codes_table(spark, d)
+    assert codes.where(F.col("vec_id") == 5).count() == 0
+    assert codes.where(F.col("vec_id") == 40).count() == 1  # no re-append
 
 
 def test_pq_streaming_transform_respects_custom_field_names(spark, tmp_path):
