@@ -589,6 +589,128 @@ def drop_generations(index_dir: str, keep: int = 1) -> dict:
         return _gc_locked(index_dir, m, keep, _PQ_TABLES)
 
 
+def retrain(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    train_rounds: int | None = None,
+    n_cells: int | None = None,
+    n_codes: int | None = None,
+    n_buckets: int = 8,
+    keep_generations: int = 1,
+) -> dict:
+    """Quantizer ROTATION — the action the staleness audit
+    (queries_r8.embedding_quantizer_staleness) alerts for: manifest
+    quantizers trained on an old snapshot mis-tile a grown corpus, so
+    the probed fraction misses more true neighbors every append.
+
+    Under the writer lock: (1) resolve the CURRENT membership (stored
+    code ids minus the tombstone snapshot — identical snapshot
+    discipline to compact, late tombstones carry forward); (2) fetch
+    those ids' true vectors from the CALLER's ``vectors`` store by
+    keyed semi-join (the index stores no vectors — the same store the
+    SemDeDup SMT already requires); (3) train fresh coarse centroids
+    + per-subspace codebooks on them (fixed-round Lloyd,
+    similarity._lloyd_centroids / _lloyd_subspace_books — the same
+    oracle-replayable machinery build(train_rounds=…) uses); (4)
+    re-code the membership in ONE corpus pass and commit it as
+    generation v+1 with the NEW quantizers in the manifest; (5) apply
+    the retention GC. Old generations stay readable until they fall
+    out of the window — note a pinned reader of an old generation
+    must pair it with the manifest it read THEN, since the manifest's
+    quantizers now describe v+1.
+
+    ``n_cells``/``n_codes`` default to the manifest (rotation in
+    place) but may grow — the usual move when the corpus has
+    outgrown its cell count. ``train_rounds`` defaults to the
+    manifest's value, or 2 if the index was built untrained.
+
+    Scale shape: membership resolve + vector fetch are one semi-join;
+    training is train_rounds narrow assignment passes (k·d driver
+    floats each); re-coding is the same single map stage as build —
+    everything corpus-linear, measured in SCALE_LADDER.json
+    (pq_retrain, r9)."""
+    from kafkaconnect_spark.operators.similarity import (
+        _lloyd_centroids,
+        _lloyd_subspace_books,
+    )
+
+    with _writer_lock(index_dir):
+        codes, m = _codes_table(spark, index_dir)
+        v, id_col, vec_col = m["version"], m["id_col"], m["vec_col"]
+        n_cells = n_cells if n_cells is not None else m["n_cells"]
+        n_codes = n_codes if n_codes is not None else m["n_codes"]
+        rounds = (
+            train_rounds
+            if train_rounds is not None
+            else (m.get("train_rounds") or 2)
+        )
+        n_sub = m["n_sub"]
+        d = m["dim"] // n_sub
+        tomb_dir = _table_path(index_dir, "tombstones", v)
+        snap_files = ifs.parquet_files(tomb_dir)
+        tomb = spark.read.parquet(*[os.path.join(tomb_dir, f) for f in snap_files])
+        tomb_gated = _maybe_broadcast_tombstones(
+            tomb.withColumnRenamed(tomb.columns[0], id_col), tomb_dir
+        )
+        member_ids = (
+            codes.select(id_col).distinct().join(tomb_gated, id_col, "left_anti")
+        )
+        vecs = (
+            vectors.select(F.col(id_col), F.col(vec_col))
+            .where(F.size(vec_col) > 0)
+            .join(member_ids, id_col, "left_semi")
+        )
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+        n_vectors = vecs.count()  # materialize once; training replays it
+        cvecs = _lloyd_centroids(vecs, n_cells, rounds, id_col, vec_col)
+        cent_pairs = [[i, vv] for i, vv in enumerate(cvecs)]
+        books = _lloyd_subspace_books(
+            vecs, n_sub, d, n_codes, rounds, id_col, vec_col
+        )
+        cents = _with_norms([(c, vv) for c, vv in cent_pairs])
+        coded = _coded(vecs, cents, books, d, n_sub, id_col, vec_col).repartition(
+            n_buckets, "cell"
+        )
+        _commit_generation_table(
+            coded, index_dir, "codes", v + 1, partition_by="cell"
+        )
+        late_files = [
+            f for f in ifs.parquet_files(tomb_dir) if f not in set(snap_files)
+        ]
+        late = (
+            spark.read.parquet(
+                *[os.path.join(tomb_dir, f) for f in late_files]
+            ).join(tomb, tomb.columns[0], "left_anti")
+            if late_files
+            else tomb.limit(0)
+        )
+        _commit_generation_table(late, index_dir, "tombstones", v + 1)
+        m2 = dict(m)
+        m2.update(
+            {
+                "version": v + 1,
+                "n_cells": n_cells,
+                "n_codes": n_codes,
+                "train_rounds": rounds,
+                "centroids": cent_pairs,
+                "codebooks": books,
+                "codes_partitioned": True,
+            }
+        )
+        _write_manifest(index_dir, m2)
+        gc = _gc_locked(index_dir, m2, keep_generations, _PQ_TABLES)
+        vecs.unpersist()
+        return {
+            "version": v + 1,
+            "n_vectors": n_vectors,
+            "train_rounds": rounds,
+            "oldest_retained": gc["oldest_retained"],
+        }
+
+
 def compact(
     spark: SparkSession,
     index_dir: str,
