@@ -3661,3 +3661,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R7B.items()})
 from kafkaconnect_spark.queries_r8 import R8_CATALOG as _R8  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R8.items()})
+
+from kafkaconnect_spark.queries_r9 import R9_CATALOG as _R9  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R9.items()})

@@ -1,0 +1,580 @@
+"""Round-9 catalog additions — the r8 judge's named gaps: the
+within-batch dedup semantics of the streaming SMTs put under the
+driver's value-hash oracle with PLANTED same-batch near-dup pairs and
+an in-oracle crash-replay (the same batch fed twice), and the
+quantizer-rotation lifecycle (pq_index.retrain) proven end-to-end
+with both trainings replayed by the oracle.
+
+Batch design (probed against the sf0.01 data first): the standing
+corpus is doc/vec_id % 10 >= 3; batch A = classes {0, 2} (fresh docs
+with verified cross-class near-dup pairs → the lowest-id-wins branch
+of the winner rule); batch A is then fed AGAIN (a crash replay after
+its survivors were appended → every report row must reproduce
+exactly); batch B = classes {1, 3} — class 3 is already IN the index,
+so B mixes fresh docs with REDELIVERIES and near-dup pairs between
+them exercise the indexed-mate-wins branch (r8 ADVICE #3's leak).
+
+Same determinism rules as queries.py: md5-derived hashes shared with
+DuckDB, exact verify arithmetic (jaccard / cosine rounded to 6),
+every aggregate aliased identically on both sides, multi-phase CTEs
+MATERIALIZED so survivor recursion never re-inlines upstream
+pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkaconnect_spark.query_base import (
+    _MINHASH_AGGS,
+    _SHINGLE_CTE,
+    _SIG_LIST,
+    _t,
+)
+from kafkaconnect_spark.queries_r6 import _COS6
+from kafkaconnect_spark.queries_r7 import (
+    _ivfpq_variant_pipeline,
+    _lloyd_cents_cte,
+    _tmp_index_dir,
+)
+
+# ---------------------------------------------------------------------------
+# within-batch streaming dedup replay — planted same-batch pairs,
+# replayed batch, redelivered corpus members (r8 judge directive #3)
+# ---------------------------------------------------------------------------
+
+
+def _run_transform_runs(spark, index_dir, transform, batches, report_cols):
+    """Feed `batches` (list of (run_tag, records_df)) through the SMT
+    in order, collecting each run's durable report rows tagged with
+    the run number — the shared driver for both planted replays."""
+    from kafkaconnect_spark.operators import lsh_index
+
+    reports = []
+    for tag, batch in batches:
+        before = set(lsh_index._report_dirs(index_dir))
+        transform(batch)  # report write + survivor append run eagerly
+        (new_dir,) = set(lsh_index._report_dirs(index_dir)) - before
+        reports.append(
+            spark.read.parquet(
+                os.path.join(index_dir, "reports", new_dir)
+            ).select(F.lit(tag).alias("run"), *report_cols)
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def streaming_dedup_within_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 SMT semantics end-to-end through the ACTUAL
+    `lsh_index.streaming_dedup_transform`, with every branch planted:
+
+    - run 1 (batch A = doc_id % 10 ∈ {0, 2}): fresh batch containing
+      verified same-batch near-dup pairs — the lowest-id-wins branch
+      drops the larger mate BEFORE the corpus match (r8 directive #3);
+      corpus drops are matched against the standing index with the
+      batch's own ids pool-excluded.
+    - run 2 (batch A AGAIN): a crash replay after run 1 appended its
+      survivors. Idempotency is part of the value-hash proof: run 2's
+      report rows must be EXACTLY run 1's (winner rule invariant
+      under the membership delta; pool exclusion restores the
+      original corpus), and nothing is re-appended.
+    - run 3 (batch B = doc_id % 10 ∈ {1, 3}): class 3 is already IN
+      the index — same-batch pairs between a fresh class-1 doc and a
+      redelivered class-3 doc exercise the indexed-mate-wins branch
+      (the r8 ADVICE #3 leak: the old batch-mate exemption let such
+      fresh dups through); redelivered docs that near-dup OTHER
+      standing docs drop as corpus dups; surviving redeliveries pass
+      through without re-appending.
+
+    Returns the per-run drop reports (run, id_new, id_corpus,
+    jaccard) plus the FINAL index membership as run-0 rows.
+
+    Scale shape: per run, one batch-sized banded self-join + the
+    proven bucket-pruned corpus match + a batch-bounded membership
+    probe (shingle_bucket partition-pruned) — nothing corpus-sized
+    recomputes after the one-time build."""
+    from kafkaconnect_spark.operators import lsh_index
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    d = _tmp_index_dir("lsh_wb_replay_")
+    lsh_index.build(
+        docs.where(F.col("doc_id") % 10 >= 3), d,
+        num_hashes=16, bands=4, n=3, threshold=0.2,
+    )
+    transform = lsh_index.streaming_dedup_transform(d)
+
+    def _batch(classes):
+        return docs.where((F.col("doc_id") % 10).isin(classes)).select(
+            F.struct("doc_id", "text").alias("value")
+        )
+
+    out = _run_transform_runs(
+        spark, d, transform,
+        [(1, _batch([0, 2])), (2, _batch([0, 2])), (3, _batch([1, 3]))],
+        ["id_new", "id_corpus", "jaccard"],
+    )
+    m = lsh_index._read_manifest(d)
+    final = (
+        spark.read.parquet(lsh_index._table_path(d, "shingles", m["version"]))
+        .select("doc_id")
+        .distinct()
+        .select(
+            F.lit(0).alias("run"),
+            F.col("doc_id").alias("id_new"),
+            F.lit(None).cast("long").alias("id_corpus"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return out.unionAll(final)
+
+
+STREAMING_DEDUP_WITHIN_BATCH_ORACLE = rf"""
+WITH {_SHINGLE_CTE},
+sigs0 AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sigs0),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_new, b.doc_id id_corpus
+  FROM banded a JOIN banded b USING (band, band_hash)
+  WHERE a.doc_id % 10 < 4 AND a.doc_id != b.doc_id),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT id_new, id_corpus, count(*) inter
+  FROM cands JOIN sh a ON a.doc_id = id_new
+       JOIN sh b ON b.doc_id = id_corpus AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+jac AS MATERIALIZED (
+  SELECT id_new, id_corpus, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_new
+       JOIN sizes sb ON sb.doc_id = id_corpus
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2),
+docs_ok AS MATERIALIZED (SELECT DISTINCT doc_id FROM sh),
+-- run 1: batch A = classes {{0,2}}, all fresh (pre = ∅): within-batch
+-- lowest-id-wins, then corpus match vs the standing index (batch ids
+-- pool-excluded — structural here, A ∩ standing = ∅)
+wA AS MATERIALIZED (
+  SELECT id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 IN (0, 2) AND id_corpus % 10 IN (0, 2)
+    AND id_corpus < id_new),
+rA AS MATERIALIZED (
+  SELECT id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 IN (0, 2)
+    AND id_new NOT IN (SELECT id_new FROM wA)
+    AND id_corpus % 10 >= 3),
+sA AS MATERIALIZED (
+  SELECT doc_id FROM docs_ok WHERE doc_id % 10 IN (0, 2)
+  AND doc_id NOT IN (SELECT id_new FROM wA)
+  AND doc_id NOT IN (SELECT id_new FROM rA)),
+-- run 2 = run 1 replayed, modeled HONESTLY: pre is now sA (run 1's
+-- appended winners), so the winner rule can re-attribute a drop — a
+-- doc that corpus-dropped in run 1 may now fall to the indexed-mate
+-- clause against a surviving batch-mate instead. The SURVIVOR SET is
+-- provably unchanged (a rule that fired keeps firing; sA members can
+-- never be dropped — any pair that could is a contradiction with
+-- them having survived run 1), the pool exclusion keeps every corpus
+-- verdict identical, and nothing is re-appended.
+wA2 AS MATERIALIZED (
+  SELECT id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 IN (0, 2) AND id_corpus % 10 IN (0, 2)
+    AND ((id_corpus IN (SELECT doc_id FROM sA)
+          AND id_new NOT IN (SELECT doc_id FROM sA))
+         OR ((id_corpus IN (SELECT doc_id FROM sA))
+              = (id_new IN (SELECT doc_id FROM sA))
+             AND id_corpus < id_new))),
+rA2 AS MATERIALIZED (
+  SELECT id_new, id_corpus, jaccard FROM rA
+  WHERE id_new NOT IN (SELECT id_new FROM wA2)),
+-- run 3: batch B = classes {{1,3}}; pre = class 3 (standing). Winner
+-- rule: an indexed class-3 mate beats a fresh class-1 doc whatever
+-- the id order; same-status pairs fall back to lowest id. Corpus
+-- pool = (standing ∪ sA) minus B's own ids.
+wB AS MATERIALIZED (
+  SELECT id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 IN (1, 3) AND id_corpus % 10 IN (1, 3)
+    AND ((id_corpus % 10 = 3 AND id_new % 10 = 1)
+         OR (id_corpus % 10 = id_new % 10 AND id_corpus < id_new))),
+rB AS MATERIALIZED (
+  SELECT id_new, id_corpus, jaccard FROM jac
+  WHERE id_new % 10 IN (1, 3)
+    AND id_new NOT IN (SELECT id_new FROM wB)
+    AND (id_corpus % 10 IN (4, 5, 6, 7, 8, 9)
+         OR id_corpus IN (SELECT doc_id FROM sA))),
+sB_fresh AS MATERIALIZED (
+  SELECT doc_id FROM docs_ok WHERE doc_id % 10 = 1
+  AND doc_id NOT IN (SELECT id_new FROM wB)
+  AND doc_id NOT IN (SELECT id_new FROM rB))
+SELECT 1 AS run, id_new, id_corpus, jaccard FROM wA
+UNION ALL SELECT 1, id_new, id_corpus, jaccard FROM rA
+UNION ALL SELECT 2, id_new, id_corpus, jaccard FROM wA2
+UNION ALL SELECT 2, id_new, id_corpus, jaccard FROM rA2
+UNION ALL SELECT 3, id_new, id_corpus, jaccard FROM wB
+UNION ALL SELECT 3, id_new, id_corpus, jaccard FROM rB
+UNION ALL SELECT 0, doc_id, NULL, NULL FROM docs_ok WHERE doc_id % 10 >= 3
+UNION ALL SELECT 0, doc_id, NULL, NULL FROM sA
+UNION ALL SELECT 0, doc_id, NULL, NULL FROM sB_fresh
+"""
+
+
+# ---------------------------------------------------------------------------
+# within-batch SemDeDup replay — the vector twin
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.36  # same synthetic-distribution split as queries_r8
+
+
+def streaming_semdedup_within_batch_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The vector twin of streaming_dedup_within_batch_replay through
+    the ACTUAL `pq_index.streaming_semdedup_transform`: batch A
+    (vec_id % 10 ∈ {0, 2}, fresh, with planted same-batch semantic
+    pairs), batch A replayed (crash-replay idempotency under the
+    value hash — the pool exclusion makes the ANN verdicts replay
+    byte-exactly, closing r8 ADVICE #2's top-1-truncation corner),
+    batch B (vec_id % 10 ∈ {1, 3} — class 3 already indexed, so
+    fresh-vs-redelivery pairs exercise indexed-mate-wins). Returns
+    per-run reports (run, query_id, neighbor_id, cosine) + final
+    membership as run-0 rows.
+
+    Scale shape: per run, the batch codes itself once (manifest
+    quantizers, narrow map), self-candidates come from the index's
+    probe geometry (probed-cell join, batch-bounded), and the corpus
+    match is the proven cell-partition-pruned stored-codes plan."""
+    from kafkaconnect_spark.operators import pq_index
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    d = _tmp_index_dir("pq_wb_replay_")
+    pq_index.build(
+        emb.where(F.col("vec_id") % 10 >= 3), d,
+        n_cells=8, n_sub=4, n_codes=8, dim=64,
+    )
+    transform = pq_index.streaming_semdedup_transform(
+        d, lambda: emb.select("vec_id", "embedding"),
+        threshold=_SEM_TAU, id_field="vec_id", vec_field="embedding",
+        n_probe=2, rerank=30,
+    )
+
+    def _batch(classes):
+        return emb.where((F.col("vec_id") % 10).isin(classes)).select(
+            F.struct("vec_id", "embedding").alias("value")
+        )
+
+    out = _run_transform_runs(
+        spark, d, transform,
+        [(1, _batch([0, 2])), (2, _batch([0, 2])), (3, _batch([1, 3]))],
+        ["query_id", "neighbor_id", "cosine"],
+    )
+    codes, m = pq_index._codes_table(spark, d)
+    final = (
+        codes.select(m["id_col"])
+        .distinct()
+        .select(
+            F.lit(0).alias("run"),
+            F.col(m["id_col"]).alias("query_id"),
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    )
+    return out.unionAll(final)
+
+
+def _semdedup_within_batch_oracle(
+    tau: float = _SEM_TAU,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    d: int = 16,
+    rerank: int = 30,
+) -> str:
+    """DuckDB replay of the planted 3-run SemDeDup ingest: shared
+    quantizer/cell/probe/code/LUT CTEs (the queries_r8 machinery),
+    then per run (a) probe-geometry self pairs verified with exact
+    cosine under the winner rule, (b) the ADC→rerank→top-1 corpus
+    match over the run's member set minus the batch's own ids. Run 2
+    re-emits run 1's rows (the idempotency claim IS the oracle)."""
+    sql = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings
+           WHERE len(embedding) > 0),
+corp AS (SELECT * FROM v WHERE vec_id % 10 >= 3),
+qs AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id % 10 < 4),
+cents AS (SELECT vec_id AS cent_id, vec AS cent_vec FROM corp
+          ORDER BY vec_id LIMIT {n_cells}),
+cells AS MATERIALIZED (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS6.format(a='v.vec', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1),
+probe_cells AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT qs.query_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY qs.query_id
+             ORDER BY {_COS6.format(a='qs.qv', b='c.cent_vec')} DESC, c.cent_id) rn
+    FROM qs CROSS JOIN cents c) WHERE rn <= {n_probe}),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec AS cvec
+       FROM (SELECT vec_id, vec FROM corp ORDER BY vec_id LIMIT {n_codes}))"""
+    for s in range(n_sub):
+        lo, hi = s * d + 1, s * d + d + 1
+        diff = f"[v.vec[i] - c.cvec[i] FOR i IN range({lo}, {hi})]"
+        qdiff = f"[qs.qv[i] - c.cvec[i] FOR i IN range({lo}, {hi})]"
+        sql += f""",
+s{s} AS MATERIALIZED (SELECT vec_id, code AS code_{s} FROM (
+    SELECT vec_id, code,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT v.vec_id, c.code,
+                 round(list_dot_product({diff}, {diff}), 6) AS dist
+          FROM v CROSS JOIN cb c)) WHERE rn = 1),
+lut{s} AS MATERIALIZED (SELECT qs.query_id, c.code,
+                  round(list_dot_product({qdiff}, {qdiff}), 6) AS dval
+           FROM qs CROSS JOIN cb c)"""
+    code_joins = " ".join(f"JOIN s{s} USING (vec_id)" for s in range(1, n_sub))
+    lut_joins = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = pc.query_id AND lut{s}.code = codes.code_{s}"
+        for s in range(n_sub)
+    )
+    adc_sum = " + ".join(f"lut{s}.dval::DECIMAL(18,6)" for s in range(n_sub))
+    sql += f""",
+codes AS MATERIALIZED (
+  SELECT vec_id, cell, {', '.join(f'code_{s}' for s in range(n_sub))}
+  FROM s0 {code_joins} JOIN cells USING (vec_id))"""
+    # (batch_classes, pre_class, member_sql, name) per RUN; run 2 is
+    # re-emitted from run 1's CTEs rather than recomputed
+    runs = [
+        ("A", "(0, 2)", None, "SELECT vec_id FROM v WHERE vec_id % 10 >= 3"),
+        (
+            "B",
+            "(1, 3)",
+            3,
+            "SELECT vec_id FROM v WHERE vec_id % 10 >= 3 "
+            "UNION ALL SELECT vec_id FROM s_vA",
+        ),
+    ]
+    for name, classes, pre_class, member_sql in runs:
+        if pre_class is None:
+            rule = "neighbor_id < query_id"
+        else:
+            rule = (
+                f"((neighbor_id % 10 = {pre_class} AND query_id % 10 != {pre_class})"
+                f" OR (((neighbor_id % 10 = {pre_class}) = (query_id % 10 = {pre_class}))"
+                f" AND neighbor_id < query_id))"
+            )
+        cos2 = _COS6.format(a="qs.qv", b="v2.vec")
+        sql += f""",
+p{name} AS MATERIALIZED (
+  SELECT pc.query_id, c2.vec_id AS neighbor_id, {cos2} AS cosine
+  FROM probe_cells pc
+       JOIN cells c2 ON c2.cell = pc.cell
+       JOIN v v2 ON v2.vec_id = c2.vec_id
+       JOIN qs ON qs.query_id = pc.query_id
+  WHERE pc.query_id % 10 IN {classes} AND c2.vec_id % 10 IN {classes}
+    AND c2.vec_id != pc.query_id AND {cos2} >= {tau}),
+w{name} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine FROM p{name} WHERE {rule}),
+member{name} AS MATERIALIZED ({member_sql}),
+sl{name} AS MATERIALIZED (
+  SELECT pc.query_id, codes.vec_id AS neighbor_id, ({adc_sum})::DOUBLE AS adc
+  FROM probe_cells pc JOIN codes USING (cell)
+       JOIN member{name} m ON m.vec_id = codes.vec_id {lut_joins}
+  WHERE pc.query_id % 10 IN {classes}
+    AND codes.vec_id % 10 NOT IN {classes}
+    AND pc.query_id NOT IN (SELECT query_id FROM w{name})),
+top{name} AS MATERIALIZED (SELECT query_id, neighbor_id, adc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc ASC, neighbor_id ASC) srn
+    FROM sl{name}) WHERE srn <= {rerank}),
+ex{name} AS MATERIALIZED (
+  SELECT t.query_id, t.neighbor_id,
+         {_COS6.format(a='qs.qv', b='v.vec')} AS cosine
+  FROM top{name} t JOIN qs ON qs.query_id = t.query_id
+       JOIN v ON v.vec_id = t.neighbor_id),
+r{name} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) rnk FROM ex{name})
+  WHERE rnk = 1 AND cosine >= {tau}),
+s_v{name} AS MATERIALIZED (
+  SELECT vec_id FROM v WHERE vec_id % 10 IN {classes}
+  AND ({'TRUE' if pre_class is None else f'vec_id % 10 != {pre_class}'})
+  AND vec_id NOT IN (SELECT query_id FROM w{name})
+  AND vec_id NOT IN (SELECT query_id FROM r{name}))"""
+    # run 2 = run 1 replayed, modeled honestly: pre is now s_vA (the
+    # appended winners), so a drop can re-attribute to the
+    # indexed-mate clause; corpus verdicts are pool-identical, so
+    # rA2 is rA filtered to run 2's (never smaller) self-drop set.
+    # Survivor sets provably coincide (a fired rule keeps firing;
+    # s_vA members can't be dropped without contradicting run 1).
+    return sql + f""",
+wA2 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine FROM pA
+  WHERE (neighbor_id IN (SELECT vec_id FROM s_vA)
+         AND query_id NOT IN (SELECT vec_id FROM s_vA))
+     OR ((neighbor_id IN (SELECT vec_id FROM s_vA))
+          = (query_id IN (SELECT vec_id FROM s_vA))
+         AND neighbor_id < query_id)),
+rA2 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine FROM rA
+  WHERE query_id NOT IN (SELECT query_id FROM wA2)),
+final AS (SELECT vec_id FROM memberB UNION ALL SELECT vec_id FROM s_vB)
+SELECT 1 AS run, query_id, neighbor_id, cosine FROM wA
+UNION ALL SELECT 1, query_id, neighbor_id, cosine FROM rA
+UNION ALL SELECT 2, query_id, neighbor_id, cosine FROM wA2
+UNION ALL SELECT 2, query_id, neighbor_id, cosine FROM rA2
+UNION ALL SELECT 3, query_id, neighbor_id, cosine FROM wB
+UNION ALL SELECT 3, query_id, neighbor_id, cosine FROM rB
+UNION ALL SELECT 0, vec_id, NULL, NULL FROM final
+"""
+
+
+STREAMING_SEMDEDUP_WITHIN_BATCH_ORACLE = _semdedup_within_batch_oracle()
+
+
+# ---------------------------------------------------------------------------
+# quantizer rotation lifecycle (r8 judge directive #4)
+# ---------------------------------------------------------------------------
+
+
+def embedding_pq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rotation `embedding_quantizer_staleness` alerts for,
+    executed through the ACTUAL index lifecycle: build the IVF-PQ
+    index TRAINED (2 Lloyd rounds) on the v1 snapshot (vec_id ≤
+    max/2), append the growth batch (coded with the now-stale
+    manifest quantizers — a batch map, zero corpus reads), measure
+    recall@10 vs brute force (phase `pre_retrain`), then
+    `pq_index.retrain` — fresh quantizers trained on the full current
+    membership, the whole corpus re-coded as generation v+1 — and
+    measure again (`post_retrain`). The recall delta is the payoff
+    the staleness audit predicted; the oracle replays BOTH trainings
+    (chained Lloyd CTEs) and both stored-codes ADC pipelines, so the
+    rotation's effect is value-hash-proven, not asserted.
+
+    Scale shape: retrain is corpus-linear (one semi-join vector
+    fetch, `train_rounds` narrow assignment passes, one re-coding
+    map — measured in SCALE_LADDER.json pq_retrain); both matches are
+    the proven cell-partition-pruned stored-codes plan; ground truth
+    is query-bounded brute force (10 queries)."""
+    from kafkaconnect_spark.operators import pq_index, similarity
+    from kafkaconnect_spark.operators.dedup import _track_cached
+    from kafkaconnect_spark.queries_r7 import _materialized
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.where(F.size("embedding") > 0).select("vec_id", "embedding")
+    cut = vecs.agg(
+        F.floor(F.max("vec_id") / 2).cast("long").alias("c")
+    ).collect()[0][0]
+    d = _tmp_index_dir("pq_retrain_")
+    pq_index.build(
+        vecs.where(F.col("vec_id") <= cut), d,
+        n_cells=8, n_sub=4, n_codes=8, dim=64, train_rounds=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    pq_index.append(spark, d, vecs.where(F.col("vec_id") > cut))
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = (
+        similarity.brute_force_topk(emb, q, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+
+    def _recall(ann: DataFrame, label: str) -> DataFrame:
+        return (
+            gt.join(
+                ann.select("query_id", "neighbor_id", F.lit(1).alias("__hit")),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .agg(
+                F.count_distinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("n_true_total"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits_total"),
+            )
+            .select(
+                F.lit(label).alias("variant"),
+                "n_queries",
+                "n_true_total",
+                "n_hits_total",
+                F.round(F.col("n_hits_total") / F.col("n_true_total"), 6).alias(
+                    "recall_at_10"
+                ),
+                F.round(F.lit(2) / F.lit(8.0), 6).alias("frac_cells_scanned"),
+                F.lit(30).alias("rerank_depth"),
+            )
+        )
+
+    p1 = _materialized(
+        pq_index.match(spark, d, q, emb, k=10, n_probe=2, rerank=30), d, "p1"
+    )
+    pq_index.retrain(spark, d, vecs, train_rounds=2)
+    p2 = pq_index.match(spark, d, q, emb, k=10, n_probe=2, rerank=30)
+    out = _recall(p1, "pre_retrain").unionAll(_recall(p2, "post_retrain"))
+    return _track_cached(out, [gt])
+
+
+def _retrain_oracle() -> str:
+    """pre_retrain = quantizers Lloyd-trained (2 rounds) on the v1
+    snapshot, searched over the grown corpus; post_retrain = the same
+    pipeline with quantizers re-trained on the FULL corpus — exactly
+    the two trainings the index performed (build(train_rounds=2),
+    retrain(train_rounds=2)), replayed as CTEs."""
+    sql = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] vec FROM embeddings
+           WHERE len(embedding) > 0),
+v1 AS (SELECT * FROM v WHERE vec_id <= (SELECT max(vec_id) // 2 FROM v)),
+qs AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+bf AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_COS6.format(a='qv', b='v.vec')} AS cosine
+  FROM v CROSS JOIN qs WHERE v.vec_id != qs.query_id),
+gt AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) rn FROM bf) WHERE rn <= 10)"""
+    sql += _lloyd_cents_cte("prc", "v1", "vec", 8, 2, 64)
+    for s in range(4):
+        lo, hi = s * 16 + 1, s * 16 + 17
+        sql += _lloyd_cents_cte(
+            f"prb{s}", "v1", f"[vec[i] FOR i IN range({lo}, {hi})]", 8, 2, 16
+        )
+    sql += _lloyd_cents_cte("poc", "v", "vec", 8, 2, 64)
+    for s in range(4):
+        lo, hi = s * 16 + 1, s * 16 + 17
+        sql += _lloyd_cents_cte(
+            f"pob{s}", "v", f"[vec[i] FOR i IN range({lo}, {hi})]", 8, 2, 16
+        )
+    sql += _ivfpq_variant_pipeline(
+        "pr", "prcc2", [f"prb{s}c2" for s in range(4)], "pre_retrain"
+    )
+    sql += _ivfpq_variant_pipeline(
+        "po", "pocc2", [f"pob{s}c2" for s in range(4)], "post_retrain"
+    )
+    return sql + """
+SELECT * FROM prrecall UNION ALL SELECT * FROM porecall
+"""
+
+
+PQ_INDEX_RETRAIN_ORACLE = _retrain_oracle()
+
+
+R9_CATALOG = {
+    "streaming_dedup_within_batch_replay": (
+        streaming_dedup_within_batch_replay,
+        STREAMING_DEDUP_WITHIN_BATCH_ORACLE,
+    ),
+    "streaming_semdedup_within_batch_replay": (
+        streaming_semdedup_within_batch_replay,
+        STREAMING_SEMDEDUP_WITHIN_BATCH_ORACLE,
+    ),
+    "embedding_pq_index_retrain": (
+        embedding_pq_index_retrain,
+        PQ_INDEX_RETRAIN_ORACLE,
+    ),
+}
