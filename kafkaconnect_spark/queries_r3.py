@@ -527,6 +527,19 @@ def _phash_oracle() -> str:
     all-integer — so the 64-bit pattern is exact. Hex digits emit
     most-significant nibble first (format(v, '016x'))."""
 
+    return rf"""
+WITH {_phash_ctes()},
+b AS (SELECT phash, count(*) AS n_same_hash FROM ph GROUP BY phash)
+SELECT ph.doc_id, ph.phash, b.n_same_hash
+FROM ph JOIN b USING (phash)
+"""
+
+
+def _phash_ctes() -> str:
+    """The CTE chain ending at ``ph (doc_id, phash)`` — the DuckDB
+    replay of perceptual_ahash ∘ make_fake_ppm, shared by the phash
+    audit above and the r9 hamming-index lifecycle oracle."""
+
     def px(off: str) -> str:
         return f"(CASE WHEN {off} <= n THEN ascii(t[({off})::INT]) ELSE 0 END)"
 
@@ -537,8 +550,7 @@ def _phash_oracle() -> str:
         "list_sum([CASE WHEN 64 * gs[(60 - 4*j + b) + 1] > s "
         "THEN (1 << b) ELSE 0 END FOR b IN range(0, 4)])"
     )
-    return rf"""
-WITH a AS (SELECT doc_id,
+    return rf"""a AS (SELECT doc_id,
                   regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS t
            FROM documents),
 d AS (SELECT doc_id, t, strlen(t) AS n,
@@ -549,11 +561,7 @@ p AS (SELECT doc_id, gs, list_sum(gs)::BIGINT AS s FROM g),
 ph AS (SELECT doc_id,
               array_to_string([substr('0123456789abcdef', ({nib})::INT + 1, 1)
                                FOR j IN range(0, 16)], '') AS phash
-       FROM p),
-b AS (SELECT phash, count(*) AS n_same_hash FROM ph GROUP BY phash)
-SELECT ph.doc_id, ph.phash, b.n_same_hash
-FROM ph JOIN b USING (phash)
-"""
+       FROM p)"""
 
 
 PHASH_ORACLE = _phash_oracle()
