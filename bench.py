@@ -193,6 +193,16 @@ HEADLINE = [
     "streaming_semdedup_replay",
     "dedup_cross_index_agreement",
     "embedding_quantizer_staleness",
+    # r9: within-batch SMT replays (3-run planted lifecycles), the
+    # quantizer-rotation lifecycle, the two fingerprint-index
+    # instantiations (image aHash / text SimHash), and the retention
+    # GC audit
+    "streaming_dedup_within_batch_replay",
+    "streaming_semdedup_within_batch_replay",
+    "embedding_pq_index_retrain",
+    "multimodal_dedup_index",
+    "dedup_simhash_index",
+    "index_retention_audit",
 ]
 
 

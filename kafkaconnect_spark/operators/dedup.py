@@ -797,6 +797,50 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     )
 
 
+def simhash_hex64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash_hex): 64-bit SimHash as a 16-nibble lowercase hex
+    string — the fixed-width fingerprint form operators/hamming_index
+    stores (its hex-slice banding and two-half XOR verify need the hex
+    carrier, never a signed 64-bit integer). Composed as two
+    INDEPENDENTLY SALTED 32-bit simhashes (`simhash:`/`simhash2:` token
+    salts) concatenated hi||lo, so each half stays in the sign-safe
+    32-bit range end-to-end while the pair behaves as one 64-bit
+    fingerprint (the halves are independent functions of the same
+    token multiset). Fully narrow like :func:`simhash` — the token
+    list never leaves its row, zero shuffles."""
+    df = df.where(F.col(text_col).isNotNull())
+    out = df.select(
+        F.col(id_col),
+        F.expr(f"split(trim({text_col}), '{SQL_SPLIT_RE}')").alias("__tk"),
+    )
+    sims = []
+    for i, salt in enumerate(("simhash:", "simhash2:")):
+        hashes = (
+            f"transform(__tk, t -> cast(conv(substring(md5(concat('{salt}', t)), "
+            "1, 8), 16, 10) as bigint))"
+        )
+        bit_sums = (
+            f"aggregate({hashes}, array_repeat(cast(0 as bigint), 32), "
+            "(acc, h) -> zip_with(acc, sequence(0, 31), "
+            "(x, b) -> x + if((h div cast(pow(2, b) as bigint)) % 2 = 1, 1, -1)))"
+        )
+        sims.append(
+            F.expr(
+                f"aggregate(zip_with({bit_sums}, sequence(0, 31), "
+                "(s, b) -> if(s >= 0, cast(pow(2, b) as bigint), cast(0 as bigint))), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias(f"__s{i}")
+        )
+    return out.select(F.col(id_col), *sims).select(
+        F.col(id_col),
+        F.format_string("%08x%08x", F.col("__s0"), F.col("__s1")).alias(
+            "simhash_hex"
+        ),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     band_bits: int = 8,

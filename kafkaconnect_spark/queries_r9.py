@@ -626,9 +626,12 @@ def multimodal_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(p2.withColumn("phase", F.lit(2)))
         .select("phase", "id_new", "id_corpus", "hamming")
     )
-    from kafkaconnect_spark.operators.dedup import carry_cached
+    from kafkaconnect_spark.operators.dedup import _track_cached, carry_cached
 
-    return carry_cached(out, p2, hashes)
+    # carry p2's tag list AND register the hashes persist itself —
+    # carry_cached only propagates parents' _kc_cached tags, so an
+    # untagged persisted parent would leak its cache for the session
+    return _track_cached(carry_cached(out, p2), [hashes])
 
 
 def _multimodal_dedup_index_oracle() -> str:
@@ -664,6 +667,238 @@ WHERE (id_corpus % 10 != 0 AND id_corpus % 3 != 0) OR id_corpus % 10 = 0
 MULTIMODAL_DEDUP_INDEX_ORACLE = _multimodal_dedup_index_oracle()
 
 
+# ---------------------------------------------------------------------------
+# SimHash text fingerprints through the SAME persisted Hamming index —
+# the third instantiation of the fingerprint-index protocol (text
+# SimHash alongside image aHash), plus the tombstone-immediacy contract
+# proven WITHOUT an intervening compact
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup dedup through operators/hamming_index keyed on
+    64-bit SimHash fingerprints (dedup.simhash_hex64 — two salted
+    32-bit halves as one 16-nibble hex carrier), proving the
+    fingerprint index is modality-agnostic: the SAME build/match/
+    delete/add machinery that served image aHashes in
+    multimodal_dedup_index serves text SimHash with only the hash
+    column changing.
+
+    Lifecycle — deliberately the compact-FREE half of the contract
+    (multimodal_dedup_index covers compact+GC): build from the
+    standing corpus (doc_id % 10 != 0), match the batch (phase 1),
+    tombstone doc_id % 3 = 0 and match again (phase 2 — the erased
+    docs must stop matching IMMEDIATELY, no compact has run), add the
+    batch and match once more (phase 3 — batch-vs-batch pairs now
+    surface while the tombstones stay suppressed). Returns
+    (phase, id_new, id_corpus, hamming ≤ 4); recall is EXACT by the
+    8-band pigeonhole (hamming ≤ 4 < 8 bands forces a shared band).
+
+    Scale shape: fingerprints are batch-/corpus-sized single rows
+    (64 bits each — the smallest index payload of the three
+    protocols); each match is one banded equi-join against the
+    band_bucket-pruned stored table plus a candidate-bounded verify
+    against the hash_bucket-pruned fingerprint table; the corpus is
+    fingerprinted exactly once at build."""
+    from kafkaconnect_spark.operators import hamming_index
+    from kafkaconnect_spark.operators.dedup import (
+        _track_cached,
+        carry_cached,
+        release_cached,
+        simhash_hex64,
+    )
+    from kafkaconnect_spark.queries_r7 import _materialized
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    hashes = simhash_hex64(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    standing = hashes.where(F.col("doc_id") % 10 != 0)
+    batch = hashes.where(F.col("doc_id") % 10 == 0)
+    erased = standing.where(F.col("doc_id") % 3 == 0)
+    d = _tmp_index_dir("simhash_index_")
+    hamming_index.build(
+        standing, d, bits=64, bands=8, max_hamming=4, hash_col="simhash_hex"
+    )
+    raw1 = hamming_index.match(spark, d, batch)
+    p1 = _materialized(raw1, d, "p1")
+    release_cached(raw1)
+    hamming_index.delete(spark, d, erased.select("doc_id"))
+    raw2 = hamming_index.match(spark, d, batch)
+    p2 = _materialized(raw2, d, "p2")
+    release_cached(raw2)
+    hamming_index.add(spark, d, batch)
+    p3 = hamming_index.match(spark, d, batch)
+    out = (
+        p1.withColumn("phase", F.lit(1))
+        .unionAll(p2.withColumn("phase", F.lit(2)))
+        .unionAll(p3.withColumn("phase", F.lit(3)))
+        .select("phase", "id_new", "id_corpus", "hamming")
+    )
+    return _track_cached(carry_cached(out, p3), [hashes])
+
+
+def _simhash_index_oracle() -> str:
+    """DuckDB replay: the two salted 32-bit simhash halves rebuilt from
+    the token stream (the md5 derivation both engines share), banded
+    into 8 hex slices; candidates = batch docs sharing any band with a
+    member; verify = exact two-half XOR popcount ≤ 4 — then the three
+    phases' membership predicates."""
+    bs1 = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) b{b}"
+        for b in range(32)
+    )
+    bs2 = ", ".join(
+        f"sum(CASE WHEN (hw >> {b}) & 1 = 1 THEN 1 ELSE -1 END) c{b}"
+        for b in range(32)
+    )
+    v1 = " + ".join(
+        f"CASE WHEN b{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(32)
+    )
+    v2 = " + ".join(
+        f"CASE WHEN c{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(32)
+    )
+    return rf"""
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
+           FROM documents),
+h AS (SELECT doc_id,
+             ('0x'||substr(md5('simhash:'||tok),1,8))::BIGINT hv,
+             ('0x'||substr(md5('simhash2:'||tok),1,8))::BIGINT hw
+      FROM t),
+bs AS (SELECT doc_id, {bs1}, {bs2} FROM h GROUP BY doc_id),
+hx AS (SELECT doc_id, ({v1}) AS hi, ({v2}) AS lo FROM bs),
+ph AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS phash, hi, lo FROM hx),
+bnd AS (SELECT doc_id, b AS band, substr(phash, 2*b + 1, 2) AS bv
+        FROM ph, (SELECT unnest(range(0, 8)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_new, c.doc_id id_corpus
+  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bv = c.bv
+  WHERE a.doc_id % 10 = 0 AND a.doc_id != c.doc_id),
+pairs AS MATERIALIZED (
+  SELECT id_new, id_corpus,
+         (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::INT
+           AS hamming
+  FROM cands JOIN ph x ON x.doc_id = id_new
+       JOIN ph y ON y.doc_id = id_corpus
+  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 4)
+SELECT 1 AS phase, id_new, id_corpus, hamming FROM pairs
+WHERE id_corpus % 10 != 0
+UNION ALL
+SELECT 2, id_new, id_corpus, hamming FROM pairs
+WHERE id_corpus % 10 != 0 AND id_corpus % 3 != 0
+UNION ALL
+SELECT 3, id_new, id_corpus, hamming FROM pairs
+WHERE (id_corpus % 10 != 0 AND id_corpus % 3 != 0) OR id_corpus % 10 = 0
+"""
+
+
+DEDUP_SIMHASH_INDEX_ORACLE = _simhash_index_oracle()
+
+
+# ---------------------------------------------------------------------------
+# generation retention under the driver oracle — the r9 GC policy's
+# observable contract: erased rows persist in the RETAINED generation
+# until it falls out of the window, then their bytes are gone
+# ---------------------------------------------------------------------------
+
+
+def index_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the r9 retention/GC policy itself under the value-hash
+    oracle: build the LSH index from the standing corpus, tombstone
+    doc_id % 3 = 0, compact with keep_generations=1 (v2 live, v1
+    retained for pinned readers), AUDIT every generation on disk —
+    (stage 1): v1 still carries all corpus docs INCLUDING the erased
+    ones (that is what "retention window" means: erasure is not yet
+    physical there), v2 carries exactly corpus-minus-erased and zero
+    erased rows — then drop_generations(keep=0) and audit again
+    (stage 2): only v2 remains and the erased ids' rows are gone from
+    every file the index owns. Membership counts come from reading
+    the stored shingle tables themselves, so the oracle's expected
+    counts double-check build/compact row accounting end-to-end.
+
+    Returns (stage, generation, n_docs, n_erased_present).
+
+    Scale shape: each audit row is one column-pruned scan of a stored
+    generation's id column + a broadcast semi-tag of the (tiny by
+    policy) erased-id set — observability costs one read of what it
+    observes, nothing quadratic."""
+    from kafkaconnect_spark.operators import index_fs as ifs
+    from kafkaconnect_spark.operators import lsh_index
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    erased_ids = (
+        corpus.where(F.col("doc_id") % 3 == 0).select("doc_id").distinct()
+    )
+    d = _tmp_index_dir("retention_audit_")
+    lsh_index.build(corpus, d, num_hashes=16, bands=4, threshold=0.2)
+    lsh_index.delete(spark, d, erased_ids)
+    lsh_index.compact(spark, d, keep_generations=1)
+
+    def _generations() -> list[int]:
+        root = os.path.join(d, "shingles")
+        return sorted(int(v[1:]) for v in ifs.listdir(root))
+
+    def _audit(stage: int) -> list[DataFrame]:
+        rows = []
+        for g in _generations():
+            sh = spark.read.parquet(lsh_index._table_path(d, "shingles", g))
+            rows.append(
+                sh.select("doc_id")
+                .distinct()
+                .join(
+                    F.broadcast(erased_ids.withColumn("__e", F.lit(1))),
+                    "doc_id",
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.coalesce("__e", F.lit(0)))
+                    .cast("long")
+                    .alias("n_erased_present"),
+                )
+                .select(
+                    F.lit(stage).alias("stage"),
+                    F.lit(g).alias("generation"),
+                    "n_docs",
+                    "n_erased_present",
+                )
+            )
+        return rows
+
+    from kafkaconnect_spark.queries_r7 import _materialized
+
+    parts = _audit(1)
+    s1 = parts[0]
+    for p in parts[1:]:
+        s1 = s1.unionAll(p)
+    # stage 1 reads generations the next step DELETES — materialize it
+    # to its own table first (the refreshByPath/mutation discipline),
+    # or the final plan would re-scan a GC'd path
+    s1 = _materialized(s1, d, "stage1")
+    lsh_index.drop_generations(d, keep=0)
+    out = s1
+    for p in _audit(2):
+        out = out.unionAll(p)
+    return out
+
+
+INDEX_RETENTION_AUDIT_ORACLE = r"""
+WITH m AS (
+  SELECT count(*) AS n_corpus,
+         sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_erased
+  FROM (SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+        FROM documents WHERE doc_id % 10 != 0)
+  WHERE n_toks >= 3)
+SELECT 1 AS stage, 1 AS generation, n_corpus AS n_docs,
+       n_erased AS n_erased_present FROM m
+UNION ALL
+SELECT 1, 2, n_corpus - n_erased, 0 FROM m
+UNION ALL
+SELECT 2, 2, n_corpus - n_erased, 0 FROM m
+"""
+
+
 R9_CATALOG = {
     "streaming_dedup_within_batch_replay": (
         streaming_dedup_within_batch_replay,
@@ -680,5 +915,10 @@ R9_CATALOG = {
     "multimodal_dedup_index": (
         multimodal_dedup_index,
         MULTIMODAL_DEDUP_INDEX_ORACLE,
+    ),
+    "dedup_simhash_index": (dedup_simhash_index, DEDUP_SIMHASH_INDEX_ORACLE),
+    "index_retention_audit": (
+        index_retention_audit,
+        INDEX_RETENTION_AUDIT_ORACLE,
     ),
 }
