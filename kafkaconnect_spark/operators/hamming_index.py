@@ -62,6 +62,7 @@ from kafkaconnect_spark.operators.lsh_index import (
     _manifest_path,
     _maybe_broadcast_tombstones,
     _shingle_bucket_expr,  # id-hash bucket — shared partition key expr
+    _spread_for_write,
     _stage_then_move,
     _table_path,
     _write_manifest,
@@ -151,9 +152,12 @@ def build(
     with _writer_lock(index_dir):
         _clear_manifestless_debris(index_dir, _HAM_TABLES)
         src = hashes.select(F.col(id_col), F.col(hash_col))
-        src.withColumn(
-            "hash_bucket", _shingle_bucket_expr(hash_buckets, id_col)
-        ).repartition(hash_buckets, "hash_bucket").write.mode(
+        _spread_for_write(
+            src.withColumn(
+                "hash_bucket", _shingle_bucket_expr(hash_buckets, id_col)
+            ),
+            hash_buckets, "hash_bucket", id_col,
+        ).write.mode(
             "errorifexists"
         ).partitionBy("hash_bucket").parquet(
             _table_path(index_dir, "hashes", 1)
@@ -161,9 +165,12 @@ def build(
         stored = hashes.sparkSession.read.parquet(
             _table_path(index_dir, "hashes", 1)
         )
-        _banded(stored, bands, npb, id_col, hash_col).withColumn(
-            "band_bucket", _band_bucket_expr(band_buckets)
-        ).repartition(band_buckets, "band_bucket").write.mode(
+        _spread_for_write(
+            _banded(stored, bands, npb, id_col, hash_col).withColumn(
+                "band_bucket", _band_bucket_expr(band_buckets)
+            ),
+            band_buckets, "band_bucket", id_col,
+        ).write.mode(
             "errorifexists"
         ).partitionBy("band_bucket").parquet(
             _table_path(index_dir, "bands", 1)
@@ -347,7 +354,7 @@ def compact(
         hashes_c = (
             idx_hashes.dropDuplicates([id_col])
             .join(tomb_gated, id_col, "left_anti")
-            .repartition(hb, "hash_bucket")
+            .transform(lambda df: _spread_for_write(df, hb, "hash_bucket", id_col))
         )
         _commit_generation_table(
             hashes_c, index_dir, "hashes", v + 1, partition_by="hash_bucket"
@@ -355,7 +362,7 @@ def compact(
         bands_c = (
             idx_bands.distinct()
             .join(tomb_gated, id_col, "left_anti")
-            .repartition(bb, "band_bucket")
+            .transform(lambda df: _spread_for_write(df, bb, "band_bucket", id_col))
             .sortWithinPartitions("band_val")
         )
         _commit_generation_table(

@@ -206,6 +206,33 @@ DEFAULT_BAND_BUCKETS = 8
 DEFAULT_SHINGLE_BUCKETS = 16
 
 
+def _spread_for_write(
+    df: DataFrame, n_buckets: int, part_col: str, id_col: str
+) -> DataFrame:
+    """Partitioning for CORPUS-SIZED hive writes (build / compact /
+    retrain): `repartition(n_buckets, part_col)` caps the write at one
+    task per bucket — at 16 buckets that is 16 single-wave tasks
+    whatever the cluster width, measured as the dominant term of the
+    sf100 build residual (SCALE_LADDER.json residual_probe_r9) and a
+    hard ceiling on a many-executor cluster. Instead rows group by
+    (bucket, salt) with salt = an id hash INDEPENDENT of the bucket
+    key (seeded differently — bucket keys are themselves id hashes,
+    and `h mod k` would be fully determined by `h mod n` whenever
+    k divides n), giving n_buckets × k write tasks, each emitting one
+    file into its bucket dir. k sizes to the session's core pool and
+    collapses to the exact-one-file-per-bucket layout when the pool
+    is no wider than the bucket count. APPEND deltas keep the
+    1-file-per-bucket shape (_shingles_delta/_bands_delta) — batches
+    are bounded, and k files per micro-batch would re-create the
+    staging-spray defect compact exists to fold."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    k = max(1, width // max(n_buckets, 1))
+    if k == 1:
+        return df.repartition(n_buckets, part_col)
+    salt = F.pmod(F.hash(F.col(id_col).cast("string"), F.lit(1)), F.lit(k))
+    return df.repartition(n_buckets * k, F.col(part_col), salt)
+
+
 def _band_bucket_expr(n_buckets: int):
     """Deterministic bucket from the md5-hex band_hash — the hive
     partition key of the stored band table. First 4 hex chars → int
@@ -297,19 +324,25 @@ def _build_locked(
     band_buckets, shingle_buckets,
 ) -> None:
     sh = shingle_arrays(corpus, text_col, id_col, n)
-    sh.withColumn(
-        "shingle_bucket", _shingle_bucket_expr(shingle_buckets, id_col)
-    ).repartition(shingle_buckets, "shingle_bucket").write.mode(
-        "errorifexists"
-    ).partitionBy("shingle_bucket").parquet(
+    _spread_for_write(
+        sh.withColumn(
+            "shingle_bucket", _shingle_bucket_expr(shingle_buckets, id_col)
+        ),
+        shingle_buckets,
+        "shingle_bucket",
+        id_col,
+    ).write.mode("errorifexists").partitionBy("shingle_bucket").parquet(
         _table_path(index_dir, "shingles", 1)
     )
     sh = corpus.sparkSession.read.parquet(_table_path(index_dir, "shingles", 1))
     b = _banded(_signatures_from_arrays(sh, num_hashes, id_col), bands, id_col)
-    # repartition by the bucket key first so partitionBy emits ~1 file
-    # per bucket dir instead of (tasks × buckets) small files
-    b.withColumn("band_bucket", _band_bucket_expr(band_buckets)).repartition(
-        band_buckets, "band_bucket"
+    # group by the bucket key (plus the write salt) first so partitionBy
+    # emits k files per bucket dir instead of (tasks × buckets) spray
+    _spread_for_write(
+        b.withColumn("band_bucket", _band_bucket_expr(band_buckets)),
+        band_buckets,
+        "band_bucket",
+        id_col,
     ).write.mode("errorifexists").partitionBy("band_bucket").parquet(
         _table_path(index_dir, "bands", 1)
     )
@@ -1118,7 +1151,7 @@ def compact(
             sh_c = sh_c.withColumn(
                 "shingle_bucket", _shingle_bucket_expr(sb, id_col)
             )
-        sh_c = sh_c.repartition(sb, "shingle_bucket")
+        sh_c = _spread_for_write(sh_c, sb, "shingle_bucket", id_col)
         _commit_generation_table(
             sh_c, index_dir, "shingles", v + 1, partition_by="shingle_bucket"
         )
@@ -1130,9 +1163,9 @@ def compact(
         bands_c = idx_bands.distinct().join(tomb_gated, id_col, "left_anti")
         if "band_bucket" not in bands_c.columns:
             bands_c = bands_c.withColumn("band_bucket", _band_bucket_expr(bb))
-        bands_c = bands_c.repartition(bb, "band_bucket").sortWithinPartitions(
-            "band_hash"
-        )
+        bands_c = _spread_for_write(
+            bands_c, bb, "band_bucket", id_col
+        ).sortWithinPartitions("band_hash")
         _commit_generation_table(
             bands_c, index_dir, "bands", v + 1, partition_by="band_bucket"
         )

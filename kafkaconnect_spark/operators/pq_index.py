@@ -79,6 +79,7 @@ from kafkaconnect_spark.operators.lsh_index import (
     _gc_locked,
     _manifest_path,
     _maybe_broadcast_tombstones,
+    _spread_for_write,
     _stage_then_move,
     _table_path,
     _write_manifest,
@@ -193,8 +194,9 @@ def build(
         # probing n_probe of n_cells reads ONLY those partition dirs —
         # steady-state search I/O scales with the probed fraction, not
         # the corpus. repartition first so each cell dir gets ~1 file.
-        coded = _coded(vecs, cents, books, d, n_sub, id_col, vec_col).repartition(
-            n_buckets, "cell"
+        coded = _spread_for_write(
+            _coded(vecs, cents, books, d, n_sub, id_col, vec_col),
+            n_buckets, "cell", id_col,
         )
         coded.write.mode("errorifexists").partitionBy("cell").parquet(
             _table_path(index_dir, "codes", 1)
@@ -671,8 +673,9 @@ def retrain(
             vecs, n_sub, d, n_codes, rounds, id_col, vec_col
         )
         cents = _with_norms([(c, vv) for c, vv in cent_pairs])
-        coded = _coded(vecs, cents, books, d, n_sub, id_col, vec_col).repartition(
-            n_buckets, "cell"
+        coded = _spread_for_write(
+            _coded(vecs, cents, books, d, n_sub, id_col, vec_col),
+            n_buckets, "cell", id_col,
         )
         _commit_generation_table(
             coded, index_dir, "codes", v + 1, partition_by="cell"
@@ -749,7 +752,7 @@ def compact(
         codes_c = (
             codes.dropDuplicates([id_col])
             .join(tomb_gated, id_col, "left_anti")
-            .repartition(n_buckets, "cell")
+            .transform(lambda df: _spread_for_write(df, n_buckets, "cell", id_col))
         )
         _commit_generation_table(
             codes_c, index_dir, "codes", v + 1, partition_by="cell"

@@ -21,7 +21,10 @@ JIT/shuffle warm-up for the session, second timed), sf100 once
 128 at sf10 -> 256 at sf100. Results merge into SCALE_LADDER.json
 under "residual_probe_r9" and "pq_retrain".
 
-Usage: python tools/probe_residual.py [--skip-gen]
+Usage: python tools/probe_residual.py [--skip-gen] [--key NAME]
+(--key defaults to residual_probe_r9; the post-fix re-run after the
+_spread_for_write change merges under residual_probe_r9_after_fix so
+both decompositions stay in the record)
 """
 
 from __future__ import annotations
@@ -185,10 +188,13 @@ def main() -> int:
             if row["sf10"][k] > 0
         }
 
+    key = "residual_probe_r9"
+    if "--key" in sys.argv:
+        key = sys.argv[sys.argv.index("--key") + 1]
     ladder_path = os.path.join(ROOT, "SCALE_LADDER.json")
     with open(ladder_path) as fh:
         ladder = json.load(fh)
-    ladder["residual_probe_r9"] = {
+    ladder[key] = {
         "note": (
             "stage-level decomposition of the two sf100_subset residuals "
             "plus the pq retrain rotation, sf10 (warm, 2nd pass) vs sf100 "
@@ -199,7 +205,7 @@ def main() -> int:
     }
     with open(ladder_path, "w") as fh:
         json.dump(ladder, fh, indent=1, sort_keys=True)
-    print(f"merged residual_probe_r9 into {ladder_path}")
+    print(f"merged {key} into {ladder_path}")
     print(json.dumps(results))
     return 0
 
