@@ -203,6 +203,7 @@ HEADLINE = [
     "multimodal_dedup_index",
     "dedup_simhash_index",
     "index_retention_audit",
+    "streaming_fingerprint_dedup_replay",
 ]
 
 

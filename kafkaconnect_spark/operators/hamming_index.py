@@ -398,3 +398,180 @@ def drop_generations(index_dir: str, keep: int = 1) -> dict:
     with _writer_lock(index_dir):
         m = _read_manifest(index_dir)
         return _gc_locked(index_dir, m, keep, _HAM_TABLES)
+
+
+def _membership(spark: SparkSession, index_dir: str, ids_df: DataFrame, m: dict) -> DataFrame:
+    """Which of ``ids_df``'s ids are in the CURRENT generation —
+    broadcast semi-join against the stored hash table PRUNED to the
+    ids' own hash_bucket partitions (the partition key is an id hash,
+    so the prune is exact; same probe as lsh_index._membership)."""
+    id_col = ids_df.columns[0]
+    hx = spark.read.parquet(_table_path(index_dir, "hashes", m["version"]))
+    hit = sorted(
+        {
+            r[0]
+            for r in ids_df.select(
+                _shingle_bucket_expr(m["hash_buckets"], id_col).alias("hb")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    return (
+        hx.where(F.col("hash_bucket").isin(hit))
+        .select(id_col)
+        .join(F.broadcast(ids_df.distinct()), id_col, "left_semi")
+        .distinct()
+    )
+
+
+def streaming_fingerprint_dedup_transform(
+    index_dir: str,
+    id_field: str = "doc_id",
+    hash_field: str | None = None,
+    text_field: str | None = None,
+    max_hamming: int | None = None,
+    append_survivors: bool = True,
+):
+    """DataFrame→DataFrame SMT: deduplicate a micro-batch of
+    FINGERPRINT records within the batch and against the persisted
+    Hamming index — the third modality of the streaming×index fusion
+    (text shingles → DedupIndex, embeddings → SemDeDupIndex,
+    fixed-width fingerprints → this). Spec form:
+
+        {"type": "kafkaconnect_spark.FingerprintDedupIndex",
+         "index.dir": "...", "id.field": "doc_id",
+         "hash.field": "phash",          # hex fingerprint in value…
+         "text.field": "text",           # …OR derive 64-bit SimHash
+         "max.hamming": "4",
+         "append.survivors": "true"}
+
+    Exactly ONE of ``hash_field`` / ``text_field`` is given: with
+    hash_field the records already carry the hex fingerprint (e.g. an
+    upstream aHash extractor on an image stream); with text_field the
+    64-bit SimHash hex is derived per record
+    (dedup.simhash_hex64 — narrow, batch-sized). The index manifest
+    must have been built with matching geometry (bits=64 for the
+    simhash path).
+
+    Semantics per batch — the r9 within-batch structure shared with
+    the other two SMTs (see lsh_index.streaming_dedup_transform for
+    the full replay-idempotency argument, which transfers verbatim):
+    (1) within-batch self-dedup: band the batch against ITSELF, verify
+    exact Hamming, resolve near-dup groups by the shared winner rule
+    (indexed mate beats fresh; lowest id among equals); (2) corpus
+    match of the self-survivors with the batch's own ids EXCLUDED
+    from the candidate pool; (3) the drop report is materialized
+    under the index BEFORE survivors are added; survivors already
+    present are not re-added, so replays leave stored state
+    byte-identical."""
+    import uuid as _uuid
+
+    if (hash_field is None) == (text_field is None):
+        raise ValueError(
+            "exactly one of hash_field / text_field must be given"
+        )
+
+    def _apply(records: DataFrame) -> DataFrame:
+        spark = records.sparkSession
+        from pyspark import StorageLevel
+
+        from kafkaconnect_spark.operators.dedup import (
+            release_cached,
+            simhash_hex64,
+        )
+        from kafkaconnect_spark.operators.lsh_index import (
+            _auto_compact_reports,
+            _winner_rule_drops,
+        )
+
+        _auto_compact_reports(spark, index_dir)
+        m = _read_manifest(index_dir)
+        id_col, hash_col = m["id_col"], m["hash_col"]
+        mh = max_hamming if max_hamming is not None else m["max_hamming"]
+        npb = _check_geometry(m["bits"], m["bands"], mh)
+        if hash_field is not None:
+            hashes = records.select(
+                F.col(f"value.{id_field}").alias(id_col),
+                F.col(f"value.{hash_field}").alias(hash_col),
+            )
+        else:
+            hashes = simhash_hex64(
+                records.select(
+                    F.col(f"value.{id_field}").alias(id_col),
+                    F.col(f"value.{text_field}").alias("__txt"),
+                ),
+                text_col="__txt",
+                id_col=id_col,
+            ).withColumnRenamed("simhash_hex", hash_col)
+        hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+        ids = hashes.select(id_col)
+        pre = _membership(spark, index_dir, ids, m).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # -- step 1: within-batch self-dedup (batch-sized both sides) --
+        b_new = _banded(hashes, m["bands"], npb, id_col, hash_col)
+        self_cands = (
+            b_new.select(F.col(id_col).alias("id_new"), "band", "band_val")
+            .join(
+                b_new.select(
+                    F.col(id_col).alias("id_corpus"), "band", "band_val"
+                ),
+                ["band", "band_val"],
+            )
+            .where(F.col("id_new") != F.col("id_corpus"))
+            .select("id_new", "id_corpus")
+            .distinct()
+        )
+        ha = hashes.select(F.col(id_col).alias("id_new"), F.col(hash_col).alias("__ha"))
+        hb = hashes.select(
+            F.col(id_col).alias("id_corpus"), F.col(hash_col).alias("__hb")
+        )
+        self_pairs = (
+            self_cands.join(ha, "id_new")
+            .join(hb, "id_corpus")
+            .select(
+                "id_new",
+                "id_corpus",
+                _hamming_expr("__ha", "__hb").alias("hamming"),
+            )
+            .where(F.col("hamming") <= mh)
+        )
+        self_drops = _winner_rule_drops(self_pairs, pre, "id_new", "id_corpus")
+        surv1 = hashes.join(
+            F.broadcast(
+                self_drops.select(F.col("id_new").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_anti",
+        )
+        # -- step 2: corpus match, batch ids pool-excluded --
+        pairs = match(spark, index_dir, surv1, max_hamming=mh, exclude_ids=ids)
+        report = os.path.join(
+            index_dir, "reports", f"stream-{_uuid.uuid4().hex[:12]}"
+        )
+        self_drops.select("id_new", "id_corpus", "hamming").unionByName(
+            pairs.select("id_new", "id_corpus", "hamming")
+        ).write.mode("errorifexists").parquet(report)
+        release_cached(pairs)
+        dup_ids = (
+            spark.read.parquet(report)
+            .select(F.col("id_new").alias(id_col))
+            .distinct()
+        )
+        survivors = records.join(
+            F.broadcast(dup_ids),
+            records[f"value.{id_field}"] == dup_ids[id_col],
+            "left_anti",
+        )
+        if append_survivors:
+            surv_hashes = hashes.join(
+                F.broadcast(dup_ids), id_col, "left_anti"
+            )
+            to_add = surv_hashes.join(F.broadcast(pre), id_col, "left_anti")
+            add(spark, index_dir, to_add)
+        pre.unpersist()
+        hashes.unpersist()
+        return survivors
+
+    return _apply

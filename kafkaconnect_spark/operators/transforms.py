@@ -584,6 +584,34 @@ def _build_semdedup_index(p: dict[str, str]) -> Transform:
     )
 
 
+def _build_fingerprint_dedup_index(p: dict[str, str]) -> Transform:
+    """Streaming fingerprint dedup against the persisted Hamming index
+    (operators/hamming_index.streaming_fingerprint_dedup_transform):
+    drop records whose fixed-width fingerprint (carried in
+    ``hash.field``, or a 64-bit SimHash derived from ``text.field``)
+    lands within max_hamming of the index, append survivors."""
+    from kafkaconnect_spark.operators.hamming_index import (
+        streaming_fingerprint_dedup_transform,
+    )
+
+    if not p.get("index.dir"):
+        raise SpecError("FingerprintDedupIndex requires index.dir")
+    if bool(p.get("hash.field")) == bool(p.get("text.field")):
+        raise SpecError(
+            "FingerprintDedupIndex requires exactly one of "
+            "hash.field / text.field"
+        )
+    mh = p.get("max.hamming")
+    return streaming_fingerprint_dedup_transform(
+        index_dir=str(p["index.dir"]),
+        id_field=p.get("id.field", "doc_id"),
+        hash_field=p.get("hash.field"),
+        text_field=p.get("text.field"),
+        max_hamming=int(mh) if mh is not None else None,
+        append_survivors=str(p.get("append.survivors", "true")).lower() == "true",
+    )
+
+
 def _build_filter(p: dict[str, str]) -> Transform:
     return filter_records(
         predicate=p.get("predicate", ""),
@@ -602,6 +630,7 @@ TRANSFORM_REGISTRY: dict[str, Callable[[dict[str, str]], Transform]] = {
     "PythonFunction": _build_python_function,
     "DedupIndex": _build_dedup_index,
     "SemDeDupIndex": _build_semdedup_index,
+    "FingerprintDedupIndex": _build_fingerprint_dedup_index,
     # standard Connect set beyond the reference's labs
     "InsertField$Value": _build_insert_field,
     "ReplaceField$Value": _build_replace_field,

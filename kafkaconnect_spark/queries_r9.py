@@ -737,12 +737,11 @@ def dedup_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _track_cached(carry_cached(out, p3), [hashes])
 
 
-def _simhash_index_oracle() -> str:
-    """DuckDB replay: the two salted 32-bit simhash halves rebuilt from
-    the token stream (the md5 derivation both engines share), banded
-    into 8 hex slices; candidates = batch docs sharing any band with a
-    member; verify = exact two-half XOR popcount ≤ 4 — then the three
-    phases' membership predicates."""
+def _simhash_hex_ctes() -> str:
+    """Shared WITH-fragment: the two salted 32-bit simhash halves
+    rebuilt from the token stream (the md5 derivation both engines
+    share) → ph(doc_id, phash, hi, lo) — the DuckDB replay of
+    dedup.simhash_hex64."""
     bs1 = ", ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) b{b}"
         for b in range(32)
@@ -757,8 +756,7 @@ def _simhash_index_oracle() -> str:
     v2 = " + ".join(
         f"CASE WHEN c{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(32)
     )
-    return rf"""
-WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
+    return rf"""t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
            FROM documents),
 h AS (SELECT doc_id,
              ('0x'||substr(md5('simhash:'||tok),1,8))::BIGINT hv,
@@ -766,7 +764,16 @@ h AS (SELECT doc_id,
       FROM t),
 bs AS (SELECT doc_id, {bs1}, {bs2} FROM h GROUP BY doc_id),
 hx AS (SELECT doc_id, ({v1}) AS hi, ({v2}) AS lo FROM bs),
-ph AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS phash, hi, lo FROM hx),
+ph AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS phash, hi, lo FROM hx)"""
+
+
+def _simhash_index_oracle() -> str:
+    """DuckDB replay: simhash hex fingerprints banded into 8 hex
+    slices; candidates = batch docs sharing any band with a member;
+    verify = exact two-half XOR popcount ≤ 4 — then the three phases'
+    membership predicates."""
+    return rf"""
+WITH {_simhash_hex_ctes()},
 bnd AS (SELECT doc_id, b AS band, substr(phash, 2*b + 1, 2) AS bv
         FROM ph, (SELECT unnest(range(0, 8)) AS b)),
 cands AS (
@@ -792,6 +799,159 @@ WHERE (id_corpus % 10 != 0 AND id_corpus % 3 != 0) OR id_corpus % 10 = 0
 
 
 DEDUP_SIMHASH_INDEX_ORACLE = _simhash_index_oracle()
+
+
+# ---------------------------------------------------------------------------
+# fingerprint streaming SMT under the oracle — the third streaming ×
+# index fusion (text shingles / embeddings / fixed-width fingerprints)
+# with the same planted within-batch + replay + redelivery structure
+# ---------------------------------------------------------------------------
+
+
+def streaming_fingerprint_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FingerprintDedupIndex SMT end-to-end through the ACTUAL
+    `hamming_index.streaming_fingerprint_dedup_transform` in its
+    text mode (64-bit SimHash derived per record), with the SAME
+    planted 3-run structure as streaming_dedup_within_batch_replay:
+    run 1 = fresh batch A (classes {0,2}) containing a verified
+    same-batch near-dup pair (lowest-id-wins) plus corpus near-dups
+    of the standing index (classes ≥ 3); run 2 = batch A REPLAYED
+    (survivor set provably unchanged, drops may re-attribute to the
+    indexed-mate clause); run 3 = batch B (classes {1,3}) mixing
+    fresh docs with REDELIVERIES of indexed ones (indexed-mate-wins
+    rows in the proof; redelivered docs pass through un-re-appended).
+    Returns per-run drop reports (run, id_new, id_corpus, hamming)
+    plus the final index membership as run-0 rows.
+
+    Scale shape: per run, one batch-sized banded self-join + the
+    bucket-pruned corpus match + a hash_bucket-pruned membership
+    probe — nothing corpus-sized recomputes after the one-time
+    build."""
+    from kafkaconnect_spark.operators import hamming_index
+    from kafkaconnect_spark.operators.dedup import simhash_hex64
+
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    d = _tmp_index_dir("ham_wb_replay_")
+    standing = docs.where(F.col("doc_id") % 10 >= 3)
+    hamming_index.build(
+        simhash_hex64(standing).withColumnRenamed("simhash_hex", "phash"),
+        d, bits=64, bands=8, max_hamming=4,
+    )
+    transform = hamming_index.streaming_fingerprint_dedup_transform(
+        d, text_field="text"
+    )
+
+    def _batch(classes):
+        return docs.where((F.col("doc_id") % 10).isin(classes)).select(
+            F.struct("doc_id", "text").alias("value")
+        )
+
+    out = _run_transform_runs(
+        spark, d, transform,
+        [(1, _batch([0, 2])), (2, _batch([0, 2])), (3, _batch([1, 3]))],
+        ["id_new", "id_corpus", "hamming"],
+    )
+    m = hamming_index._read_manifest(d)
+    final = (
+        spark.read.parquet(
+            hamming_index._table_path(d, "hashes", m["version"])
+        )
+        .select("doc_id")
+        .distinct()
+        .select(
+            F.lit(0).alias("run"),
+            F.col("doc_id").alias("id_new"),
+            F.lit(None).cast("long").alias("id_corpus"),
+            F.lit(None).cast("int").alias("hamming"),
+        )
+    )
+    return out.unionAll(final)
+
+
+def _fingerprint_replay_oracle() -> str:
+    """The within-batch replay CTE chain of
+    STREAMING_DEDUP_WITHIN_BATCH_ORACLE re-instantiated over Hamming
+    pairs: same winner rule, same pool exclusion, same survivor
+    recursion through materialized CTEs."""
+    return rf"""
+WITH {_simhash_hex_ctes()},
+bnd AS (SELECT doc_id, b AS band, substr(phash, 2*b + 1, 2) AS bv
+        FROM ph, (SELECT unnest(range(0, 8)) AS b)),
+cands AS (
+  SELECT DISTINCT a.doc_id id_new, c.doc_id id_corpus
+  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bv = c.bv
+  WHERE a.doc_id % 10 < 4 AND a.doc_id != c.doc_id),
+ham AS MATERIALIZED (
+  SELECT id_new, id_corpus,
+         (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::INT
+           AS hamming
+  FROM cands JOIN ph x ON x.doc_id = id_new
+       JOIN ph y ON y.doc_id = id_corpus
+  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 4),
+docs_ok AS MATERIALIZED (SELECT DISTINCT doc_id FROM ph),
+-- run 1: batch A = classes {{0,2}}, all fresh (pre = ∅): within-batch
+-- lowest-id-wins, then corpus match vs the standing index with the
+-- batch's own ids pool-excluded (structural: A ∩ standing = ∅)
+wA AS MATERIALIZED (
+  SELECT id_new, id_corpus, hamming FROM ham
+  WHERE id_new % 10 IN (0, 2) AND id_corpus % 10 IN (0, 2)
+    AND id_corpus < id_new),
+rA AS MATERIALIZED (
+  SELECT id_new, id_corpus, hamming FROM ham
+  WHERE id_new % 10 IN (0, 2)
+    AND id_new NOT IN (SELECT id_new FROM wA)
+    AND id_corpus % 10 >= 3),
+sA AS MATERIALIZED (
+  SELECT doc_id FROM docs_ok WHERE doc_id % 10 IN (0, 2)
+  AND doc_id NOT IN (SELECT id_new FROM wA)
+  AND doc_id NOT IN (SELECT id_new FROM rA)),
+-- run 2 = run 1 replayed; pre is now sA, so a drop may re-attribute
+-- to the indexed-mate clause — the survivor set is provably unchanged
+wA2 AS MATERIALIZED (
+  SELECT id_new, id_corpus, hamming FROM ham
+  WHERE id_new % 10 IN (0, 2) AND id_corpus % 10 IN (0, 2)
+    AND ((id_corpus IN (SELECT doc_id FROM sA)
+          AND id_new NOT IN (SELECT doc_id FROM sA))
+         OR ((id_corpus IN (SELECT doc_id FROM sA))
+              = (id_new IN (SELECT doc_id FROM sA))
+             AND id_corpus < id_new))),
+rA2 AS MATERIALIZED (
+  SELECT id_new, id_corpus, hamming FROM rA
+  WHERE id_new NOT IN (SELECT id_new FROM wA2)),
+-- run 3: batch B = classes {{1,3}}; pre = class 3 (standing). An
+-- indexed class-3 mate beats a fresh class-1 doc whatever the ids;
+-- same-status pairs fall back to lowest id. Corpus pool =
+-- (standing ∪ sA) minus B's own ids.
+wB AS MATERIALIZED (
+  SELECT id_new, id_corpus, hamming FROM ham
+  WHERE id_new % 10 IN (1, 3) AND id_corpus % 10 IN (1, 3)
+    AND ((id_corpus % 10 = 3 AND id_new % 10 = 1)
+         OR (id_corpus % 10 = id_new % 10 AND id_corpus < id_new))),
+rB AS MATERIALIZED (
+  SELECT id_new, id_corpus, hamming FROM ham
+  WHERE id_new % 10 IN (1, 3)
+    AND id_new NOT IN (SELECT id_new FROM wB)
+    AND (id_corpus % 10 IN (4, 5, 6, 7, 8, 9)
+         OR id_corpus IN (SELECT doc_id FROM sA))),
+sB_fresh AS MATERIALIZED (
+  SELECT doc_id FROM docs_ok WHERE doc_id % 10 = 1
+  AND doc_id NOT IN (SELECT id_new FROM wB)
+  AND doc_id NOT IN (SELECT id_new FROM rB))
+SELECT 1 AS run, id_new, id_corpus, hamming FROM wA
+UNION ALL SELECT 1, id_new, id_corpus, hamming FROM rA
+UNION ALL SELECT 2, id_new, id_corpus, hamming FROM wA2
+UNION ALL SELECT 2, id_new, id_corpus, hamming FROM rA2
+UNION ALL SELECT 3, id_new, id_corpus, hamming FROM wB
+UNION ALL SELECT 3, id_new, id_corpus, hamming FROM rB
+UNION ALL SELECT 0, doc_id, NULL, NULL FROM docs_ok WHERE doc_id % 10 >= 3
+UNION ALL SELECT 0, doc_id, NULL, NULL FROM sA
+UNION ALL SELECT 0, doc_id, NULL, NULL FROM sB_fresh
+"""
+
+
+STREAMING_FINGERPRINT_REPLAY_ORACLE = _fingerprint_replay_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -917,6 +1077,10 @@ R9_CATALOG = {
         MULTIMODAL_DEDUP_INDEX_ORACLE,
     ),
     "dedup_simhash_index": (dedup_simhash_index, DEDUP_SIMHASH_INDEX_ORACLE),
+    "streaming_fingerprint_dedup_replay": (
+        streaming_fingerprint_dedup_replay,
+        STREAMING_FINGERPRINT_REPLAY_ORACLE,
+    ),
     "index_retention_audit": (
         index_retention_audit,
         INDEX_RETENTION_AUDIT_ORACLE,
