@@ -43,6 +43,20 @@ all-0/all-1 band values collide broadly, ~19% of all pairs become
 candidates on the fake-ppm corpus); real-photo aHashes spread far
 wider, and AQE skew-join handles moderate hot bands — the verify
 stays candidate-bounded either way.
+
+Scale DOMAIN (measured, SCALE_LADDER.json fingerprint_ladder_r9):
+Hamming-band candidate volume is n_batch × n_corpus × bands /
+|band value space| with a corpus-dependent constant — band values of
+correlated fingerprints (SimHash over template text) concentrate, so
+candidates grew ~99× on 10× rows and widening bands 8→16 bits bought
+only 12×, with hot values skewing the banded join into stragglers.
+This index's domain is therefore small-radius matching over
+WELL-SPREAD fingerprints (perceptual hashes; near-exact dup
+detection) and bounded corpora; corpus-scale text near-dup belongs
+to the MinHash index, whose md5-wide band keys cannot collide by
+chance. match() deliberately never pins its candidate set to a
+broadcast, so a density blowup degrades into a shuffle, not a driver
+OOM.
 """
 
 from __future__ import annotations
@@ -267,15 +281,22 @@ def match(
     idx_hashes = idx_hashes.where(F.col("hash_bucket").isin(hit_hb)).drop(
         "hash_bucket"
     )
+    # deliberately NO forced broadcast of cands, unlike _jaccard_verify:
+    # minhash band hashes are md5-wide so candidate volume stays
+    # near-linear there, but fingerprint bands are 2^band_bits-narrow
+    # and collide RANDOMLY on non-dup hashes — measured 148M pairs at
+    # 50k docs with 8-bit bands (SCALE_LADDER.json
+    # fingerprint_ladder_r9) — so a pinned pair broadcast is a
+    # guaranteed driver OOM at scale. Payloads here are narrow (two
+    # ids + a 16-char hex), so AQE picks broadcast at gate scale and
+    # shuffles the candidate volume past it.
     out = (
-        F.broadcast(cands)
-        .join(
+        cands.join(
             new_hashes.select(
                 F.col(id_col).alias("id_new"), F.col(hash_col).alias("__ha")
             ),
             "id_new",
         )
-        .hint("merge")
         .join(
             idx_hashes.select(
                 F.col(id_col).alias("id_corpus"), F.col(hash_col).alias("__hb")
