@@ -407,6 +407,7 @@ def _match(
     text_col: str = "text",
     id_col: str = "doc_id",
     exclude_ids: DataFrame | None = None,
+    precomputed: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """match() plus the live persisted batch-shingle handle, so append
     can write its index deltas from the SAME cache instead of
@@ -421,19 +422,32 @@ def _match(
     BEFORE the band join (the tombstone pattern): the streaming SMT
     passes the batch's own ids so a crash-replayed batch matches
     exactly the corpus the original run saw — pre-crash appends of
-    this very batch can never alter the verdict."""
+    this very batch can never alter the verdict.
+
+    ``precomputed`` = (sh_new, b_new) already-persisted shingle-array
+    and banded-signature frames for the batch (the streaming SMT
+    computes them once for its within-batch step and reuses them here
+    — without this the batch was shingled and signed a second time
+    per micro-batch, measured as the dominant term of the r9 SMT
+    premium). The CALLER owns their cache lifetime; they are not
+    tagged on the result."""
     from pyspark import StorageLevel
 
     idx_sh, idx_bands, m = _tables(spark, index_dir)
     num_hashes, bands, n = _check_params(m, num_hashes, bands, n)
     if threshold is None:
         threshold = m["threshold"]
-    sh_new = shingle_arrays(new_batch, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    b_new = _banded(
-        _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if precomputed is not None:
+        sh_new, b_new = precomputed
+        own_cache = []
+    else:
+        sh_new = shingle_arrays(new_batch, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        b_new = _banded(
+            _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        own_cache = [sh_new, b_new]
     if exclude_ids is not None:
         excl = F.broadcast(
             exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct()
@@ -507,7 +521,7 @@ def _match(
     pairs = _jaccard_verify(
         cands, sh_new, idx_sh, threshold, "id_new", "id_corpus", id_col
     )
-    return _track_cached(pairs, [sh_new, b_new]), sh_new
+    return _track_cached(pairs, own_cache), sh_new
 
 
 # widenings a staged delta may silently take to match the stored
@@ -686,28 +700,40 @@ def _shingles_delta(
 
 
 def add(spark: SparkSession, index_dir: str, new_batch: DataFrame,
-        text_col: str = "text", id_col: str = "doc_id") -> None:
+        text_col: str = "text", id_col: str = "doc_id",
+        precomputed: tuple[DataFrame, DataFrame] | None = None) -> None:
     """Append WITHOUT matching: stage the batch's shingle/band deltas
     into the current generation. The ingest-dedup path (match → keep
     survivors → add survivors) uses this so the already-computed match
     verdict isn't recomputed by append()'s built-in match — the
-    survivors are new to the index by construction."""
+    survivors are new to the index by construction.
+
+    ``precomputed`` = (sh_new, b_new) caller-persisted frames covering
+    exactly the rows to add (the streaming SMT passes its batch frames
+    filtered to the survivors) — without it the batch was shingled a
+    third time per micro-batch; the caller owns the cache lifetime."""
     with _writer_lock(index_dir):
         m = _read_manifest(index_dir)
         num_hashes, bands, n = _check_params(m, None, None, None)
         from pyspark import StorageLevel
 
-        sh_new = shingle_arrays(new_batch, text_col, id_col, n).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        b_new = _banded(
-            _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
-        )
+        if precomputed is not None:
+            sh_new, b_new = precomputed
+            own = None
+        else:
+            sh_new = shingle_arrays(new_batch, text_col, id_col, n).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            b_new = _banded(
+                _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
+            )
+            own = sh_new
         sd, spart = _shingles_delta(sh_new, m, id_col)
         _stage_then_move(sd, index_dir, "shingles", m["version"], partition_by=spart)
         bd, bpart = _bands_delta(b_new, m)
         _stage_then_move(bd, index_dir, "bands", m["version"], partition_by=bpart)
-        sh_new.unpersist()
+        if own is not None:
+            own.unpersist()
 
 
 def _membership(
@@ -858,6 +884,11 @@ def streaming_dedup_transform(
             StorageLevel.MEMORY_AND_DISK
         )
         # -- step 1: within-batch self-dedup (batch-sized both sides) --
+        # the batch is shingled and signed exactly ONCE per micro-batch:
+        # sh_new/b_new are persisted here and reused (id-filtered) by
+        # the corpus match in step 2 AND the survivor add in step 3 —
+        # before r9 each of those recomputed the full pipeline,
+        # measured as the bulk of the SMT's per-batch premium
         sh_new = shingle_arrays(docs, text_field, id_field, m["n"]).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -865,7 +896,7 @@ def streaming_dedup_transform(
             _signatures_from_arrays(sh_new, m["num_hashes"], id_field),
             m["bands"],
             id_field,
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         self_cands = (
             b_new.select(F.col(id_field).alias("id_new"), "band", "band_hash")
             .join(
@@ -881,16 +912,17 @@ def streaming_dedup_transform(
         )
         self_drops = _winner_rule_drops(self_pairs, pre, "id_new", "id_corpus")
         # -- step 2: corpus match of self-survivors, batch pool-excluded --
-        surv1 = docs.join(
-            F.broadcast(
-                self_drops.select(F.col("id_new").alias(id_field)).distinct()
-            ),
-            id_field,
-            "left_anti",
+        self_drop_ids = F.broadcast(
+            self_drops.select(F.col("id_new").alias(id_field)).distinct()
         )
-        pairs = match(
+        surv1 = docs.join(self_drop_ids, id_field, "left_anti")
+        pairs, _ = _match(
             spark, index_dir, surv1, threshold=th,
             text_col=text_field, id_col=id_field, exclude_ids=ids,
+            precomputed=(
+                sh_new.join(self_drop_ids, id_field, "left_anti"),
+                b_new.join(self_drop_ids, id_field, "left_anti"),
+            ),
         )
         report = os.path.join(
             index_dir, "reports", f"stream-{_uuid.uuid4().hex[:12]}"
@@ -911,17 +943,28 @@ def streaming_dedup_transform(
             "left_anti",
         )
         if append_survivors:
-            surv_docs = survivors.select(
-                F.col(f"value.{id_field}").alias(id_field),
-                F.col(f"value.{text_field}").alias(text_field),
-            )
             # already-indexed survivors (redeliveries; replayed
             # winners) are NOT re-appended — replays leave the stored
-            # tables byte-identical instead of merely row-equivalent
-            to_add = surv_docs.join(F.broadcast(pre), id_field, "left_anti")
-            add(spark, index_dir, to_add, text_col=text_field, id_col=id_field)
+            # tables byte-identical instead of merely row-equivalent.
+            # The deltas filter the ALREADY-COMPUTED batch frames to
+            # (not dropped) ∧ (not present) — no third shingling pass.
+            dup_b = F.broadcast(dup_ids)
+            pre_b = F.broadcast(pre)
+            add(
+                spark, index_dir, None, text_col=text_field,
+                id_col=id_field,
+                precomputed=(
+                    sh_new.join(dup_b, id_field, "left_anti").join(
+                        pre_b, id_field, "left_anti"
+                    ),
+                    b_new.join(dup_b, id_field, "left_anti").join(
+                        pre_b, id_field, "left_anti"
+                    ),
+                ),
+            )
         pre.unpersist()
         sh_new.unpersist()
+        b_new.unpersist()
         return survivors
 
     return _apply

@@ -242,6 +242,7 @@ def match(
     rerank: int = 30,
     query_id_col: str = "query_id",
     exclude_ids: DataFrame | None = None,
+    precomputed_probes: DataFrame | None = None,
 ) -> DataFrame:
     """READ-ONLY IVF-PQ ANN against the stored codes. ``vectors`` is
     the caller's true-vector store for the exact re-rank (the index
@@ -270,9 +271,20 @@ def match(
     cents, books, d = _quantizers(m)
     id_col, vec_col, n_sub = m["id_col"], m["vec_col"], m["n_sub"]
     norm_sql, cell_scores_sql = _ivf_sql(cents)
-    probes = _pq_probes(
-        queries, books, d, n_probe, norm_sql, cell_scores_sql, query_id_col, vec_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # precomputed_probes: a caller-persisted probes frame for these
+    # queries (the streaming SMT computes probes once for its
+    # within-batch step and reuses them here filtered to survivors —
+    # without it the batch's probe pipeline ran twice per micro-batch);
+    # the caller owns its cache lifetime, so it is not tagged below
+    if precomputed_probes is not None:
+        probes = precomputed_probes
+        own_cache = []
+    else:
+        probes = _pq_probes(
+            queries, books, d, n_probe, norm_sql, cell_scores_sql,
+            query_id_col, vec_col,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        own_cache = [probes]
     # the probed-cell set is bounded by n_cells (a manifest constant) —
     # collect it and push it as a PARTITION filter on the hive-
     # partitioned codes table: steady-state search reads only the
@@ -309,22 +321,32 @@ def match(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "adc_dist", "rank")
     )
-    return _track_cached(out, [probes])
+    return _track_cached(out, own_cache)
 
 
-def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
+def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame,
+           precomputed_coded: DataFrame | None = None) -> None:
     """Code a batch against the MANIFEST quantizers and add it to the
     current generation — a batch-sized narrow map stage; the corpus is
     never read, let alone re-coded. A tombstoned id re-appended here
     stays suppressed until the next compact clears its tombstone
-    (tombstone wins within a generation), exactly as in lsh_index."""
+    (tombstone wins within a generation), exactly as in lsh_index.
+
+    ``precomputed_coded``: a caller-persisted coded frame for exactly
+    the rows to add (the streaming SMT filters its already-coded
+    batch) — skips re-coding; the caller owns the cache lifetime."""
     with _writer_lock(index_dir):
         m = _read_manifest(index_dir)
-        cents, books, d = _quantizers(m)
-        vecs = new_vecs.where(F.size(m["vec_col"]) > 0).select(
-            F.col(m["id_col"]), F.col(m["vec_col"])
-        )
-        coded = _coded(vecs, cents, books, d, m["n_sub"], m["id_col"], m["vec_col"])
+        if precomputed_coded is not None:
+            coded = precomputed_coded
+        else:
+            cents, books, d = _quantizers(m)
+            vecs = new_vecs.where(F.size(m["vec_col"]) > 0).select(
+                F.col(m["id_col"]), F.col(m["vec_col"])
+            )
+            coded = _coded(
+                vecs, cents, books, d, m["n_sub"], m["id_col"], m["vec_col"]
+            )
         # match the stored layout: hive cell-partitioned (current) or
         # flat (an index built before r8 — upgraded at its next compact).
         # The layout is read from the MANIFEST pin; directory sniffing
@@ -464,10 +486,14 @@ def streaming_semdedup_transform(
         norm_sql, cell_scores_sql = _ivf_sql(cents)
         from kafkaconnect_spark.operators.similarity import _pq_probes
 
+        # probes computed ONCE per micro-batch: the within-batch join
+        # below and the corpus match (id-filtered to survivors) share
+        # this persisted frame — before r9+ the corpus match re-ran the
+        # full probe pipeline per batch
         self_probes = _pq_probes(
             vecs, books, d, n_probe, norm_sql, cell_scores_sql,
             "query_id", m["vec_col"],
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         self_cands = (
             self_probes.select("query_id", "cell")
             .join(
@@ -505,11 +531,8 @@ def streaming_semdedup_transform(
             .where(F.col("cosine") >= threshold)
         )
         self_drops = _winner_rule_drops(self_pairs, pre, "query_id", "neighbor_id")
-        surv1 = vecs.join(
-            F.broadcast(self_drops.select("query_id").distinct()),
-            "query_id",
-            "left_anti",
-        )
+        self_drop_ids = F.broadcast(self_drops.select("query_id").distinct())
+        surv1 = vecs.join(self_drop_ids, "query_id", "left_anti")
         # -- step 2: corpus match, batch ids pool-excluded --
         store = (
             spark.read.parquet(vector_store)
@@ -530,6 +553,9 @@ def streaming_semdedup_transform(
             spark, index_dir, surv1, full_store,
             k=1, n_probe=n_probe, rerank=rerank,
             exclude_ids=vecs.select("query_id"),
+            precomputed_probes=self_probes.join(
+                self_drop_ids, "query_id", "left_anti"
+            ),
         )
         matches = raw.where(F.col("cosine") >= threshold)
         report = os.path.join(
@@ -548,15 +574,30 @@ def streaming_semdedup_transform(
             "left_anti",
         )
         if append_survivors:
-            surv_vecs = survivors.select(
-                F.col(f"value.{id_field}").cast(id_type).alias(m["id_col"]),
-                F.col(f"value.{vec_field}").alias(m["vec_col"]),
-            )
             # already-indexed survivors (redeliveries; replayed
-            # winners) are not re-appended
-            to_add = surv_vecs.join(F.broadcast(pre), m["id_col"], "left_anti")
-            append(spark, index_dir, to_add)
-        for c in (vecs, batch_coded, pre):
+            # winners) are not re-appended. The delta filters the
+            # ALREADY-CODED batch frame to (not dropped) ∧ (not
+            # present) — no second coding pass per micro-batch.
+            dup_b = F.broadcast(
+                dup_ids.select(F.col("query_id").alias(m["id_col"]))
+            )
+            # append() filters empty vectors before coding — replicate
+            # on the precomputed path (batch_coded covers ALL records,
+            # the self-join needs them)
+            nonempty = F.broadcast(
+                vecs.where(F.size(m["vec_col"]) > 0).select(
+                    F.col("query_id").alias(m["id_col"])
+                )
+            )
+            append(
+                spark, index_dir, None,
+                precomputed_coded=batch_coded.join(
+                    dup_b, m["id_col"], "left_anti"
+                )
+                .join(F.broadcast(pre), m["id_col"], "left_anti")
+                .join(nonempty, m["id_col"], "left_semi"),
+            )
+        for c in (vecs, batch_coded, pre, self_probes):
             c.unpersist()
         return survivors
 
