@@ -204,6 +204,7 @@ HEADLINE = [
     "dedup_simhash_index",
     "index_retention_audit",
     "streaming_fingerprint_dedup_replay",
+    "embedding_pq_retention_audit",
 ]
 
 

@@ -1059,6 +1059,96 @@ SELECT 2, 2, n_corpus - n_erased, 0 FROM m
 """
 
 
+def embedding_pq_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector twin of index_retention_audit: the SAME retention
+    contract proven on the PQ codes table — build from the standing
+    corpus (vec_id % 10 != 0, empty vectors excluded as build does),
+    tombstone vec_id % 3 = 0, compact(keep_generations=1), audit every
+    generation on disk (stage 1: v1 retains the erased codes, v2
+    carries exactly corpus-minus-erased), drop_generations(keep=0),
+    audit again (stage 2: only v2, zero erased rows anywhere).
+    Returns (stage, generation, n_docs, n_erased_present) — the
+    column names shared with the LSH audit so the two proofs read
+    identically.
+
+    Scale shape: one column-pruned scan of each stored generation's
+    id column + a broadcast semi-tag of the erased-id set per audit
+    row."""
+    from kafkaconnect_spark.operators import index_fs as ifs
+    from kafkaconnect_spark.operators import pq_index
+    from kafkaconnect_spark.queries_r7 import _materialized
+
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
+    corpus = emb.where(
+        (F.col("vec_id") % 10 != 0) & (F.size("embedding") > 0)
+    )
+    erased_ids = (
+        corpus.where(F.col("vec_id") % 3 == 0).select("vec_id").distinct()
+    )
+    d = _tmp_index_dir("pq_retention_audit_")
+    pq_index.build(corpus, d, n_cells=8, n_sub=4, n_codes=8, dim=64)
+    pq_index.delete(spark, d, erased_ids)
+    pq_index.compact(spark, d, keep_generations=1)
+
+    def _generations() -> list[int]:
+        root = os.path.join(d, "codes")
+        return sorted(int(v[1:]) for v in ifs.listdir(root))
+
+    def _audit(stage: int) -> list[DataFrame]:
+        rows = []
+        for g in _generations():
+            codes = spark.read.parquet(pq_index._table_path(d, "codes", g))
+            rows.append(
+                codes.select("vec_id")
+                .distinct()
+                .join(
+                    F.broadcast(erased_ids.withColumn("__e", F.lit(1))),
+                    "vec_id",
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.coalesce("__e", F.lit(0)))
+                    .cast("long")
+                    .alias("n_erased_present"),
+                )
+                .select(
+                    F.lit(stage).alias("stage"),
+                    F.lit(g).alias("generation"),
+                    "n_docs",
+                    "n_erased_present",
+                )
+            )
+        return rows
+
+    parts = _audit(1)
+    s1 = parts[0]
+    for p in parts[1:]:
+        s1 = s1.unionAll(p)
+    # stage 1 reads generations the next step deletes — materialize
+    s1 = _materialized(s1, d, "stage1")
+    pq_index.drop_generations(d, keep=0)
+    out = s1
+    for p in _audit(2):
+        out = out.unionAll(p)
+    return out
+
+
+PQ_RETENTION_AUDIT_ORACLE = r"""
+WITH m AS (
+  SELECT count(*) AS n_corpus,
+         sum(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_erased
+  FROM embeddings
+  WHERE vec_id % 10 != 0 AND len(embedding) > 0)
+SELECT 1 AS stage, 1 AS generation, n_corpus AS n_docs,
+       n_erased AS n_erased_present FROM m
+UNION ALL
+SELECT 1, 2, n_corpus - n_erased, 0 FROM m
+UNION ALL
+SELECT 2, 2, n_corpus - n_erased, 0 FROM m
+"""
+
+
 R9_CATALOG = {
     "streaming_dedup_within_batch_replay": (
         streaming_dedup_within_batch_replay,
@@ -1084,5 +1174,9 @@ R9_CATALOG = {
     "index_retention_audit": (
         index_retention_audit,
         INDEX_RETENTION_AUDIT_ORACLE,
+    ),
+    "embedding_pq_retention_audit": (
+        embedding_pq_retention_audit,
+        PQ_RETENTION_AUDIT_ORACLE,
     ),
 }
