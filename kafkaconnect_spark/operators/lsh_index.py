@@ -80,7 +80,6 @@ commit protocol cannot safely drive (r7 judge directive #4).
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import uuid
@@ -99,57 +98,37 @@ from kafkaconnect_spark.operators.dedup import (
     shingle_arrays,
 )
 
-
-class IndexWriterLockError(RuntimeError):
-    """A second writer tried to mutate the index concurrently."""
-
-
-@contextlib.contextmanager
-def _writer_lock(index_dir: str):
-    """Single-writer mutual exclusion for build/append/delete/compact
-    (r6 ADVICE): without it, a delete() or append() landing between a
-    compact's table snapshot and its manifest commit is silently
-    discarded in v+1 — for tombstones that silently loses a GDPR
-    erasure. Readers (match) never take the lock: they pin the
-    generation named by the manifest and are unaffected by writers.
-
-    O_CREAT|O_EXCL on a lock file is atomic on posix local/NFS; the
-    holder's pid is recorded so a conflict names it. A crashed
-    writer's stale lock must be removed by the operator (the error
-    says so) — auto-breaking on pid-liveness would be wrong on
-    multi-host object storage, the deployment this layout targets.
-
-    Acquisition also sweeps `.staging/` leftovers from a previously
-    interrupted writer (safe precisely because the lock guarantees no
-    other writer is mid-stage)."""
-    ifs.makedirs(index_dir, exist_ok=True)
-    path = os.path.join(index_dir, ".writer.lock")
-    try:
-        fd = ifs.open_excl(path)
-    except FileExistsError:
-        try:
-            holder = ifs.read_text(path).strip() or "unknown"
-        except OSError:
-            holder = "unknown"
-        raise IndexWriterLockError(
-            f"another writer holds {path} ({holder}); index mutations are "
-            "single-writer — wait for it, or delete the lock file if its "
-            "process is dead"
-        ) from None
-    try:
-        os.write(fd, f"pid={os.getpid()}".encode())
-        os.close(fd)
-        staging_root = os.path.join(index_dir, ".staging")
-        if ifs.isdir(staging_root):
-            ifs.rmtree(staging_root, ignore_errors=True)
-        yield
-    finally:
-        with contextlib.suppress(OSError):
-            ifs.remove(path)
-
-
-def _manifest_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "MANIFEST.json")
+# r10 (judge directive #3): the index PROTOCOL primitives moved to
+# operators/index_base — ONE implementation shared by lsh/pq/hamming
+# instead of three. Re-exported here so pre-r10 import sites (tests,
+# queries, the other index modules' historical imports) keep working.
+from kafkaconnect_spark.operators.index_base import (  # noqa: F401
+    IndexWriterLockError,
+    REPORTS_AUTO_COMPACT_AFTER,
+    TOMBSTONE_BROADCAST_MAX_BYTES,
+    _SAFE_WIDENING_CHAIN,
+    _auto_compact_reports,
+    _cast_to_stored_schema,
+    _clear_manifestless_debris,
+    _commit_generation_table,
+    _gc_locked,
+    _manifest_path,
+    _maybe_broadcast_tombstones,
+    _report_dirs,
+    _reports_root,
+    _shingle_bucket_expr,
+    _spread_for_write,
+    _stage_then_move,
+    _table_path,
+    _winner_rule_drops,
+    _write_manifest,
+    _writer_lock,
+    compact_reports,
+    delete_ids,
+    late_tombstones,
+    membership_probe,
+    snapshot_tombstones,
+)
 
 
 def _read_manifest(index_dir: str) -> dict:
@@ -163,41 +142,6 @@ def _read_manifest(index_dir: str) -> dict:
     return m
 
 
-def _write_manifest(index_dir: str, manifest: dict) -> None:
-    ifs.write_text_atomic(_manifest_path(index_dir), json.dumps(manifest))
-
-
-def _table_path(index_dir: str, table: str, version: int) -> str:
-    return os.path.join(index_dir, table, f"v{version}")
-
-
-def _clear_manifestless_debris(index_dir: str, tables: tuple[str, ...]) -> None:
-    """A build() that crashed mid-write leaves partial v1 tables and no
-    MANIFEST.json; with a durable index root every retry then wedges
-    forever on errorifexists (r7 ADVICE #1). Under the writer lock, a
-    manifest-less dir's table data is unreferenced by definition —
-    clear it so build can proceed."""
-    if ifs.exists(_manifest_path(index_dir)):
-        return
-    for t in (*tables, "reports"):
-        p = os.path.join(index_dir, t)
-        if ifs.isdir(p):
-            ifs.rmtree(p, ignore_errors=True)
-
-
-# stored band tables above this size lose their broadcast hint in the
-# tombstone anti-join (match would otherwise grow an unbounded driver/
-# executor broadcast in an erasure-heavy deployment that defers
-# compaction — r7 judge directive #3b). Pure-metadata check, no job.
-TOMBSTONE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
-
-
-def _maybe_broadcast_tombstones(tomb: DataFrame, tomb_dir: str) -> DataFrame:
-    if ifs.dir_bytes(tomb_dir) <= TOMBSTONE_BROADCAST_MAX_BYTES:
-        return F.broadcast(tomb)
-    return tomb  # AQE picks the join strategy for an oversized log
-
-
 # hive-partition bucket counts; pinned in the manifest at build() so
 # every append writes the same layout. The SHINGLE table (full arrays
 # — the index's biggest table by far) gets its own id-hash bucket key
@@ -206,55 +150,12 @@ DEFAULT_BAND_BUCKETS = 8
 DEFAULT_SHINGLE_BUCKETS = 16
 
 
-def _spread_for_write(
-    df: DataFrame, n_buckets: int, part_col: str, id_col: str
-) -> DataFrame:
-    """Partitioning for CORPUS-SIZED hive writes (build / compact /
-    retrain): `repartition(n_buckets, part_col)` caps the write at one
-    task per bucket — at 16 buckets that is 16 single-wave tasks
-    whatever the cluster width, measured as the dominant term of the
-    sf100 build residual (SCALE_LADDER.json residual_probe_r9) and a
-    hard ceiling on a many-executor cluster. Instead rows group by
-    (bucket, salt) with salt = an id hash INDEPENDENT of the bucket
-    key (seeded differently — bucket keys are themselves id hashes,
-    and `h mod k` would be fully determined by `h mod n` whenever
-    k divides n), giving n_buckets × k write tasks, each emitting one
-    file into its bucket dir. k sizes to the session's core pool and
-    collapses to the exact-one-file-per-bucket layout when the pool
-    is no wider than the bucket count. APPEND deltas keep the
-    1-file-per-bucket shape (_shingles_delta/_bands_delta) — batches
-    are bounded, and k files per micro-batch would re-create the
-    staging-spray defect compact exists to fold."""
-    width = df.sparkSession.sparkContext.defaultParallelism
-    k = max(1, width // max(n_buckets, 1))
-    if k == 1:
-        return df.repartition(n_buckets, part_col)
-    salt = F.pmod(F.hash(F.col(id_col).cast("string"), F.lit(1)), F.lit(k))
-    return df.repartition(n_buckets * k, F.col(part_col), salt)
-
-
 def _band_bucket_expr(n_buckets: int):
     """Deterministic bucket from the md5-hex band_hash — the hive
     partition key of the stored band table. First 4 hex chars → int
     (uniform), mod n. Engine-portable (conv/substring exist in DuckDB
     too), though the bucket never appears in query output."""
     return F.expr(f"int(conv(substring(band_hash, 1, 4), 16, 10) % {n_buckets})")
-
-
-def _shingle_bucket_expr(n_buckets: int, id_col: str):
-    """Deterministic id-hash bucket — the hive partition key of the
-    stored shingle table. Spark murmur3 (fixed seed) of the id's
-    STRING form: hash() is type-dependent (hash(12) != hash(12L)),
-    and append deltas arrive with narrower inferred types (CSV int
-    ids against a bigint index) — hashing the canonical string makes
-    the bucket identical for the same id value whatever the carrier
-    type. Engine-internal only (the bucket never reaches an oracle or
-    query output), so cross-engine portability doesn't apply; what
-    matters is that build/append/match compute the identical bucket
-    for the same id across sessions, which this guarantees."""
-    return F.pmod(
-        F.hash(F.col(id_col).cast("string")), F.lit(n_buckets)
-    ).cast("int")
 
 
 def _check_params(manifest: dict, num_hashes, bands, n) -> tuple[int, int, int]:
@@ -527,85 +428,6 @@ def _match(
 # widenings a staged delta may silently take to match the stored
 # schema; anything else raises instead of casting (non-ANSI Cast
 # would null-corrupt the index — r7 ADVICE #3)
-_SAFE_WIDENING_CHAIN = ("tinyint", "smallint", "int", "bigint")
-
-
-def _cast_to_stored_schema(
-    df: DataFrame, dest_schema, table: str, partition_col: str | None = None
-) -> DataFrame:
-    """Cast a delta to the stored table's schema, but ONLY along safe
-    widenings (int family upward, float→double, identical types). A
-    non-widening mismatch — e.g. string ids against a bigint-built
-    index — raises, because the non-ANSI Cast Spark would apply turns
-    every incompatible value into NULL and appends the nulls,
-    corrupting the index with no error.
-
-    ``partition_col`` is exempt from the widening check: a hive
-    partition column's read-back type is INFERRED from directory
-    values (int for small ids even when the delta computes bigint),
-    its values on both sides come from the same manifest-pinned key
-    set, and it is stored as a directory name rather than parquet
-    data — a down-cast cannot corrupt anything."""
-    src_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for f in dest_schema.fields:
-        if f.name not in src_types:
-            raise ValueError(
-                f"append delta for table {table!r} is missing stored column "
-                f"{f.name!r}; delta columns: {sorted(src_types)}"
-            )
-        s, d = src_types[f.name], f.dataType.simpleString()
-        widens = (
-            s in _SAFE_WIDENING_CHAIN
-            and d in _SAFE_WIDENING_CHAIN
-            and _SAFE_WIDENING_CHAIN.index(s) <= _SAFE_WIDENING_CHAIN.index(d)
-        ) or (s == "float" and d == "double")
-        if s != d and not widens and f.name != partition_col:
-            raise ValueError(
-                f"append delta column {f.name!r} has type {s} but table "
-                f"{table!r} stores {d}; only widening casts are safe — a "
-                "forced cast would silently NULL incompatible values and "
-                "corrupt the index. Fix the batch's schema (or rebuild the "
-                "index with the wider type)."
-            )
-    return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in dest_schema.fields]
-    )
-
-
-def _stage_then_move(
-    df: DataFrame,
-    index_dir: str,
-    table: str,
-    version: int,
-    partition_by: str | None = None,
-) -> None:
-    """Write `df` to a uuid staging dir, then move its part files into
-    the live table dir — narrows append's non-atomic window from a
-    full Spark write to a handful of file renames. For a
-    hive-partitioned table (``partition_by``), the staged write uses
-    the same layout and each ``col=value`` subdir's files move into
-    the matching live subdir (created when the delta opens a new
-    partition value).
-
-    The delta is first cast to the stored table's schema — widening
-    casts only; a non-widening mismatch raises (see
-    _cast_to_stored_schema)."""
-    dest = _table_path(index_dir, table, version)
-    dest_schema = df.sparkSession.read.parquet(dest).schema
-    df = _cast_to_stored_schema(df, dest_schema, table, partition_col=partition_by)
-    staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(staging)
-    # part names are uuid'd — no collisions with live files
-    for rel in ifs.parquet_files(staging):
-        target = os.path.join(dest, rel)
-        ifs.makedirs(os.path.dirname(target), exist_ok=True)
-        ifs.replace(os.path.join(staging, rel), target)
-    ifs.rmtree(staging, ignore_errors=True)
-
-
 def append(
     spark: SparkSession,
     index_dir: str,
@@ -739,71 +561,11 @@ def add(spark: SparkSession, index_dir: str, new_batch: DataFrame,
 def _membership(
     spark: SparkSession, index_dir: str, ids_df: DataFrame, m: dict
 ) -> DataFrame:
-    """Which of ``ids_df``'s ids (one column, named as the stored id
-    column) are in the CURRENT generation — a broadcast semi-join
-    against the stored shingle table PRUNED to the ids' own
-    shingle_bucket partitions, so the probe reads a batch-bounded
-    fraction of the index, never the table (the partition key is an
-    id hash, so the prune is exact whatever the doc content)."""
-    id_col = ids_df.columns[0]
-    sh = spark.read.parquet(_table_path(index_dir, "shingles", m["version"]))
-    if "shingle_buckets" in m:
-        hit = sorted(
-            {
-                r[0]
-                for r in ids_df.select(
-                    _shingle_bucket_expr(m["shingle_buckets"], id_col).alias("sb")
-                )
-                .distinct()
-                .collect()
-            }
-        )
-        sh = sh.where(F.col("shingle_bucket").isin(hit))
-    return (
-        sh.select(id_col)
-        .join(F.broadcast(ids_df.distinct()), id_col, "left_semi")
-        .distinct()
-    )
-
-
-def _winner_rule_drops(
-    pairs: DataFrame, pre: DataFrame, new_col: str, cor_col: str
-) -> DataFrame:
-    """Apply the within-batch survivor rule to verified same-batch
-    near-dup pairs: the record on the ``new_col`` side DROPS when its
-    mate (a) is already in the index while it is not — the standing
-    corpus wins, exactly as in the corpus match, which catches a new
-    near-dup arriving in the same micro-batch as a REDELIVERY of the
-    indexed doc it duplicates (r8 ADVICE #3's leak) — or (b) has the
-    same membership status and the smaller id (the deterministic
-    tie-break the r8 judge prescribed).
-
-    Replay convergence is structural: the only membership delta a
-    crash-replay can introduce is the original run's own winners, and
-    the rule keeps a winner a winner — (a) because an appended winner
-    becomes "indexed" and its dropped mates stayed out, (b) because
-    ids don't change. Idempotent under any crash point (proof cases
-    enumerated in tests/test_index_r9.py::test_winner_rule_replay_*).
-    """
-    pre_new = pre.select(
-        F.col(pre.columns[0]).alias(new_col), F.lit(True).alias("__in_new")
-    )
-    pre_cor = pre.select(
-        F.col(pre.columns[0]).alias(cor_col), F.lit(True).alias("__in_cor")
-    )
-    return (
-        pairs.join(F.broadcast(pre_new), new_col, "left")
-        .join(F.broadcast(pre_cor), cor_col, "left")
-        .withColumn("__in_new", F.coalesce("__in_new", F.lit(False)))
-        .withColumn("__in_cor", F.coalesce("__in_cor", F.lit(False)))
-        .where(
-            (F.col("__in_cor") & ~F.col("__in_new"))
-            | (
-                (F.col("__in_cor") == F.col("__in_new"))
-                & (F.col(cor_col) < F.col(new_col))
-            )
-        )
-        .drop("__in_new", "__in_cor")
+    """Bucket-pruned membership probe over the stored shingle table
+    (index_base.membership_probe with this module's geometry)."""
+    return membership_probe(
+        spark, index_dir, ids_df, m["version"], "shingles",
+        m.get("shingle_buckets"), "shingle_bucket",
     )
 
 
@@ -973,119 +735,9 @@ def streaming_dedup_transform(
 # streaming transforms auto-fold their per-micro-batch report dirs
 # once this many accumulate — without it a long-lived pipeline grows
 # one small parquet dir per batch forever (r7 judge directive #3a)
-REPORTS_AUTO_COMPACT_AFTER = 64
-
-
-def _reports_root(index_dir: str) -> str:
-    return os.path.join(index_dir, "reports")
-
-
-def _report_dirs(index_dir: str) -> list[str]:
-    root = _reports_root(index_dir)
-    if not ifs.isdir(root):
-        return []
-    return sorted(
-        d for d in ifs.listdir(root) if ifs.isdir(os.path.join(root, d))
-    )
-
-
-def compact_reports(spark: SparkSession, index_dir: str) -> dict:
-    """Fold every per-append / per-micro-batch report dir under
-    ``index_dir/reports/`` into ONE consolidated parquet dir, keyed by
-    an added ``report_id`` column (the origin dir name) so per-batch
-    audit granularity survives the fold. Bounds the small-file growth
-    of a long-lived streaming pipeline (one report dir per micro-batch
-    otherwise). Idempotent: rows carry their origin key, consolidation
-    applies distinct(), so a crash between the consolidated write and
-    the old-dir removal merely duplicates rows that the next
-    compaction drops again. Returns {"n_dirs_before", "n_dirs_after",
-    "n_rows"}."""
-    with _writer_lock(index_dir):
-        dirs = _report_dirs(index_dir)
-        if len(dirs) <= 1:
-            return {
-                "n_dirs_before": len(dirs),
-                "n_dirs_after": len(dirs),
-                "n_rows": None,
-            }
-        root = _reports_root(index_dir)
-        parts = []
-        for d in dirs:
-            df = spark.read.parquet(os.path.join(root, d))
-            if "report_id" not in df.columns:
-                df = df.withColumn("report_id", F.lit(d))
-            parts.append(df)
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
-        merged = merged.distinct().repartition(1)
-        staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
-        merged.write.mode("errorifexists").parquet(staging)
-        dest = os.path.join(root, f"compacted-{uuid.uuid4().hex[:12]}")
-        ifs.replace(staging, dest)
-        n_rows = spark.read.parquet(dest).count()
-        for d in dirs:
-            ifs.rmtree(os.path.join(root, d), ignore_errors=True)
-        return {"n_dirs_before": len(dirs), "n_dirs_after": 1, "n_rows": n_rows}
-
-
-def _auto_compact_reports(spark: SparkSession, index_dir: str) -> None:
-    """Streaming-path retention hook: fold the report dirs once more
-    than REPORTS_AUTO_COMPACT_AFTER of them accumulate. Called after
-    the transform released the writer lock."""
-    if len(_report_dirs(index_dir)) > REPORTS_AUTO_COMPACT_AFTER:
-        compact_reports(spark, index_dir)
-
-
 # generation directories this index keeps under retention (the GC
 # sweep below walks exactly these; pq_index passes its own set)
 _LSH_TABLES = ("shingles", "bands", "tombstones")
-
-
-def _gc_locked(
-    index_dir: str, manifest: dict, keep: int, tables: tuple[str, ...]
-) -> dict:
-    """Drop generation dirs older than ``version - keep`` and record
-    the surviving floor in the manifest (``oldest_retained``). MUST be
-    called under the writer lock (compact calls it inline; the public
-    drop_generations takes the lock itself).
-
-    Without this, every compact leaves its predecessor on disk forever
-    — storage grows by a full index copy per compact, and a GDPR-
-    erased doc's rows persist in pre-compact generations indefinitely
-    (r8 judge: the "erasure is physical" claim was true only of the
-    NEWEST generation). ``keep`` = how many generations BEFORE the
-    current one stay readable for pinned readers (keep=1: current +
-    previous; keep=0: current only — physical erasure completes at
-    the compact that applies the tombstone).
-
-    Crash-safe by idempotence: dirs are removed before the manifest
-    records the new floor, so a crash mid-sweep leaves some stale dirs
-    that the next sweep (or _clear of a later compact) re-removes;
-    nothing the manifest references is ever deleted."""
-    version = manifest["version"]
-    oldest_allowed = max(1, version - max(0, keep))
-    dropped = 0
-    for t in tables:
-        troot = os.path.join(index_dir, t)
-        if not ifs.isdir(troot):
-            continue
-        for d in ifs.listdir(troot):
-            if not d.startswith("v"):
-                continue
-            try:
-                dv = int(d[1:])
-            except ValueError:
-                continue
-            if dv < oldest_allowed:
-                ifs.rmtree(os.path.join(troot, d), ignore_errors=True)
-                dropped += 1
-    if manifest.get("oldest_retained") != oldest_allowed:
-        m2 = dict(manifest)
-        m2["oldest_retained"] = oldest_allowed
-        _write_manifest(index_dir, m2)
-        manifest.update(m2)
-    return {"oldest_retained": oldest_allowed, "n_generation_dirs_dropped": dropped}
 
 
 def drop_generations(index_dir: str, keep: int = 1) -> dict:
@@ -1106,23 +758,7 @@ def delete(spark: SparkSession, index_dir: str, ids) -> int:
     one-column DataFrame or a plain list of id values. Returns the
     number of ids tombstoned (after de-dup against the existing log).
     """
-    with _writer_lock(index_dir):
-        m = _read_manifest(index_dir)
-        v = m["version"]
-        id_col = m.get("id_col", "doc_id")
-        tomb_path = _table_path(index_dir, "tombstones", v)
-        existing = spark.read.parquet(tomb_path)
-        if isinstance(ids, DataFrame):
-            ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
-        else:
-            ids_df = spark.createDataFrame(
-                [(i,) for i in ids], schema=existing.schema
-            )
-        fresh = ids_df.distinct().join(existing, id_col, "left_anti")
-        n_new = fresh.count()
-        if n_new:
-            _stage_then_move(fresh, index_dir, "tombstones", v)
-        return n_new
+    return delete_ids(spark, index_dir, ids, _read_manifest)
 
 
 # test seam (tests/test_lsh_index.py): runs inside compact right after
@@ -1172,9 +808,7 @@ def compact(
         idx_sh, idx_bands, m = _tables(spark, index_dir)
         v = m["version"]
         id_col = m.get("id_col", "doc_id")
-        tomb_dir = _table_path(index_dir, "tombstones", v)
-        snap_files = ifs.parquet_files(tomb_dir)
-        tomb = spark.read.parquet(*[os.path.join(tomb_dir, f) for f in snap_files])
+        tomb, snap_files, tomb_dir = snapshot_tombstones(spark, index_dir, v)
         n_tomb = tomb.count()
         if _POST_SNAPSHOT_HOOK is not None:  # test seam: simulate a
             _POST_SNAPSHOT_HOOK()  # writer that bypassed the lock
@@ -1218,16 +852,7 @@ def compact(
         # keep_generations=0; after the next compact at the default
         # keep=1). Any entry written AFTER the snapshot carries
         # forward into the v+1 log.
-        late_files = [
-            f for f in ifs.parquet_files(tomb_dir) if f not in set(snap_files)
-        ]
-        late = (
-            spark.read.parquet(
-                *[os.path.join(tomb_dir, f) for f in late_files]
-            ).join(tomb, tomb.columns[0], "left_anti")
-            if late_files
-            else tomb.limit(0)
-        )
+        late = late_tombstones(spark, tomb_dir, snap_files, tomb)
         _commit_generation_table(late, index_dir, "tombstones", v + 1)
         m2 = dict(m)
         m2["version"] = v + 1
@@ -1246,28 +871,3 @@ def compact(
             "n_files_after": _n_files("shingles", v + 1) + _n_files("bands", v + 1),
             "oldest_retained": gc["oldest_retained"],
         }
-
-
-def _commit_generation_table(
-    df: DataFrame,
-    index_dir: str,
-    table: str,
-    new_version: int,
-    partition_by: str | None = None,
-) -> None:
-    """Compact's table commit: write to a uuid staging dir, rename into
-    v{N}. A pre-existing v{N} dir is an unreferenced leftover of an
-    interrupted compact (the manifest still names N-1, so nothing
-    reads it) — cleared, else a crash would wedge every future compact
-    on errorifexists. Shared by lsh_index.compact and pq_index.compact.
-    """
-    staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(staging)
-    dest = _table_path(index_dir, table, new_version)
-    if ifs.exists(dest):
-        ifs.rmtree(dest)
-    ifs.makedirs(os.path.dirname(dest), exist_ok=True)
-    ifs.replace(staging, dest)

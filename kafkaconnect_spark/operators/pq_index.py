@@ -72,7 +72,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaconnect_spark.operators import index_fs as ifs
-from kafkaconnect_spark.operators.lsh_index import (
+from kafkaconnect_spark.operators.index_base import (
     _auto_compact_reports,
     _clear_manifestless_debris,
     _commit_generation_table,
@@ -85,6 +85,9 @@ from kafkaconnect_spark.operators.lsh_index import (
     _write_manifest,
     _writer_lock,
     compact_reports,  # noqa: F401 — re-exported: shared report layout
+    delete_ids,
+    late_tombstones,
+    snapshot_tombstones,
 )
 
 # generation directories retention GC sweeps for this index
@@ -461,7 +464,7 @@ def streaming_semdedup_transform(
         from pyspark import StorageLevel
 
         from kafkaconnect_spark.operators.dedup import release_cached
-        from kafkaconnect_spark.operators.lsh_index import _winner_rule_drops
+        from kafkaconnect_spark.operators.index_base import _winner_rule_drops
         from kafkaconnect_spark.operators.similarity import dot, l2_norm
 
         # retention: fold accumulated per-batch report dirs before this
@@ -608,19 +611,7 @@ def delete(spark: SparkSession, index_dir: str, ids) -> int:
     """Tombstone vector ids: they stop matching immediately; rows drop
     physically at the next compact. ``ids`` is a one-column DataFrame
     or a plain list. Returns the number newly tombstoned."""
-    with _writer_lock(index_dir):
-        m = _read_manifest(index_dir)
-        v, id_col = m["version"], m["id_col"]
-        existing = spark.read.parquet(_table_path(index_dir, "tombstones", v))
-        if isinstance(ids, DataFrame):
-            ids_df = ids.select(F.col(ids.columns[0]).alias(id_col))
-        else:
-            ids_df = spark.createDataFrame([(i,) for i in ids], schema=existing.schema)
-        fresh = ids_df.distinct().join(existing, id_col, "left_anti")
-        n_new = fresh.count()
-        if n_new:
-            _stage_then_move(fresh, index_dir, "tombstones", v)
-        return n_new
+    return delete_ids(spark, index_dir, ids, _read_manifest)
 
 
 def drop_generations(index_dir: str, keep: int = 1) -> dict:
@@ -690,9 +681,7 @@ def retrain(
         )
         n_sub = m["n_sub"]
         d = m["dim"] // n_sub
-        tomb_dir = _table_path(index_dir, "tombstones", v)
-        snap_files = ifs.parquet_files(tomb_dir)
-        tomb = spark.read.parquet(*[os.path.join(tomb_dir, f) for f in snap_files])
+        tomb, snap_files, tomb_dir = snapshot_tombstones(spark, index_dir, v)
         tomb_gated = _maybe_broadcast_tombstones(
             tomb.withColumnRenamed(tomb.columns[0], id_col), tomb_dir
         )
@@ -721,16 +710,7 @@ def retrain(
         _commit_generation_table(
             coded, index_dir, "codes", v + 1, partition_by="cell"
         )
-        late_files = [
-            f for f in ifs.parquet_files(tomb_dir) if f not in set(snap_files)
-        ]
-        late = (
-            spark.read.parquet(
-                *[os.path.join(tomb_dir, f) for f in late_files]
-            ).join(tomb, tomb.columns[0], "left_anti")
-            if late_files
-            else tomb.limit(0)
-        )
+        late = late_tombstones(spark, tomb_dir, snap_files, tomb)
         _commit_generation_table(late, index_dir, "tombstones", v + 1)
         m2 = dict(m)
         m2.update(
@@ -773,9 +753,7 @@ def compact(
     with _writer_lock(index_dir):
         codes, m = _codes_table(spark, index_dir)
         v, id_col = m["version"], m["id_col"]
-        tomb_dir = _table_path(index_dir, "tombstones", v)
-        snap_files = ifs.parquet_files(tomb_dir)
-        tomb = spark.read.parquet(*[os.path.join(tomb_dir, f) for f in snap_files])
+        tomb, snap_files, tomb_dir = snapshot_tombstones(spark, index_dir, v)
         n_tomb = tomb.count()
         if _POST_SNAPSHOT_HOOK is not None:
             _POST_SNAPSHOT_HOOK()
@@ -798,16 +776,7 @@ def compact(
         _commit_generation_table(
             codes_c, index_dir, "codes", v + 1, partition_by="cell"
         )
-        late_files = [
-            f for f in ifs.parquet_files(tomb_dir) if f not in set(snap_files)
-        ]
-        late = (
-            spark.read.parquet(
-                *[os.path.join(tomb_dir, f) for f in late_files]
-            ).join(tomb, tomb.columns[0], "left_anti")
-            if late_files
-            else tomb.limit(0)
-        )
+        late = late_tombstones(spark, tomb_dir, snap_files, tomb)
         _commit_generation_table(late, index_dir, "tombstones", v + 1)
         m2 = dict(m)
         m2["version"] = v + 1

@@ -3665,3 +3665,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R8.items()})
 from kafkaconnect_spark.queries_r9 import R9_CATALOG as _R9  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R9.items()})
+
+from kafkaconnect_spark.queries_r10 import R10_CATALOG as _R10  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R10.items()})

@@ -34,6 +34,7 @@ from kafkaconnect_spark.queries_r7 import (
     _ivfpq_variant_pipeline,
     _lloyd_cents_cte,
     _tmp_index_dir,
+    _seeded_index_dir,
 )
 
 # ---------------------------------------------------------------------------
@@ -69,10 +70,12 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkaconnect_spark.operators import lsh_index
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    d = _tmp_index_dir("lsh_stream_replay_")
-    lsh_index.build(
-        docs.where(F.col("doc_id") % 10 >= 3), d,
-        num_hashes=16, bands=4, n=3, threshold=0.2,
+    d = _seeded_index_dir(
+        "lsh_stream_replay_", sf_dir, "documents", "lsh_standing_ge3_16_4_3",
+        lambda p: lsh_index.build(
+            docs.where(F.col("doc_id") % 10 >= 3), p,
+            num_hashes=16, bands=4, n=3, threshold=0.2,
+        ),
     )
     transform = lsh_index.streaming_dedup_transform(d)
     reports = []
@@ -218,10 +221,12 @@ def streaming_semdedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafkaconnect_spark.operators import lsh_index, pq_index
 
     emb = _t(spark, sf_dir, "embeddings", spread=True)
-    d = _tmp_index_dir("pq_stream_replay_")
-    pq_index.build(
-        emb.where(F.col("vec_id") % 10 >= 3), d,
-        n_cells=8, n_sub=4, n_codes=8, dim=64,
+    d = _seeded_index_dir(
+        "pq_stream_replay_", sf_dir, "embeddings", "pq_standing_ge3_8_4_8_64",
+        lambda p: pq_index.build(
+            emb.where(F.col("vec_id") % 10 >= 3), p,
+            n_cells=8, n_sub=4, n_codes=8, dim=64,
+        ),
     )
     transform = pq_index.streaming_semdedup_transform(
         d, lambda: emb.select("vec_id", "embedding"),

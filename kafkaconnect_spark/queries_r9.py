@@ -39,6 +39,7 @@ from kafkaconnect_spark.queries_r7 import (
     _ivfpq_variant_pipeline,
     _lloyd_cents_cte,
     _tmp_index_dir,
+    _seeded_index_dir,
 )
 
 # ---------------------------------------------------------------------------
@@ -101,10 +102,12 @@ def streaming_dedup_within_batch_replay(spark: SparkSession, sf_dir: str) -> Dat
     from kafkaconnect_spark.operators import lsh_index
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    d = _tmp_index_dir("lsh_wb_replay_")
-    lsh_index.build(
-        docs.where(F.col("doc_id") % 10 >= 3), d,
-        num_hashes=16, bands=4, n=3, threshold=0.2,
+    d = _seeded_index_dir(
+        "lsh_wb_replay_", sf_dir, "documents", "lsh_standing_ge3_16_4_3",
+        lambda p: lsh_index.build(
+            docs.where(F.col("doc_id") % 10 >= 3), p,
+            num_hashes=16, bands=4, n=3, threshold=0.2,
+        ),
     )
     transform = lsh_index.streaming_dedup_transform(d)
 
@@ -250,10 +253,12 @@ def streaming_semdedup_within_batch_replay(
     from kafkaconnect_spark.operators import pq_index
 
     emb = _t(spark, sf_dir, "embeddings", spread=True)
-    d = _tmp_index_dir("pq_wb_replay_")
-    pq_index.build(
-        emb.where(F.col("vec_id") % 10 >= 3), d,
-        n_cells=8, n_sub=4, n_codes=8, dim=64,
+    d = _seeded_index_dir(
+        "pq_wb_replay_", sf_dir, "embeddings", "pq_standing_ge3_8_4_8_64",
+        lambda p: pq_index.build(
+            emb.where(F.col("vec_id") % 10 >= 3), p,
+            n_cells=8, n_sub=4, n_codes=8, dim=64,
+        ),
     )
     transform = pq_index.streaming_semdedup_transform(
         d, lambda: emb.select("vec_id", "embedding"),
@@ -757,7 +762,8 @@ def _simhash_hex_ctes() -> str:
         f"CASE WHEN c{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END" for b in range(32)
     )
     return rf"""t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
-           FROM documents),
+           FROM documents
+           WHERE text IS NOT NULL AND trim(text) != ''),
 h AS (SELECT doc_id,
              ('0x'||substr(md5('simhash:'||tok),1,8))::BIGINT hv,
              ('0x'||substr(md5('simhash2:'||tok),1,8))::BIGINT hw
@@ -833,11 +839,13 @@ def streaming_fingerprint_dedup_replay(
     from kafkaconnect_spark.operators.dedup import simhash_hex64
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    d = _tmp_index_dir("ham_wb_replay_")
     standing = docs.where(F.col("doc_id") % 10 >= 3)
-    hamming_index.build(
-        simhash_hex64(standing).withColumnRenamed("simhash_hex", "phash"),
-        d, bits=64, bands=8, max_hamming=4,
+    d = _seeded_index_dir(
+        "ham_wb_replay_", sf_dir, "documents", "ham_standing_ge3_64_8_4",
+        lambda p: hamming_index.build(
+            simhash_hex64(standing).withColumnRenamed("simhash_hex", "phash"),
+            p, bits=64, bands=8, max_hamming=4,
+        ),
     )
     transform = hamming_index.streaming_fingerprint_dedup_transform(
         d, text_field="text"

@@ -141,3 +141,41 @@ def test_registry_builds_and_validates(spark):
     with pytest.raises(SpecError):
         build({"index.dir": "/x", "hash.field": "a", "text.field": "b"})
     assert callable(build({"index.dir": "/x", "hash.field": "phash"}))
+
+
+def test_null_and_wrong_width_hashes_never_enter_the_index(spark, tmp_path):
+    """r9 ADVICE #2: a NULL or wrong-width fingerprint can never
+    band-match, so it must pass through as a survivor WITHOUT being
+    appended (a null band_val would land in the hive default
+    partition and pollute membership counts)."""
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, CORPUS), d, bits=64, bands=8,
+                        max_hamming=4)
+    t = hamming_index.streaming_fingerprint_dedup_transform(
+        d, hash_field="phash"
+    )
+    bad = [(50, None), (51, "abcd"), (52, "fedcba9876543210")]
+    surv = {r["value"]["doc_id"] for r in t(_records(spark, bad)).collect()}
+    assert surv == {50, 51, 52}       # malformed rows still flow through
+    assert _stored_ids(spark, d) == {1, 3, 52}  # but never enter the index
+
+
+def test_text_mode_requires_a_64_bit_index(spark, tmp_path):
+    """r9 ADVICE #1: simhash_hex64 emits 16 nibbles — against an index
+    built at another width the SMT must refuse instead of silently
+    no-op matching and appending mixed-width hashes."""
+    import pytest
+
+    d = str(tmp_path / "ham32")
+    hamming_index.build(
+        spark.createDataFrame([(1, "00ff00ff")], "doc_id long, phash string"),
+        d, bits=32, bands=4, max_hamming=2,
+    )
+    t = hamming_index.streaming_fingerprint_dedup_transform(
+        d, text_field="text"
+    )
+    recs = spark.createDataFrame(
+        [(2, "some text here")], "doc_id long, text string"
+    ).select(F.struct("doc_id", "text").alias("value"))
+    with pytest.raises(ValueError, match="bits=32"):
+        t(recs)

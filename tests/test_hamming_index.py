@@ -138,3 +138,97 @@ def test_exclude_ids_removes_corpus_side(spark, tmp_path):
     got = {(r.id_new, r.id_corpus) for r in res.collect()}
     release_cached(res)
     assert got == {(12, 4)}
+
+
+# ---------------------------------------------------------------------------
+# r10 hot-band-value routing: corpus-correlated fingerprints must not
+# blow the banded join into n² candidates — hot values take an exact
+# distinct-hash verify, and the match refuses past the skew line
+# ---------------------------------------------------------------------------
+
+
+def _skewed_corpus(n=60):
+    """Template-corpus shape: many docs share full hashes (and hence
+    every band value), a few are spread. Hot values arise both from
+    repeated hashes and from distinct hashes agreeing on a band."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            h = "00ff00ff00ff00ff"          # repeated hash (hot bands)
+        elif i % 3 == 1:
+            h = f"00ff00ff00ff{i:02x}ff"[:16]  # shares 5 hot bands
+        else:
+            h = format((i * 0x9E3779B97F4A7C15) % (1 << 64), "016x")
+        rows.append((i, h))
+    return rows
+
+
+def _brute_pairs(batch, corpus, mh):
+    return {
+        (ib, ic, bin(int(hb, 16) ^ int(hc, 16)).count("1"))
+        for ib, hb in batch
+        for ic, hc in corpus
+        if ib != ic and bin(int(hb, 16) ^ int(hc, 16)).count("1") <= mh
+    }
+
+
+def test_hot_routing_is_exact_vs_brute_force(spark, tmp_path):
+    """Forced routing (hot_df_cap=2 → most values hot) and the pure
+    equi-join plan (hot_df_cap=None) must both equal brute force —
+    routing is a performance decision, never a semantic one."""
+    rows = _skewed_corpus()
+    corpus = [r for r in rows if r[0] % 10 != 0]
+    batch = [r for r in rows if r[0] % 10 == 0]
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=8,
+                        max_hamming=4)
+    want = _brute_pairs(batch, corpus, 4)
+    for cap in (2, None):
+        res = hamming_index.match(
+            spark, d, _hashes(spark, batch), hot_df_cap=cap
+        )
+        got = {(r.id_new, r.id_corpus, r.hamming) for r in res.collect()}
+        release_cached(res)
+        assert got == want, f"hot_df_cap={cap}"
+    assert want  # the fixture must actually exercise pairs
+
+
+def test_hot_routing_pairs_found_only_via_hot_values(spark, tmp_path):
+    """A pair whose EVERY shared band value is hot must still be
+    found (the exactness clause the shingle df-cap cannot offer):
+    two identical hashes shared by many corpus docs."""
+    h = "a5a5a5a5a5a5a5a5"
+    corpus = [(i, h) for i in range(1, 20)]   # df=19 per band value
+    batch = [(100, h)]
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=8,
+                        max_hamming=4)
+    res = hamming_index.match(
+        spark, d, _hashes(spark, batch), hot_df_cap=4
+    )
+    got = {(r.id_new, r.id_corpus, r.hamming) for r in res.collect()}
+    release_cached(res)
+    assert got == {(100, i, 0) for i in range(1, 20)}
+
+
+def test_match_refuses_past_the_skew_line(spark, tmp_path):
+    rows = _skewed_corpus()
+    corpus = [r for r in rows if r[0] % 10 != 0]
+    batch = [r for r in rows if r[0] % 10 == 0]
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=8,
+                        max_hamming=4)
+    with pytest.raises(ValueError, match="MinHash"):
+        hamming_index.match(
+            spark, d, _hashes(spark, batch), hot_df_cap=2, max_hot_pairs=1
+        )
+
+
+def test_build_records_band_skew_in_manifest(spark, tmp_path):
+    d = str(tmp_path / "ham")
+    hamming_index.build(
+        _hashes(spark, [(i, "a5a5a5a5a5a5a5a5") for i in range(5)]), d,
+        bits=64, bands=8, max_hamming=4,
+    )
+    skew = hamming_index._read_manifest(d)["band_skew"]
+    assert skew["max_df"] == 5 and skew["n_hot_values"] == 0

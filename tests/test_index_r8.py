@@ -12,7 +12,7 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from kafkaconnect_spark.operators import index_fs, lsh_index, pq_index
+from kafkaconnect_spark.operators import index_base, index_fs, lsh_index, pq_index
 
 DIM = 8
 
@@ -198,7 +198,7 @@ def test_tombstone_anti_join_broadcast_is_size_gated(spark, tmp_path, monkeypatc
     res = pq_index.match(spark, d, q, _vecs(spark, range(10, 30)), k=3)
     assert any("broadcast" in ln for ln in _anti_lines(res))
 
-    monkeypatch.setattr(lsh_index, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(index_base, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
     res2 = pq_index.match(spark, d, q, _vecs(spark, range(10, 30)), k=3)
     lines = _anti_lines(res2)
     assert lines and all("broadcast" not in ln for ln in lines)
@@ -238,7 +238,7 @@ def test_compact_reports_folds_dirs_preserving_rows(spark, tmp_path):
 def test_streaming_transform_bounds_report_dirs(spark, tmp_path, monkeypatch):
     """N micro-batches do NOT leave N report dirs forever: the SMT
     auto-folds them past the retention threshold."""
-    monkeypatch.setattr(lsh_index, "REPORTS_AUTO_COMPACT_AFTER", 2)
+    monkeypatch.setattr(index_base, "REPORTS_AUTO_COMPACT_AFTER", 2)
     d = str(tmp_path / "lsh")
     lsh_index.build(_docs(spark, BASE_DOCS), d, num_hashes=16, bands=4)
     transform = lsh_index.streaming_dedup_transform(d, threshold=0.5)
@@ -253,7 +253,7 @@ def test_streaming_transform_bounds_report_dirs(spark, tmp_path, monkeypatch):
 
 def test_pq_streaming_transform_bounds_report_dirs(spark, tmp_path, monkeypatch):
     """The vector SMT auto-folds its per-batch report dirs too."""
-    monkeypatch.setattr(lsh_index, "REPORTS_AUTO_COMPACT_AFTER", 2)
+    monkeypatch.setattr(index_base, "REPORTS_AUTO_COMPACT_AFTER", 2)
     d = str(tmp_path / "pq")
     store_path = str(tmp_path / "store")
     corpus = _vecs(spark, range(10, 30))

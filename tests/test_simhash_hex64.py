@@ -57,3 +57,16 @@ def test_plan_is_narrow(spark):
     df = _docs(spark, [(1, "a b c")])
     plan = simhash_hex64(df)._jdf.queryExecution().toString()
     assert "Exchange" not in plan
+
+
+def test_null_and_blank_text_is_filtered(spark):
+    """r9 ADVICE #3: blank/whitespace-only docs would all collapse to
+    the identical fingerprint (token stream = ['']) and dedup against
+    each other as hamming-0 near-dups — they are filtered instead,
+    like NULLs."""
+    df = spark.createDataFrame(
+        [(1, "real text content"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in simhash_hex64(df).collect()}
+    assert got == {1}

@@ -1,6 +1,9 @@
-"""Scale ladder for the r9 fingerprint-index family (sf1 → sf10,
-50k → 500k docs), measuring the GEOMETRY knob that governs Hamming-LSH
-at scale.
+"""Scale ladder for the r10 fingerprint-index family (sf1 → sf10,
+50k → 500k docs): the r9 run measured the blowup and STOPPED; this one
+re-runs the stopped sf10 text lifecycle to COMPLETION through the
+r10 hot-band-value routing (hamming_index.match: cold values bounded
+at bands × hot_df_cap × n_batch candidates, hot values through the
+salted distinct-hash verify with a narrow pre-shuffle Hamming filter).
 
 Hamming banding collides RANDOMLY on non-dup fingerprints: each band
 is a 2^band_bits-value key, so candidate volume grows ~ n_batch ×
@@ -19,7 +22,7 @@ This tool measures BOTH:
 
 Protocol: two passes per scale (second timed), shuffle_partitions
 64 → 128. Results merge into SCALE_LADDER.json under
-"fingerprint_ladder_r9".
+"fingerprint_ladder_r10".
 
 Usage: python tools/scale_fingerprint.py [--skip-gen]
 """
@@ -65,6 +68,43 @@ def candidate_volume(spark, hashes, band_bits: int) -> int:
         )
     )
     return sz.agg(F.sum(F.col("nb") * F.col("nc"))).collect()[0][0] or 0
+
+
+def routed_volume(spark, hashes, band_bits: int, cap: int = 256) -> dict:
+    """What the r10 routed match actually joins at this geometry:
+    cold pairs (df ≤ cap, provably ≤ bands × cap × n_batch) plus the
+    hot values' DISTINCT-hash pair volume — computed from per-value
+    counts, never by materializing the pairs."""
+    bands = 64 // band_bits
+    npb = band_bits // 4
+    subs = F.array(
+        *[F.substring("simhash_hex", b * npb + 1, npb) for b in range(bands)]
+    )
+    bnd = hashes.select(
+        "doc_id", "simhash_hex", F.posexplode(subs).alias("band", "bv")
+    )
+    per_val = bnd.groupBy("band", "bv").agg(
+        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("doc_id") % 10 != 0, 1).otherwise(0)).alias("nc"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 10 == 0, F.col("simhash_hex"))
+        ).alias("db"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 10 != 0, F.col("simhash_hex"))
+        ).alias("dc"),
+    )
+    row = per_val.agg(
+        F.sum(F.when(F.col("nc") <= cap, F.col("nb") * F.col("nc"))).alias("cold"),
+        F.sum(F.when(F.col("nc") > cap, F.col("db") * F.col("dc"))).alias("hot"),
+        F.sum(F.when(F.col("nc") > cap, 1).otherwise(0)).alias("n_hot"),
+        F.max("nc").alias("max_df"),
+    ).collect()[0]
+    return {
+        "cold_pairs": int(row["cold"] or 0),
+        "hot_distinct_pairs": int(row["hot"] or 0),
+        "n_hot_values": int(row["n_hot"] or 0),
+        "max_corpus_df": int(row["max_df"] or 0),
+    }
 
 
 def lifecycle(spark, hashes) -> dict[str, float]:
@@ -133,7 +173,7 @@ def main() -> int:
 
     from pyspark import StorageLevel
 
-    results: dict = {"candidates": {}, "lifecycle": {}}
+    results: dict = {"candidates": {}, "routed": {}, "lifecycle": {}}
     for tag, _sub, parts, passes in RUNS:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         docs = spark.read.parquet(
@@ -146,6 +186,11 @@ def main() -> int:
             for bb in (8, 16)
         }
         print(f"{tag} candidates: {results['candidates'][tag]}", flush=True)
+        results["routed"][tag] = {
+            f"band_bits_{bb}": routed_volume(spark, hashes, bb)
+            for bb in (8, 16)
+        }
+        print(f"{tag} routed: {results['routed'][tag]}", flush=True)
         stages: dict[str, float] = {}
         for _ in range(passes):
             stages = lifecycle(spark, hashes)
@@ -171,24 +216,27 @@ def main() -> int:
         )
     out = {
         "note": (
-            "r9 fingerprint family at sf1 -> sf10 (50k -> 500k docs): "
-            "candidate volume per band geometry (the n^2/2^band_bits "
-            "law, measured — why the catalog's 8x8-bit geometry is a "
-            "GATE-scale choice and 4x16-bit is the corpus-scale one), "
-            "plus the full index lifecycle at the scale geometry "
-            "(bands=4, max_hamming=3); 2 passes per scale (2nd timed), "
-            "shuffle_partitions 64 -> 128"
+            "r10 fingerprint family at sf1 -> sf10 (50k -> 500k docs): "
+            "raw candidate volume per band geometry (the law that "
+            "killed the r9 run) vs what the r10 ROUTED match joins "
+            "(cold pairs bounded by bands x cap x n_batch + hot "
+            "values' salted distinct-hash pairs, Hamming-filtered "
+            "narrow before any shuffle), plus the full index "
+            "lifecycle at the scale geometry (bands=4, max_hamming=3) "
+            "run TO COMPLETION — the r9 run was stopped at sf10; "
+            "2 passes per scale (2nd timed), shuffle_partitions "
+            "64 -> 128"
         ),
         **results,
     }
     ladder_path = os.path.join(ROOT, "SCALE_LADDER.json")
     with open(ladder_path) as fh:
         ladder = json.load(fh)
-    ladder["fingerprint_ladder_r9"] = out
+    ladder["fingerprint_ladder_r10"] = out
     with open(ladder_path, "w") as fh:
         json.dump(ladder, fh, indent=1, sort_keys=True)
-    print(f"merged fingerprint_ladder_r9 into {ladder_path}")
-    print(json.dumps({"fingerprint_ladder_r9": out}))
+    print(f"merged fingerprint_ladder_r10 into {ladder_path}")
+    print(json.dumps({"fingerprint_ladder_r10": out}))
     return 0
 
 

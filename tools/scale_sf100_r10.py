@@ -1,0 +1,179 @@
+"""Fourth-decade extension of the sf100 ladder to the r9/r10 shapes
+(r9 judge directive #5): the five r8 lifecycle shapes have sf100
+entries (SCALE_LADDER.json sf100_subset); this adds
+
+  streaming_dedup_within_batch_replay     the r9 SMT semantics (banded
+  streaming_semdedup_within_batch_replay  self-join + pool-excluded
+                                          corpus match per batch)
+  embedding_pq_index_retrain              quantizer rotation (resolve
+                                          membership, retrain, recode)
+  dedup_span_removal                      r10 corpus-wide exact-
+                                          substring span removal
+  fingerprint_wb_replay_scale_geom        the FingerprintDedupIndex SMT
+                                          3-run lifecycle at the SCALE
+                                          geometry (4×16-bit bands,
+                                          max_hamming=3)
+
+The catalog's streaming_fingerprint_dedup_replay is pinned at the
+8×8-bit GATE geometry, which the r10 skew enforcement REFUSES past
+~2 B hot distinct-hash pairs — at sf10 template text that geometry
+measures ~15 B (probe_fp_skew), so the refusal firing there is the
+designed behavior, recorded in this entry's note, and the ladder runs
+the same 3-run SMT lifecycle at the scale geometry instead (the
+corpus-scale configuration a deployment would pin).
+
+Protocol: sf10 runs first (2 passes, 2nd timed), then sf100 with one
+timed pass; shuffle_partitions 128 → 256. Queries that create per-run
+state (_tmp_index_dir / _seeded_index_dir copies) stay correct across
+passes by construction. Results merge into SCALE_LADDER.json under
+"sf100_subset_r10".
+
+Usage: python tools/scale_sf100_r10.py [--skip-gen] [--sf10-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+CATALOG_QUERIES = [
+    "streaming_dedup_within_batch_replay",
+    "streaming_semdedup_within_batch_replay",
+    "embedding_pq_index_retrain",
+    "dedup_span_removal",
+]
+RUNS = [("sf10", "gen_sf10", 128, 2), ("sf100", "gen_sf100", 256, 1)]
+
+
+def fingerprint_wb_replay_scale_geom(spark, sf_dir):
+    """The streaming_fingerprint_dedup_replay 3-run lifecycle at the
+    corpus-scale geometry (bands=4, 16-bit slices, max_hamming=3)."""
+    from kafkaconnect_spark.operators import hamming_index
+    from kafkaconnect_spark.operators.dedup import simhash_hex64
+    from kafkaconnect_spark.queries_r7 import _tmp_index_dir
+    from kafkaconnect_spark.queries_r9 import _run_transform_runs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = _tmp_index_dir("ham_wb_scale_")
+    standing = docs.where(F.col("doc_id") % 10 >= 3)
+    hamming_index.build(
+        simhash_hex64(standing).withColumnRenamed("simhash_hex", "phash"),
+        d, bits=64, bands=4, max_hamming=3,
+    )
+    transform = hamming_index.streaming_fingerprint_dedup_transform(
+        d, text_field="text"
+    )
+
+    def _batch(classes):
+        return docs.where((F.col("doc_id") % 10).isin(classes)).select(
+            F.struct("doc_id", "text").alias("value")
+        )
+
+    return _run_transform_runs(
+        spark, d, transform,
+        [(1, _batch([0, 2])), (2, _batch([0, 2])), (3, _batch([1, 3]))],
+        ["id_new", "id_corpus", "hamming"],
+    )
+
+
+def main() -> int:
+    skip_gen = "--skip-gen" in sys.argv
+    sf10_only = "--sf10-only" in sys.argv
+    from tools.gen_testdata import gen
+
+    runs = [r for r in RUNS if not (sf10_only and r[0] == "sf100")]
+    dirs: dict[str, str] = {}
+    for tag, sub, _parts, _passes in runs:
+        out = os.path.join(ROOT, ".data", sub)
+        if not skip_gen and not os.path.exists(
+            os.path.join(out, "documents.parquet")
+        ):
+            print(f"== generating {tag} (documents/embeddings only)", flush=True)
+            gen(100.0 if tag == "sf100" else 10.0, out,
+                tables={"documents", "embeddings"})
+        dirs[tag] = out
+
+    from kafkaconnect_spark.operators.dedup import release_cached
+    from kafkaconnect_spark.queries import QUERY_CATALOG
+    from kafkaconnect_spark.session import get_spark
+
+    spark = get_spark(
+        "kafkaconnect-scale-sf100-r10", master="local[32]",
+        shuffle_partitions=128,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = CATALOG_QUERIES + ["fingerprint_wb_replay_scale_geom"]
+    results: dict[str, dict] = {n: {} for n in names}
+    for tag, _sub, parts, passes in runs:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        for name in names:
+            fn = (
+                fingerprint_wb_replay_scale_geom
+                if name == "fingerprint_wb_replay_scale_geom"
+                else QUERY_CATALOG[name].fn
+            )
+            best = float("inf")
+            for i in range(passes):
+                t0 = time.perf_counter()
+                df = fn(spark, dirs[tag])
+                df.write.format("noop").mode("overwrite").save()
+                took = time.perf_counter() - t0
+                if i == passes - 1:
+                    best = min(best, took)
+                release_cached(df)
+                spark.catalog.clearCache()
+            results[name][f"sec_{tag}"] = round(best, 3)
+            print(f"{tag} {name}: {best:.3f}s", flush=True)
+    spark.stop()
+
+    for name, row in results.items():
+        row["time_ratio"] = (
+            round(row["sec_sf100"] / row["sec_sf10"], 2)
+            if row.get("sec_sf10") and row.get("sec_sf100")
+            else None
+        )
+    out = {
+        "note": (
+            "r10 extension: the r9 shapes (within-batch SMT replays, "
+            "pq retrain) + the r10 span-removal operator + the "
+            "fingerprint SMT 3-run lifecycle at the SCALE geometry "
+            "(4x16-bit bands, max_hamming=3) at sf10 -> sf100 (500k -> "
+            "5M docs / 200k -> 2M vectors); the catalog's 8x8-bit gate "
+            "geometry is REFUSED by the r10 skew enforcement past 2B "
+            "hot distinct-hash pairs (measured ~15B at sf10 template "
+            "text) — that refusal is the designed boundary, not a "
+            "failure; shuffle_partitions 128->256; sf100 one timed pass"
+        ),
+        "queries": results,
+    }
+    done = [r for r in results.values() if r.get("sec_sf100")]
+    if done:
+        out["totals"] = {
+            "sec_sf10": round(sum(r["sec_sf10"] for r in done), 3),
+            "sec_sf100": round(sum(r["sec_sf100"] for r in done), 3),
+        }
+        out["totals"]["time_ratio"] = round(
+            out["totals"]["sec_sf100"] / out["totals"]["sec_sf10"], 2
+        )
+    ladder_path = os.path.join(ROOT, "SCALE_LADDER.json")
+    with open(ladder_path) as fh:
+        ladder = json.load(fh)
+    key = "sf100_subset_r10" if not sf10_only else "sf10_subset_r10"
+    ladder[key] = out
+    with open(ladder_path, "w") as fh:
+        json.dump(ladder, fh, indent=1, sort_keys=True)
+    print(f"merged {key} into {ladder_path}")
+    print(json.dumps({key: out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
