@@ -498,16 +498,36 @@ def match(
         # rows, 30+1/31 tasks idle) — the corpus side splits S ways by
         # a hash-derived salt and the (batch-bounded) distinct batch
         # side replicates across all S, so the volume spreads over the
-        # cluster. The Hamming verify runs NARROW before any further
-        # shuffle — only true near-dup pairs reach the distinct.
+        # cluster. The corpus side is REPARTITION_BY_NUM-pinned on the
+        # salted key: the join's INPUT bytes are tiny (distinct hashes)
+        # while its OUTPUT is the est-guard volume, and AQE plans
+        # partition counts from input sizes — left alone it coalesces
+        # this join to ~1 task and recreates the straggler the salt
+        # exists to kill (measured: 25 s → ~2 s at sf1 on 12.7 M
+        # products). An explicit numPartitions repartition is exempt
+        # from AQE coalescing by contract. The Hamming verify runs
+        # NARROW before any further shuffle — only true near-dup pairs
+        # reach the distinct.
         n_salt = max(1, spark.sparkContext.defaultParallelism)
+        # BOTH sides are REPARTITION_BY_NUM-pinned on the salted key
+        # (4× the core pool; (band_val, salt) keys far outnumber it):
+        # whichever side the planner broadcasts, the probe side then
+        # has n_parts partitions, and a sort-merge plan reuses both
+        # exchanges — there is no plan left in which the product
+        # volume lands on the handful of cached-input partitions.
+        # Measured failure modes this closes: AQE coalescing the
+        # shuffle to ~1 task (input bytes are tiny, output is the
+        # est-guard volume), and AQE broadcasting the repartitioned
+        # side so the join ran narrow on the 2-partition explode
+        # (one core at 100 %, 31 idle, minutes per sf1 match).
+        n_parts = 4 * n_salt
         hb_s = hb_d.withColumn(
             "__salt",
             F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
-        )
+        ).repartition(n_parts, F.col("band"), F.col("band_val"), F.col("__salt"))
         hc_s = hc_d.withColumn(
             "__salt", F.pmod(F.hash("__hb"), F.lit(n_salt)).cast("int")
-        )
+        ).repartition(n_parts, F.col("band"), F.col("band_val"), F.col("__salt"))
         hp = (
             hb_s.join(hc_s, ["band", "band_val", "__salt"])
             .withColumn("hamming", _hamming_expr("__ha", "__hb"))

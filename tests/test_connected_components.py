@@ -176,3 +176,42 @@ def test_semdedup_prunes_higher_id_within_cell(spark):
     assert not out[0].pruned and not out[1].pruned  # lowest ids kept
     assert out[5].pruned and out[6].pruned          # exact dups pruned
     assert not out[7].pruned                        # unique direction kept
+
+
+def test_exact_substring_dedup_removes_noncanonical_spans(spark):
+    """r10 corpus-wide span removal (Lee et al. shape): the lowest-
+    (doc_id, pos) occurrence of a duplicated 20-token window stays,
+    every other occurrence's covered tokens are cut; disjoint and
+    short docs pass through intact."""
+    shared = " ".join(f"s{i}" for i in range(25))
+    rows = [
+        Row(doc_id=1, text=shared + " u1 u2 u3 u4 u5"),   # canonical holder
+        Row(doc_id=2, text="v1 v2 v3 v4 v5 " + shared),   # loses the run
+        Row(doc_id=3, text=" ".join(f"x{i}" for i in range(30))),  # disjoint
+        Row(doc_id=4, text="too short"),                  # < k: intact
+    ]
+    res = dedup.exact_substring_dedup(spark.createDataFrame(rows), k=20)
+    out = {r.doc_id: r for r in res.collect()}
+    dedup.release_cached(res)
+    # doc 1 is canonical for every duplicated window -> nothing removed
+    assert out[1].n_removed == 0 and out[1].clean_text.startswith("s0 s1")
+    # doc 2: its 6 duplicate windows start at pos 5..10 and cover
+    # tokens 5..29 -> the whole 25-token shared run is cut, the v-prefix stays
+    assert out[2].n_tokens == 30 and out[2].n_removed == 25
+    assert out[2].clean_text == "v1 v2 v3 v4 v5"
+    assert out[3].n_removed == 0
+    assert out[4].n_removed == 0 and out[4].clean_text == "too short"
+
+
+def test_exact_substring_dedup_within_doc_repeats(spark):
+    """POSITION semantics: the same window twice in ONE doc is a
+    duplicate; the first occurrence is canonical, later tokens only
+    survive where no non-canonical window covers them."""
+    run = " ".join(f"r{i}" for i in range(20))
+    rows = [Row(doc_id=1, text=run + " mid " + run)]
+    res = dedup.exact_substring_dedup(spark.createDataFrame(rows), k=20)
+    out = res.collect()[0]
+    dedup.release_cached(res)
+    # tokens: 20 (canonical run) + 1 ('mid') + 20 (repeat, removed)
+    assert out.n_tokens == 41 and out.n_removed == 20
+    assert out.clean_text == run + " mid"

@@ -53,10 +53,18 @@ def test_edit_locality_is_deterministic(spark):
     assert ham(got[1], got[4]) == 34
 
 
-def test_plan_is_narrow(spark):
+def test_plan_is_codegen_agg_with_mapside_combine(spark):
+    """r10: the fully-narrow aggregate/zip_with formulation evaluated
+    INTERPRETED (HigherOrderFunction.eval, ~30-50 ms/doc); the plan is
+    now explode → codegen md5/conv → ONE partial-aggregated groupBy
+    (shuffle carries one 64-column row per doc, not tokens). Pin that:
+    no higher-order functions anywhere, exactly one exchange, and a
+    partial aggregate below it."""
     df = _docs(spark, [(1, "a b c")])
-    plan = simhash_hex64(df)._jdf.queryExecution().toString()
-    assert "Exchange" not in plan
+    plan = simhash_hex64(df)._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" not in plan and "aggregate(" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan or "HashAggregate" in plan
 
 
 def test_null_and_blank_text_is_filtered(spark):

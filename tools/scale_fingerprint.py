@@ -181,16 +181,25 @@ def main() -> int:
         )
         hashes = simhash_hex64(docs).persist(StorageLevel.MEMORY_AND_DISK)
         hashes.count()
-        results["candidates"][tag] = {
-            f"band_bits_{bb}": int(candidate_volume(spark, hashes, bb))
-            for bb in (8, 16)
-        }
-        print(f"{tag} candidates: {results['candidates'][tag]}", flush=True)
-        results["routed"][tag] = {
-            f"band_bits_{bb}": routed_volume(spark, hashes, bb)
-            for bb in (8, 16)
-        }
-        print(f"{tag} routed: {results['routed'][tag]}", flush=True)
+        # volume measurements come from tools/probe_fingerprint_skew.py
+        # (merged below) — re-measuring them here at sf10 costs tens of
+        # minutes of count_distinct aggregation for numbers we already
+        # hold; this run is the LIFECYCLE-to-completion measurement
+        probe_path = os.path.join(ROOT, ".data", "probe_fp_skew.json")
+        if os.path.exists(probe_path):
+            with open(probe_path) as fh:
+                probe = json.load(fh)[tag]
+            results["candidates"][tag] = {
+                f"band_bits_{bb}": probe[f"bits{bb}_cap256"]["hot_raw_pairs"]
+                + probe[f"bits{bb}_cap256"]["cold_pairs"]
+                for bb in (8, 16)
+            }
+            results["routed"][tag] = {
+                f"band_bits_{bb}": probe[f"bits{bb}_cap256"] for bb in (8, 16)
+            }
+            results["routed"][tag]["n_distinct_hashes"] = probe[
+                "n_distinct_hashes"
+            ]
         stages: dict[str, float] = {}
         for _ in range(passes):
             stages = lifecycle(spark, hashes)
