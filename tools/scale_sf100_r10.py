@@ -115,21 +115,44 @@ def main() -> int:
     for tag, _sub, parts, passes in runs:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for name in names:
+            if name == "fingerprint_wb_replay_scale_geom" and tag == "sf100":
+                # the designed refusal boundary, recorded instead of
+                # ground through: hot distinct-hash volume extrapolates
+                # to ~110 B pairs at 5M template docs (measured 1.11 B
+                # at sf10, x100 growth law, probe_fp_skew) -- far past
+                # the 2 B max_hot_pairs line hamming_index.match
+                # enforces, and the SMT's within-batch self-join hits
+                # the same wall before the corpus match can even
+                # refuse. Corpus-scale text near-dup is the MinHash
+                # index's domain (its streaming twin IS laddered here).
+                results[name]["sf100_refused_by_design"] = (
+                    "est ~1.1e11 hot distinct-hash pairs > "
+                    "max_hot_pairs=2e9; text near-dup at this scale "
+                    "belongs to lsh_index (see note)"
+                )
+                print(f"{tag} {name}: refused-by-design", flush=True)
+                continue
             fn = (
                 fingerprint_wb_replay_scale_geom
                 if name == "fingerprint_wb_replay_scale_geom"
                 else QUERY_CATALOG[name].fn
             )
             best = float("inf")
-            for i in range(passes):
-                t0 = time.perf_counter()
-                df = fn(spark, dirs[tag])
-                df.write.format("noop").mode("overwrite").save()
-                took = time.perf_counter() - t0
-                if i == passes - 1:
-                    best = min(best, took)
-                release_cached(df)
+            try:
+                for i in range(passes):
+                    t0 = time.perf_counter()
+                    df = fn(spark, dirs[tag])
+                    df.write.format("noop").mode("overwrite").save()
+                    took = time.perf_counter() - t0
+                    if i == passes - 1:
+                        best = min(best, took)
+                    release_cached(df)
+                    spark.catalog.clearCache()
+            except Exception as e:  # noqa: BLE001 -- record, keep laddering
+                results[name][f"error_{tag}"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"{tag} {name}: ERROR {e}", flush=True)
                 spark.catalog.clearCache()
+                continue
             results[name][f"sec_{tag}"] = round(best, 3)
             print(f"{tag} {name}: {best:.3f}s", flush=True)
     spark.stop()
