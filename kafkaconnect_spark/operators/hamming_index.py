@@ -508,19 +508,24 @@ def match(
         # from AQE coalescing by contract. The Hamming verify runs
         # NARROW before any further shuffle — only true near-dup pairs
         # reach the distinct.
-        n_salt = max(1, spark.sparkContext.defaultParallelism)
-        # BOTH sides are REPARTITION_BY_NUM-pinned on the salted key
-        # (4× the core pool; (band_val, salt) keys far outnumber it):
-        # whichever side the planner broadcasts, the probe side then
-        # has n_parts partitions, and a sort-merge plan reuses both
-        # exchanges — there is no plan left in which the product
+        # Salt and partition the hot join PROPORTIONALLY to the
+        # measured est volume (~1 M products per task), capped at 4×
+        # the core pool: the machinery exists for the 10⁹-pair regime
+        # and its fixed exchange/scheduling cost is pure overhead on a
+        # gate-scale batch whose hot volume is a few single-task
+        # seconds. BOTH sides are REPARTITION_BY_NUM-pinned on the
+        # salted key: whichever side the planner broadcasts, the probe
+        # side keeps n_parts partitions, and a sort-merge plan reuses
+        # both exchanges — there is no plan left in which the product
         # volume lands on the handful of cached-input partitions.
         # Measured failure modes this closes: AQE coalescing the
         # shuffle to ~1 task (input bytes are tiny, output is the
         # est-guard volume), and AQE broadcasting the repartitioned
         # side so the join ran narrow on the 2-partition explode
         # (one core at 100 %, 31 idle, minutes per sf1 match).
-        n_parts = 4 * n_salt
+        width = max(1, spark.sparkContext.defaultParallelism)
+        n_parts = int(min(4 * width, max(1, est // 1_000_000)))
+        n_salt = min(width, n_parts)
         hb_s = hb_d.withColumn(
             "__salt",
             F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
