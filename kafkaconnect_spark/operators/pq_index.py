@@ -92,6 +92,18 @@ from kafkaconnect_spark.operators.index_base import (
 
 # generation directories retention GC sweeps for this index
 _PQ_TABLES = ("codes", "tombstones")
+
+# candidate-pair volume at which the streaming SMT warns / refuses —
+# the vector twin of hamming_index's hot-pair skew line (r10). The
+# within-batch self-join generates ~ n_probe·|batch|²/n_cells pairs and
+# the corpus match ~ n_probe·|batch|·|corpus|/n_cells: both are the
+# index's own probe geometry, so when the estimate crosses this line
+# the GEOMETRY is undersized for the volume, and grinding through it
+# would be a quadratic straggler, not a query. The fix the refusal
+# names: rebuild/retrain with n_cells scaled to the corpus
+# (SemDeDup's cell-size rule, n_cells ≈ corpus/250 — semdedup_prune).
+DEFAULT_MAX_CANDIDATE_PAIRS = 2_000_000_000
+CANDIDATE_WARN_PAIRS = 10_000_000
 from kafkaconnect_spark.operators.similarity import (
     _adc_rerank,
     _infer_dim,
@@ -400,6 +412,7 @@ def streaming_semdedup_transform(
     n_probe: int = 2,
     rerank: int = 30,
     append_survivors: bool = True,
+    max_candidate_pairs: int = DEFAULT_MAX_CANDIDATE_PAIRS,
 ):
     """The vector twin of lsh_index.streaming_dedup_transform —
     SemDeDup over a stream: each micro-batch of embedding records
@@ -456,7 +469,18 @@ def streaming_semdedup_transform(
     ``vec_field`` name where the values live in the RECORD's value
     struct; they are aliased to the index manifest's id_col/vec_col,
     and the id is cast to the STORED codes table's id type — a
-    string-keyed index gets string ids, not a hardcoded long."""
+    string-keyed index gets string ids, not a hardcoded long.
+
+    Candidate-volume guard (r10 — the vector twin of hamming_index's
+    hot-pair skew line): before any candidate join materializes, the
+    batch's probe/cell histograms (collects bounded by n_cells)
+    estimate the within-batch + corpus candidate volume; past
+    ``max_candidate_pairs`` the transform REFUSES, naming the fix
+    (retrain with n_cells scaled to the corpus — SemDeDup's
+    n_cells ≈ corpus/250 rule), and warns above
+    ``CANDIDATE_WARN_PAIRS``. An undersized geometry at corpus scale
+    is a quadratic straggler, not a query — the refusal enforces the
+    design rule in code instead of prose."""
     import uuid as _uuid
 
     def _apply(records: DataFrame) -> DataFrame:
@@ -497,6 +521,53 @@ def streaming_semdedup_transform(
             vecs, books, d, n_probe, norm_sql, cell_scores_sql,
             "query_id", m["vec_col"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # -- candidate-volume guard (r10, the hamming skew-line twin):
+        # estimate the batch's candidate pairs from three per-cell
+        # histograms BEFORE any join materializes them. All three
+        # collects are bounded by n_cells (a manifest constant, never
+        # corpus-sized). The estimate upper-bounds the real volume
+        # (it ignores self-pair removal and self-dedup drops) — a
+        # guard must overcount, never under. --
+        import warnings
+
+        def _cell_hist(frame) -> dict:
+            return {
+                r["cell"]: r["__n"]
+                for r in frame.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+
+        probe_h = _cell_hist(self_probes.select("cell"))
+        batch_h = _cell_hist(batch_coded.select("cell"))
+        corpus_h = _cell_hist(codes.select("cell"))
+        est_self = sum(n * batch_h.get(c, 0) for c, n in probe_h.items())
+        est_corpus = sum(n * corpus_h.get(c, 0) for c, n in probe_h.items())
+        est = est_self + est_corpus
+        if est > max_candidate_pairs:
+            for c in (vecs, batch_coded, pre, self_probes):
+                c.unpersist()
+            raise ValueError(
+                f"SemDeDup candidate volume {est:,} (within-batch "
+                f"{est_self:,} + corpus {est_corpus:,}) exceeds "
+                f"max_candidate_pairs={max_candidate_pairs:,}: "
+                f"n_cells={m['n_cells']} is undersized for this "
+                "batch/corpus — the probe-cell join would grind a "
+                "quadratic candidate set through exact verification. "
+                "Rebuild or retrain the index with n_cells scaled to "
+                "the corpus (SemDeDup's cell-size rule, n_cells ≈ "
+                "corpus/250), or pass a larger max_candidate_pairs "
+                "to proceed anyway."
+            )
+        if est > CANDIDATE_WARN_PAIRS:
+            warnings.warn(
+                f"pq_index.streaming_semdedup_transform: probe "
+                f"geometry routes ~{est:,} candidate pairs (> "
+                f"{CANDIDATE_WARN_PAIRS:,}); n_cells="
+                f"{m['n_cells']} is weakly partitioning this volume "
+                "— consider retraining with more cells",
+                stacklevel=2,
+            )
         self_cands = (
             self_probes.select("query_id", "cell")
             .join(

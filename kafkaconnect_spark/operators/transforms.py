@@ -572,6 +572,8 @@ def _build_semdedup_index(p: dict[str, str]) -> Transform:
         raise SpecError("SemDeDupIndex requires index.dir")
     if not p.get("vector.store"):
         raise SpecError("SemDeDupIndex requires vector.store (true-vector table)")
+    from kafkaconnect_spark.operators.pq_index import DEFAULT_MAX_CANDIDATE_PAIRS
+
     return streaming_semdedup_transform(
         index_dir=str(p["index.dir"]),
         vector_store=str(p["vector.store"]),
@@ -581,6 +583,9 @@ def _build_semdedup_index(p: dict[str, str]) -> Transform:
         n_probe=int(p.get("n.probe", "2")),
         rerank=int(p.get("rerank", "30")),
         append_survivors=str(p.get("append.survivors", "true")).lower() == "true",
+        max_candidate_pairs=int(
+            p.get("max.candidate.pairs", str(DEFAULT_MAX_CANDIDATE_PAIRS))
+        ),
     )
 
 

@@ -308,3 +308,61 @@ def test_streaming_semdedup_transform(spark, tmp_path):
             for r in spark.read.parquet(rep).collect()
         }
     assert (200, 12) in pairs and (300, 201) in pairs
+
+
+# ---------------------------------------------------------------------------
+# candidate-volume guard (r10 — the vector twin of hamming_index's
+# hot-pair skew line). The gate-scale no-misfire check is every OTHER
+# SMT test in this file and test_index_r8.py: they all run with the
+# default max_candidate_pairs and would fail on a spurious refusal.
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_smt_refuses_past_candidate_line(spark, tmp_path):
+    d = str(tmp_path / "pqidx")
+    store = str(tmp_path / "store.parquet")
+    corpus = _vecs(spark, range(10, 40))
+    corpus.write.parquet(store)
+    pq_index.build(corpus, d, n_cells=2, n_sub=N_SUB, n_codes=4, dim=DIM)
+    transform = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=5, max_candidate_pairs=10
+    )
+    batch = _vecs(spark, range(100, 120)).select(
+        F.struct("vec_id", "embedding").alias("value")
+    )
+    # the message must name the geometry fix, not just fail
+    with pytest.raises(ValueError, match="n_cells"):
+        transform(batch)
+    # a refused batch left no trace: nothing appended, no report dir
+    codes, m = pq_index._codes_table(spark, d)
+    assert codes.where(F.col(m["id_col"]) >= 100).count() == 0
+    import glob as _glob
+
+    assert _glob.glob(f"{d}/reports/stream-*") == []
+
+
+def test_semdedup_smt_warns_between_lines(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(pq_index, "CANDIDATE_WARN_PAIRS", 1)
+    d = str(tmp_path / "pqidx")
+    store = str(tmp_path / "store.parquet")
+    corpus = _vecs(spark, range(10, 40))
+    corpus.write.parquet(store)
+    pq_index.build(corpus, d, n_cells=2, n_sub=N_SUB, n_codes=4, dim=DIM)
+    transform = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=5
+    )
+    # two distinct near-orthogonal-to-corpus vectors (corpus vecs are
+    # all-positive or all-negative; these alternate) that are also not
+    # near-dups of each other
+    v1 = [9.0 if dd % 2 == 0 else -9.0 for dd in range(DIM)]
+    v2 = [9.0 if dd % 4 < 2 else -9.0 for dd in range(DIM)]
+    batch = spark.createDataFrame(
+        [(100, v1), (101, v2)], "vec_id long, embedding array<double>"
+    ).select(F.struct("vec_id", "embedding").alias("value"))
+    with pytest.warns(UserWarning, match="candidate pairs"):
+        out = transform(batch)
+        n = out.count()
+    # warned but PROCEEDED: both novel records survive and were appended
+    assert n == 2
+    codes, m = pq_index._codes_table(spark, d)
+    assert codes.where(F.col(m["id_col"]) >= 100).count() == 2

@@ -13,6 +13,11 @@ entries (SCALE_LADDER.json sf100_subset); this adds
                                           3-run lifecycle at the SCALE
                                           geometry (4×16-bit bands,
                                           max_hamming=3)
+  semdedup_wb_scale_geom                  the SemDeDupIndex SMT 3-run
+                                          lifecycle at the SCALE
+                                          geometry (n_cells=256, fixed
+                                          50k batch — the bounded-batch
+                                          streaming law)
 
 The catalog's streaming_fingerprint_dedup_replay is pinned at the
 8×8-bit GATE geometry, which the r10 skew enforcement REFUSES past
@@ -83,6 +88,41 @@ def fingerprint_wb_replay_scale_geom(spark, sf_dir):
     )
 
 
+def semdedup_wb_scale_geom(spark, sf_dir):
+    """The streaming_semdedup 3-run lifecycle at SCALE geometry
+    (n_cells=256) with a FIXED 50k-vector batch — the realistic
+    streaming law: batches are bounded, only the corpus grows. The
+    catalog query's batch grows WITH sf (a replay-fixture artifact,
+    not a deployment shape), which is why its gate geometry now hits
+    the r10 candidate-volume refusal at sf10 — recorded by the
+    harness as the designed boundary, with this entry as the
+    geometry a deployment would pin."""
+    from kafkaconnect_spark.operators import pq_index
+    from kafkaconnect_spark.queries_r7 import _tmp_index_dir
+    from kafkaconnect_spark.queries_r9 import _SEM_TAU, _run_transform_runs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    d = _tmp_index_dir("pq_wb_scale_")
+    standing = emb.where(F.col("vec_id") % 10 >= 3)
+    pq_index.build(standing, d, n_cells=256, n_sub=4, n_codes=8, dim=64)
+    transform = pq_index.streaming_semdedup_transform(
+        d, lambda: emb.select("vec_id", "embedding"),
+        threshold=_SEM_TAU, id_field="vec_id", vec_field="embedding",
+        n_probe=2, rerank=30,
+    )
+
+    def _batch(classes, cap=250_000):
+        return emb.where(
+            (F.col("vec_id") % 10).isin(classes) & (F.col("vec_id") < cap)
+        ).select(F.struct("vec_id", "embedding").alias("value"))
+
+    return _run_transform_runs(
+        spark, d, transform,
+        [(1, _batch([0, 2])), (2, _batch([0, 2])), (3, _batch([1, 3]))],
+        ["query_id", "neighbor_id", "cosine"],
+    )
+
+
 def main() -> int:
     skip_gen = "--skip-gen" in sys.argv
     sf10_only = "--sf10-only" in sys.argv
@@ -110,7 +150,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = CATALOG_QUERIES + ["fingerprint_wb_replay_scale_geom"]
+    names = CATALOG_QUERIES + [
+        "fingerprint_wb_replay_scale_geom",
+        "semdedup_wb_scale_geom",
+    ]
     results: dict[str, dict] = {n: {} for n in names}
     for tag, _sub, parts, passes in runs:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -132,11 +175,11 @@ def main() -> int:
                 )
                 print(f"{tag} {name}: refused-by-design", flush=True)
                 continue
-            fn = (
-                fingerprint_wb_replay_scale_geom
-                if name == "fingerprint_wb_replay_scale_geom"
-                else QUERY_CATALOG[name].fn
-            )
+            extra_fns = {
+                "fingerprint_wb_replay_scale_geom": fingerprint_wb_replay_scale_geom,
+                "semdedup_wb_scale_geom": semdedup_wb_scale_geom,
+            }
+            fn = extra_fns.get(name) or QUERY_CATALOG[name].fn
             best = float("inf")
             try:
                 for i in range(passes):
@@ -148,6 +191,18 @@ def main() -> int:
                         best = min(best, took)
                     release_cached(df)
                     spark.catalog.clearCache()
+            except ValueError as e:
+                if "max_candidate_pairs" in str(e):
+                    # the r10 candidate-volume guard firing IS the
+                    # designed boundary, not a failure — record it as
+                    # such (the fingerprint twin's treatment)
+                    results[name][f"{tag}_refused_by_design"] = str(e)[:300]
+                    print(f"{tag} {name}: refused-by-design", flush=True)
+                else:
+                    results[name][f"error_{tag}"] = f"ValueError: {e}"[:300]
+                    print(f"{tag} {name}: ERROR {e}", flush=True)
+                spark.catalog.clearCache()
+                continue
             except Exception as e:  # noqa: BLE001 -- record, keep laddering
                 results[name][f"error_{tag}"] = f"{type(e).__name__}: {e}"[:300]
                 print(f"{tag} {name}: ERROR {e}", flush=True)
