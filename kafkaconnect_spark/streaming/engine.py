@@ -322,15 +322,16 @@ class Engine:
         conv = str(cfg.get("value.converter", "JsonConverter")).rsplit(".", 1)[-1]
         if conv == "AvroConverter":
             from kafkaconnect_spark.functions.avro_wire import (
-                SchemaRegistry,
                 avro_deserialize_udf,
                 avro_schema_for,
                 avro_serialize_udf,
             )
+            from kafkaconnect_spark.functions.registry_rest import registry_for_url
 
             url = str(cfg.get("value.converter.schema.registry.url", ""))
-            reg_path = url[len("file://"):] if url.startswith("file://") else None
-            registry = SchemaRegistry(reg_path)
+            # http(s):// → Confluent REST protocol, file:// → file-backed,
+            # empty → in-memory (registry_rest.registry_for_url)
+            registry = registry_for_url(url)
             avro = avro_schema_for(value_schema, "ConnectDefault")
             sid = registry.register(f"{topic}-value", avro)
             ser_udf = avro_serialize_udf(avro, sid)
@@ -399,14 +400,11 @@ class Engine:
             return T._parse_datatype_string(str(ddl))
         conv = str(cfg.get("value.converter", "")).rsplit(".", 1)[-1]
         if conv == "AvroConverter":
-            from kafkaconnect_spark.functions.avro_wire import (
-                SchemaRegistry,
-                spark_schema_for,
-            )
+            from kafkaconnect_spark.functions.avro_wire import spark_schema_for
+            from kafkaconnect_spark.functions.registry_rest import registry_for_url
 
             url = str(cfg.get("value.converter.schema.registry.url", ""))
-            reg_path = url[len("file://"):] if url.startswith("file://") else None
-            _, avro = SchemaRegistry(reg_path).latest(f"{topics[0]}-value")
+            _, avro = registry_for_url(url).latest(f"{topics[0]}-value")
             return spark_schema_for(avro)
         sample = self.transport.read_batch(topics).where(F.col("value").isNotNull())
         rows = sample.select("value").limit(1).collect()
