@@ -480,8 +480,21 @@ def streaming_semdedup_transform(
     n_cells ≈ corpus/250 rule), and warns above
     ``CANDIDATE_WARN_PAIRS``. An undersized geometry at corpus scale
     is a quadratic straggler, not a query — the refusal enforces the
-    design rule in code instead of prose."""
+    design rule in code instead of prose.
+
+    The CORPUS histogram is cached per transform instance and
+    maintained incrementally across the transform's own appends
+    (batch-sized delta agg), rescanned only when the index generation
+    changes (external compact/retrain): a per-micro-batch full
+    codes-table scan would be minutes per batch at 10 B stored codes.
+    The cache assumes this transform is the index's only appender —
+    the engine's standing single-writer rule; tombstone-only deletes
+    by other processes keep the cached counts a valid UPPER bound."""
     import uuid as _uuid
+
+    # per-instance guard state: corpus cell histogram + the generation
+    # it was built against
+    _hist_state: dict = {"hist": None, "version": None}
 
     def _apply(records: DataFrame) -> DataFrame:
         spark = records.sparkSession
@@ -540,7 +553,10 @@ def streaming_semdedup_transform(
 
         probe_h = _cell_hist(self_probes.select("cell"))
         batch_h = _cell_hist(batch_coded.select("cell"))
-        corpus_h = _cell_hist(codes.select("cell"))
+        if _hist_state["hist"] is None or _hist_state["version"] != m["version"]:
+            _hist_state["hist"] = _cell_hist(codes.select("cell"))
+            _hist_state["version"] = m["version"]
+        corpus_h = _hist_state["hist"]
         est_self = sum(n * batch_h.get(c, 0) for c, n in probe_h.items())
         est_corpus = sum(n * corpus_h.get(c, 0) for c, n in probe_h.items())
         est = est_self + est_corpus
@@ -663,14 +679,17 @@ def streaming_semdedup_transform(
                     F.col("query_id").alias(m["id_col"])
                 )
             )
-            append(
-                spark, index_dir, None,
-                precomputed_coded=batch_coded.join(
-                    dup_b, m["id_col"], "left_anti"
-                )
+            delta = (
+                batch_coded.join(dup_b, m["id_col"], "left_anti")
                 .join(F.broadcast(pre), m["id_col"], "left_anti")
-                .join(nonempty, m["id_col"], "left_semi"),
+                .join(nonempty, m["id_col"], "left_semi")
             )
+            append(spark, index_dir, None, precomputed_coded=delta)
+            # fold the appended rows into the cached corpus histogram
+            # (batch-sized agg over the persisted coded frame) so the
+            # next batch's guard never rescans the stored codes
+            for c, n in _cell_hist(delta.select("cell")).items():
+                _hist_state["hist"][c] = _hist_state["hist"].get(c, 0) + n
         for c in (vecs, batch_coded, pre, self_probes):
             c.unpersist()
         return survivors

@@ -366,3 +366,65 @@ def test_semdedup_smt_warns_between_lines(spark, tmp_path, monkeypatch):
     assert n == 2
     codes, m = pq_index._codes_table(spark, d)
     assert codes.where(F.col(m["id_col"]) >= 100).count() == 2
+
+
+def test_guard_corpus_histogram_tracks_appends(spark, tmp_path, monkeypatch):
+    """The guard's cached corpus histogram must (a) grow with the
+    transform's OWN appends without rescanning, (b) not grow on
+    batches that append nothing, and (c) agree with a fresh
+    instance's rescan — the per-batch full codes scan it replaces
+    would be minutes per micro-batch at 10 B stored codes. The est is
+    read back from the warning message (warn line pinned below 0)."""
+    import re
+    import warnings as _w
+
+    monkeypatch.setattr(pq_index, "CANDIDATE_WARN_PAIRS", -1)
+
+    def est_of(transform, batch):
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            transform(batch).count()
+        msgs = [str(c.message) for c in caught
+                if "candidate pairs" in str(c.message)]
+        assert msgs, "guard warning must fire with the line at -1"
+        return int(re.search(r"routes ~([\d,]+) candidate", msgs[0])
+                   .group(1).replace(",", ""))
+
+    d = str(tmp_path / "pqidx")
+    store = str(tmp_path / "store.parquet")
+    corpus = _vecs(spark, range(10, 40))  # 30 vectors
+    corpus.write.parquet(store)
+    pq_index.build(corpus, d, n_cells=2, n_sub=N_SUB, n_codes=4, dim=DIM)
+
+    alt = [9.0 if dd % 2 == 0 else -9.0 for dd in range(DIM)]
+
+    def batch(ids):
+        # near-orthogonal to the whole corpus (alternating signs) →
+        # novel; identical EMBEDDINGS across calls → identical probe
+        # and batch histograms, so est differences isolate the CORPUS
+        # term
+        return spark.createDataFrame(
+            [(i, alt) for i in ids], "vec_id long, embedding array<double>"
+        ).select(F.struct("vec_id", "embedding").alias("value"))
+
+    t = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=64
+    )
+    est1 = est_of(t, batch([100]))        # corpus 30 → id 100 appends
+    # the surrounding pipeline appends survivors to the vector store
+    # (the SMT contract) — without it, 100's twins could never confirm
+    # a drop on the exact re-rank and would keep appending
+    spark.createDataFrame(
+        [(100, alt)], "vec_id long, embedding array<double>"
+    ).write.mode("append").parquet(store)
+    est2 = est_of(t, batch([200]))        # vs corpus 31: cache grew
+    assert est2 > est1
+    # 200 was a hamming-0 twin of the now-indexed 100 → dropped, no
+    # append → the cached histogram must NOT have grown
+    est3 = est_of(t, batch([300]))
+    assert est3 == est2
+    # a fresh instance rescans — and must agree with the incremental
+    t2 = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=64
+    )
+    assert est_of(t2, batch([400])) == est3
