@@ -584,41 +584,44 @@ def streaming_semdedup_transform(
                 "— consider retraining with more cells",
                 stacklevel=2,
             )
-        self_cands = (
-            self_probes.select("query_id", "cell")
-            .join(
-                batch_coded.select(
-                    F.col(m["id_col"]).alias("neighbor_id"), "cell"
-                ),
-                "cell",
-            )
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
-        )
-        vq = vecs.select(
-            F.col("query_id"),
-            F.col(m["vec_col"]).alias("__vq"),
-            l2_norm(F.col(m["vec_col"])).alias("__nq"),
-        )
+        # within-batch pair verify INSIDE the cell join (r10b): the
+        # probes frame already carries (__qvec, __nq), so each
+        # candidate is scored map-side as it streams out of the join.
+        # The earlier shape materialized the candidate set three MORE
+        # times — a pre-scoring distinct plus two joins to re-attach
+        # vectors, each an exchange of the FULL candidate volume with
+        # 64-dim arrays aboard; at the 1.8e9-pair boundary case those
+        # exchanges, not the scoring, dominated the measured 35-minute
+        # wall. Now only batch-sized inputs shuffle; the threshold
+        # filter collapses the stream before the tiny distinct (a pair
+        # colliding via both probe cells scores identically, so
+        # distinct on the scored row is exact — the old plan's
+        # pre-scoring distinct saw the same one row per pair).
         vn = vecs.select(
             F.col("query_id").alias("neighbor_id"),
             F.col(m["vec_col"]).alias("__vn"),
             l2_norm(F.col(m["vec_col"])).alias("__nn"),
         )
         self_pairs = (
-            self_cands.join(vq, "query_id")
-            .join(vn, "neighbor_id")
+            self_probes.select("query_id", "cell", "__qvec", "__nq")
+            .join(
+                batch_coded.select(
+                    F.col(m["id_col"]).alias("neighbor_id"), "cell"
+                ).join(vn, "neighbor_id"),
+                "cell",
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
             .select(
                 "query_id",
                 "neighbor_id",
                 F.round(
-                    dot(F.col("__vq"), F.col("__vn"))
+                    dot(F.col("__qvec"), F.col("__vn"))
                     / (F.col("__nq") * F.col("__nn")),
                     6,
                 ).alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
+            .distinct()
         )
         self_drops = _winner_rule_drops(self_pairs, pre, "query_id", "neighbor_id")
         self_drop_ids = F.broadcast(self_drops.select("query_id").distinct())
