@@ -54,7 +54,11 @@ CATALOG_QUERIES = [
     "embedding_pq_index_retrain",
     "dedup_span_removal",
 ]
-RUNS = [("sf10", "gen_sf10", 128, 2), ("sf100", "gen_sf100", 256, 1)]
+# one timed pass per sf (r10b: the sf10 warm-pass protocol was dropped
+# — the gate-geometry semdedup entry alone grinds ~1.8e9 candidate
+# pairs per pass, and a single cold pass is the same protocol sf100
+# uses, so the ratio stays like-for-like)
+RUNS = [("sf10", "gen_sf10", 128, 1), ("sf100", "gen_sf100", 256, 1)]
 
 
 def fingerprint_wb_replay_scale_geom(spark, sf_dir):
