@@ -551,8 +551,21 @@ def streaming_semdedup_transform(
                 .collect()
             }
 
-        probe_h = _cell_hist(self_probes.select("cell"))
-        batch_h = _cell_hist(batch_coded.select("cell"))
+        # probe + batch histograms in ONE job (both parents are
+        # persisted; the union scan reads their caches) — each extra
+        # per-batch job is fixed scheduler overhead a 3-batch replay
+        # pays three times
+        sides = (
+            self_probes.select(F.lit("p").alias("__side"), "cell")
+            .unionByName(
+                batch_coded.select(F.lit("b").alias("__side"), "cell")
+            )
+            .groupBy("__side", "cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        probe_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "p"}
+        batch_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "b"}
         if _hist_state["hist"] is None or _hist_state["version"] != m["version"]:
             _hist_state["hist"] = _cell_hist(codes.select("cell"))
             _hist_state["version"] = m["version"]
@@ -682,17 +695,20 @@ def streaming_semdedup_transform(
                     F.col("query_id").alias(m["id_col"])
                 )
             )
+            # persisted so the anti-join chain runs ONCE for the two
+            # consumers (the append write and the histogram fold)
             delta = (
                 batch_coded.join(dup_b, m["id_col"], "left_anti")
                 .join(F.broadcast(pre), m["id_col"], "left_anti")
                 .join(nonempty, m["id_col"], "left_semi")
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             append(spark, index_dir, None, precomputed_coded=delta)
             # fold the appended rows into the cached corpus histogram
-            # (batch-sized agg over the persisted coded frame) so the
-            # next batch's guard never rescans the stored codes
+            # (batch-sized agg over the persisted frame) so the next
+            # batch's guard never rescans the stored codes
             for c, n in _cell_hist(delta.select("cell")).items():
                 _hist_state["hist"][c] = _hist_state["hist"].get(c, 0) + n
+            delta.unpersist()
         for c in (vecs, batch_coded, pre, self_probes):
             c.unpersist()
         return survivors
