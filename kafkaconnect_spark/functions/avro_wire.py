@@ -388,6 +388,16 @@ class SchemaRegistry:
         sid = self._data["subjects"][subject][-1]
         return sid, self.get_by_id(sid)
 
+    def latest_version(self, subject: str) -> int:
+        """Version NUMBER (1-based count) of the subject's latest schema
+        — the REST protocol's ``version`` field; public so the REST
+        server never reaches into ``_data`` (r10 ADVICE)."""
+        return len(self._data["subjects"][subject])
+
+    def global_compatibility(self) -> str:
+        """The registry-wide compatibility mode (GET /config)."""
+        return self._data["global_compat"]
+
     def subjects(self) -> list[str]:
         return sorted(self._data["subjects"])
 

@@ -57,6 +57,12 @@ class RestSchemaRegistryClient:
     def __init__(self, base_url: str, timeout: float = 10.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        # schema ids are immutable once assigned in the Confluent
+        # protocol, so id→schema memoizes safely — without it every
+        # decode_message(registry_lookup=get_by_id) pays an HTTP round
+        # trip per record batch (real Confluent deserializers cache
+        # identically)
+        self._id_cache: dict[int, dict] = {}
 
     # -- transport ------------------------------------------------------
     def _call(self, method: str, path: str, body: dict | None = None) -> Any:
@@ -105,8 +111,13 @@ class RestSchemaRegistryClient:
         return int(out["id"])
 
     def get_by_id(self, schema_id: int) -> dict:
+        cached = self._id_cache.get(schema_id)
+        if cached is not None:
+            return cached
         out = self._call("GET", f"/schemas/ids/{schema_id}")
-        return json.loads(out["schema"])
+        schema = json.loads(out["schema"])
+        self._id_cache[schema_id] = schema
+        return schema
 
     def latest(self, subject: str) -> tuple[int, dict]:
         out = self._call("GET", f"/subjects/{subject}/versions/latest")
@@ -119,11 +130,27 @@ class RestSchemaRegistryClient:
 def registry_for_url(url: str):
     """The ``value.converter.schema.registry.url`` factory:
     ``http(s)://`` → :class:`RestSchemaRegistryClient`, ``file://<path>``
-    → file-backed :class:`SchemaRegistry`, empty → in-memory."""
+    → file-backed :class:`SchemaRegistry`, empty → in-memory.
+
+    A comma-separated list — the standard Kafka Connect multi-URL form
+    — resolves to its FIRST URL (the client holds one base; failover
+    across the list is the real client's transport concern). Any other
+    non-empty value (bare host:port, a typo'd scheme like ``htp://``)
+    raises instead of silently handing back an ephemeral in-memory
+    registry whose registrations would vanish across restarts
+    (r10 ADVICE #1)."""
+    if "," in url:
+        url = url.split(",", 1)[0].strip()
     if url.startswith(("http://", "https://")):
         return RestSchemaRegistryClient(url)
     if url.startswith("file://"):
         return SchemaRegistry(url[len("file://"):])
+    if url:
+        raise ValueError(
+            f"unrecognized schema.registry.url {url!r}: expected "
+            "http(s):// (REST registry), file://<path> (file-backed), "
+            "or empty (in-memory)"
+        )
     return SchemaRegistry(None)
 
 
@@ -160,28 +187,37 @@ def serve_registry(registry: SchemaRegistry, host: str = "127.0.0.1",
             path = self.path.split("?")[0].rstrip("/")
             parts = [p for p in path.split("/") if p]
             try:
+                # reads take the same lock that serializes POST/PUT:
+                # under ThreadingHTTPServer a GET racing a register
+                # could otherwise observe a torn subject/version view
+                # (r10 ADVICE #2)
                 if parts == ["subjects"]:
-                    self._send(200, registry.subjects())
+                    with lock:
+                        out = registry.subjects()
+                    self._send(200, out)
                 elif (len(parts) == 4 and parts[0] == "subjects"
                         and parts[2] == "versions" and parts[3] == "latest"):
-                    sid, schema = registry.latest(parts[1])
-                    versions = registry._data["subjects"][parts[1]]
+                    with lock:
+                        sid, schema = registry.latest(parts[1])
+                        version = registry.latest_version(parts[1])
                     self._send(200, {
                         "subject": parts[1],
                         "id": sid,
-                        "version": len(versions),
+                        "version": version,
                         "schema": json.dumps(
                             schema, sort_keys=True, separators=(",", ":")
                         ),
                     })
                 elif len(parts) == 3 and parts[:2] == ["schemas", "ids"]:
-                    schema = registry.get_by_id(int(parts[2]))
+                    with lock:
+                        schema = registry.get_by_id(int(parts[2]))
                     self._send(200, {"schema": json.dumps(
                         schema, sort_keys=True, separators=(",", ":"))})
                 elif parts[:1] == ["config"]:
                     subject = parts[1] if len(parts) > 1 else None
-                    level = (registry.compatibility(subject) if subject
-                             else registry._data["global_compat"])
+                    with lock:
+                        level = (registry.compatibility(subject) if subject
+                                 else registry.global_compatibility())
                     self._send(200, {"compatibilityLevel": level})
                 else:
                     self._err(404, 404, f"unknown resource {path}")

@@ -90,6 +90,18 @@ from kafkaconnect_spark.operators.index_base import (
     snapshot_tombstones,
 )
 
+from kafkaconnect_spark.operators.similarity import (
+    _adc_rerank,
+    _infer_dim,
+    _ivf_sql,
+    _lloyd_centroids,
+    _lloyd_subspace_books,
+    _pq_codebooks,
+    _pq_probes,
+    _pq_sub_argmin,
+    _with_norms,
+)
+
 # generation directories retention GC sweeps for this index
 _PQ_TABLES = ("codes", "tombstones")
 
@@ -104,17 +116,6 @@ _PQ_TABLES = ("codes", "tombstones")
 # (SemDeDup's cell-size rule, n_cells ≈ corpus/250 — semdedup_prune).
 DEFAULT_MAX_CANDIDATE_PAIRS = 2_000_000_000
 CANDIDATE_WARN_PAIRS = 10_000_000
-from kafkaconnect_spark.operators.similarity import (
-    _adc_rerank,
-    _infer_dim,
-    _ivf_sql,
-    _lloyd_centroids,
-    _lloyd_subspace_books,
-    _pq_codebooks,
-    _pq_probes,
-    _pq_sub_argmin,
-    _with_norms,
-)
 
 # test seam (tests/test_pq_index.py): as in lsh_index.compact — runs
 # after compact's tombstone snapshot to simulate a lock-bypassing
@@ -702,12 +703,22 @@ def streaming_semdedup_transform(
                 .join(F.broadcast(pre), m["id_col"], "left_anti")
                 .join(nonempty, m["id_col"], "left_semi")
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            append(spark, index_dir, None, precomputed_coded=delta)
-            # fold the appended rows into the cached corpus histogram
-            # (batch-sized agg over the persisted frame) so the next
-            # batch's guard never rescans the stored codes
-            for c, n in _cell_hist(delta.select("cell")).items():
-                _hist_state["hist"][c] = _hist_state["hist"].get(c, 0) + n
+            try:
+                append(spark, index_dir, None, precomputed_coded=delta)
+                # fold the appended rows into the cached corpus
+                # histogram (batch-sized agg over the persisted frame)
+                # so the next batch's guard never rescans the stored
+                # codes
+                for c, n in _cell_hist(delta.select("cell")).items():
+                    _hist_state["hist"][c] = _hist_state["hist"].get(c, 0) + n
+            except BaseException:
+                # if append raised AFTER its staged move committed (or
+                # the caller retries this transform instance), a stale
+                # histogram would UNDERCOUNT the stored codes and void
+                # the guard's upper-bound property — drop the cache so
+                # the next batch rescans (r10 ADVICE #4)
+                _hist_state["hist"] = None
+                raise
             delta.unpersist()
         for c in (vecs, batch_coded, pre, self_probes):
             c.unpersist()
