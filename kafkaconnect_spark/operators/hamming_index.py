@@ -85,6 +85,17 @@ Routing is a pure PERFORMANCE decision — both paths are exact — so
 stale or approximate hotness never affects results. match() still
 never pins its candidate set to a broadcast, so a density blowup
 degrades into a shuffle, not a driver OOM.
+
+r11 sizing: the routed machinery (distinct-hash compression, the est
+job, salted exchanges, the two-path union-distinct) exists for the
+10⁹-pair regime; on gate-scale corpora whose hot mass is a few
+single-task seconds it was pure fixed overhead (~+25 s across the
+r10 bench's fingerprint family). match() now measures the hot values'
+id-level pair mass in its ONE histogram job and engages the routed
+path only past ``hot_route_min_pairs`` (default = the warn line);
+under it the hot values ride the ordinary equi-join, whose volume the
+same measurement just bounded. The guard therefore stays live on
+every match — only the remedy is sized to the measured disease.
 """
 
 from __future__ import annotations
@@ -286,36 +297,48 @@ def match(
     exclude_ids: DataFrame | None = None,
     hot_df_cap: int | None = DEFAULT_HOT_DF_CAP,
     max_hot_pairs: int = DEFAULT_MAX_HOT_PAIRS,
+    hot_route_min_pairs: int = SKEW_WARN_PAIRS,
 ) -> DataFrame:
     """Read-only near-dup fingerprint pairs (id_new, id_corpus,
     hamming ≤ max_hamming) of a batch against the CURRENT generation.
     Tombstoned — and ``exclude_ids`` — corpus ids never become
     candidates.
 
-    Plan shape (the r10 hot-value routing, see the module docstring):
-    band the batch (narrow), measure the corpus band-value histogram
-    restricted to the batch's values, then
+    Plan shape (the r10 hot-value routing, sized r11 — see the module
+    docstring): band the batch (narrow), then ONE union-tagged
+    map-side-combined histogram measures, per band value the batch
+    touches, both the corpus df and the batch multiplicity. From it:
 
-      COLD values (corpus df ≤ hot_df_cap): banded equi-join against
-      the band_bucket-pruned stored band table — candidates provably
-      ≤ bands × hot_df_cap × n_batch — then the exact two-half XOR
+      NO hot values (every corpus df ≤ hot_df_cap), or hot values
+      whose id-level pair mass Σ df_corpus × df_batch is under
+      ``hot_route_min_pairs``: the single banded equi-join plan —
+      candidates provably ≤ bands × hot_df_cap × n_batch plus the
+      measured (bounded) hot mass, then the exact two-half XOR
       popcount verify against the hash table pruned to the
-      candidates' buckets.
+      candidates' buckets. Below the route line the distinct-hash
+      compression and the salted spread cannot pay for their own
+      exchanges (r10's bench measured the machinery at ~+25 s across
+      the gate-scale fingerprint family), so the guard stays LIVE —
+      measured every match — but routes nothing.
 
-      HOT values: DISTINCT batch hashes × DISTINCT corpus hashes per
-      value, Hamming-verified at the hash level, then expanded back
-      to id pairs (sized by the true result). Exact — a pair whose
-      every shared band value is hot has its hash pair in one of
-      those joins, and a pair with any cold shared value is found by
-      the cold path. The hot corpus side joins the UNPRUNED hash
-      table (hot groups span buckets by construction; the scan is
-      linear and column-pruned).
+      HOT values past the route line: DISTINCT batch hashes ×
+      DISTINCT corpus hashes per value, Hamming-verified at the hash
+      level, then expanded back to id pairs (sized by the true
+      result). Exact — a pair whose every shared band value is hot
+      has its hash pair in one of those joins, and a pair with any
+      cold shared value is found by the cold path. The hot corpus
+      side joins the UNPRUNED hash table (hot groups span buckets by
+      construction; the scan is linear and column-pruned). The salted
+      spread is sized to the measured distinct-hash volume.
 
     Raises when the distinct-hash volume exceeds ``max_hot_pairs`` —
     fingerprints that cannot discriminate on this corpus belong to
     the MinHash index; raising the cap is the caller's explicit
-    opt-in. ``hot_df_cap=None`` disables routing (the pure-equi-join
-    r9 plan)."""
+    opt-in (or spec `fallback.index=minhash` to reroute through the
+    MinHash index). ``hot_df_cap=None`` disables the guard entirely
+    (the pure-equi-join r9 plan, unmeasured); ``hot_route_min_pairs=0``
+    forces routing whenever any value is hot (the tests' exactness
+    A/B)."""
     import warnings
 
     from pyspark import StorageLevel
@@ -358,20 +381,35 @@ def match(
             exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct()
         )
         idx_b = idx_b.join(excl, id_col, "left_anti")
-    # -- band-value histogram, batch-restricted: the routing + skew
-    # guard. One map-side-combined agg over the pruned band table;
-    # output ≤ the batch's distinct band values, and hot rows further
-    # ≤ corpus_band_rows / cap — batch-bounded, collectible.
+    # -- band-value histogram: the routing + skew guard. ONE union-
+    # tagged map-side-combined agg measures corpus df AND batch
+    # multiplicity per value (the r10 shape ran a batch-vals distinct
+    # + semi-join instead — an extra exchange per match); group count
+    # is bounded by the geometry's band-value space, the collect by
+    # the batch's distinct values.
     hot_rows = []
     if hot_df_cap is not None:
-        batch_vals = b_new.select("band", "band_val").distinct()
-        hot_rows = (
-            idx_b.join(F.broadcast(batch_vals), ["band", "band_val"], "left_semi")
+        hist = (
+            idx_b.select(F.lit("c").alias("__side"), "band", "band_val")
+            .unionByName(
+                b_new.select(F.lit("b").alias("__side"), "band", "band_val")
+            )
             .groupBy("band", "band_val")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > hot_df_cap)
+            .agg(
+                F.count(F.when(F.col("__side") == "c", 1)).alias("dfc"),
+                F.count(F.when(F.col("__side") == "b", 1)).alias("dfb"),
+            )
+            .where((F.col("dfb") > 0) & (F.col("dfc") > hot_df_cap))
             .collect()
         )
+        # id-level pair mass of the hot values: an upper bound on what
+        # the single-plan equi-join would stream through them. Under
+        # the route line the machinery costs more than the mass —
+        # leave the hot values in the equi-join (still measured; the
+        # plan is the bounded one either way).
+        est0 = sum(r["dfc"] * r["dfb"] for r in hist)
+        if est0 > hot_route_min_pairs:
+            hot_rows = hist
     if hot_rows:
         hot_vals = F.broadcast(
             spark.createDataFrame(

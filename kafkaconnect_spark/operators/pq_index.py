@@ -153,9 +153,20 @@ def _code_cols(books: list, d: int, n_sub: int, vec_col: str) -> list:
 def _coded(
     vecs: DataFrame, cents, books, d: int, n_sub: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, cell, code_*) — one narrow map stage over the vectors: the
-    coarse-cell argmax and per-subspace code argmins are folded
-    literal expressions; nothing shuffles."""
+    """(id, cell, code_*) — one narrow map stage over the vectors.
+
+    At gate geometry (n_cells ≤ 64) the coarse-cell argmax and
+    per-subspace code argmins are folded literal expressions. Past the
+    folded-literal ceiling the SAME values come from the Arrow/numpy
+    kernel (operators/veccode.py — the r10 `weak`'s fix: the HOF fold
+    interpreted at ~40 ms/row at n_cells=256 and the unrolled form
+    exceeds janino's 64 KB method limit, so large-cell coding runs
+    vectorized; bit-exact equality is pinned in tests/test_veccode.py).
+    Either way: narrow, nothing shuffles."""
+    from kafkaconnect_spark.operators import veccode
+
+    if veccode.use_np(len(cents)):
+        return veccode.coded_np(vecs, cents, books, d, n_sub, id_col, vec_col)
     norm_sql, cell_scores_sql = _ivf_sql(cents)
     return vecs.select(
         F.col(id_col), F.col(vec_col), F.expr(norm_sql(vec_col)).alias("__nv")
@@ -163,6 +174,26 @@ def _coded(
         F.col(id_col),
         F.expr(f"array_max({cell_scores_sql(vec_col)}).cent_id").alias("cell"),
         *_code_cols(books, d, n_sub, vec_col),
+    )
+
+
+def _probes(
+    queries: DataFrame, cents, books, d: int, n_probe: int,
+    query_id_col: str, vec_col: str,
+) -> DataFrame:
+    """(query_id, __qvec, __nq, __lut, cell) per probed cell — the
+    folded-literal `_pq_probes` at gate geometry, the numpy kernel
+    past the ceiling (same dispatch + exactness contract as _coded)."""
+    from kafkaconnect_spark.operators import veccode
+
+    if veccode.use_np(len(cents)):
+        return veccode.probes_np(
+            queries, cents, books, d, n_probe, query_id_col, vec_col
+        )
+    norm_sql, cell_scores_sql = _ivf_sql(cents)
+    return _pq_probes(
+        queries, books, d, n_probe, norm_sql, cell_scores_sql,
+        query_id_col, vec_col,
     )
 
 
@@ -286,7 +317,7 @@ def match(
     codes, m = _codes_table(spark, index_dir)
     cents, books, d = _quantizers(m)
     id_col, vec_col, n_sub = m["id_col"], m["vec_col"], m["n_sub"]
-    norm_sql, cell_scores_sql = _ivf_sql(cents)
+    norm_sql, _ = _ivf_sql(cents)
     # precomputed_probes: a caller-persisted probes frame for these
     # queries (the streaming SMT computes probes once for its
     # within-batch step and reuses them here filtered to survivors —
@@ -296,9 +327,8 @@ def match(
         probes = precomputed_probes
         own_cache = []
     else:
-        probes = _pq_probes(
-            queries, books, d, n_probe, norm_sql, cell_scores_sql,
-            query_id_col, vec_col,
+        probes = _probes(
+            queries, cents, books, d, n_probe, query_id_col, vec_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
         own_cache = [probes]
     # the probed-cell set is bounded by n_cells (a manifest constant) —
@@ -524,16 +554,12 @@ def streaming_semdedup_transform(
         )
         # -- step 1: within-batch self-dedup (probe geometry + exact
         # cosine over the batch's own vectors; batch-bounded) --
-        norm_sql, cell_scores_sql = _ivf_sql(cents)
-        from kafkaconnect_spark.operators.similarity import _pq_probes
-
         # probes computed ONCE per micro-batch: the within-batch join
         # below and the corpus match (id-filtered to survivors) share
         # this persisted frame — before r9+ the corpus match re-ran the
         # full probe pipeline per batch
-        self_probes = _pq_probes(
-            vecs, books, d, n_probe, norm_sql, cell_scores_sql,
-            "query_id", m["vec_col"],
+        self_probes = _probes(
+            vecs, cents, books, d, n_probe, "query_id", m["vec_col"]
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # -- candidate-volume guard (r10, the hamming skew-line twin):
         # estimate the batch's candidate pairs from three per-cell

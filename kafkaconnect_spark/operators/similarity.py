@@ -644,7 +644,16 @@ def kmeans_lloyd(
 def _lloyd_assign(df: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
     """+cell column = squared-Euclidean argmin over folded centroid
     literals: struct ordering (negdist desc, negidx desc) ==
-    (dist asc, idx asc) — narrow, no shuffle."""
+    (dist asc, idx asc) — narrow, no shuffle. Past the folded-literal
+    ceiling (n_cells > 64 — interpreted-HOF wall + janino 64 KB limit,
+    COVERAGE r10) the identical assignment comes from the Arrow/numpy
+    kernel (veccode.lloyd_assign_np, bit-exactness pinned in
+    tests/test_veccode.py) — what lets retrain() rotate an index to
+    SemDeDup's n_cells ≈ corpus/250 rule at scale."""
+    from kafkaconnect_spark.operators import veccode
+
+    if veccode.use_np(len(cents)):
+        return veccode.lloyd_assign_np(df, cents, vec_col)
     structs = ",".join(
         "named_struct('negdist', -round({dist}, 6), 'negidx', {neg})".format(
             neg=-i,

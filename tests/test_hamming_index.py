@@ -183,13 +183,19 @@ def test_hot_routing_is_exact_vs_brute_force(spark, tmp_path):
     hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=8,
                         max_hamming=4)
     want = _brute_pairs(batch, corpus, 4)
-    for cap in (2, None):
-        res = hamming_index.match(
-            spark, d, _hashes(spark, batch), hot_df_cap=cap
-        )
+    # hot_route_min_pairs=0 FORCES the routed (distinct-hash, salted)
+    # path whenever a value is hot; the default route line leaves this
+    # gate-scale hot mass in the single equi-join plan; None disables
+    # the guard — all three must equal brute force
+    for kw in (
+        {"hot_df_cap": 2, "hot_route_min_pairs": 0},
+        {"hot_df_cap": 2},
+        {"hot_df_cap": None},
+    ):
+        res = hamming_index.match(spark, d, _hashes(spark, batch), **kw)
         got = {(r.id_new, r.id_corpus, r.hamming) for r in res.collect()}
         release_cached(res)
-        assert got == want, f"hot_df_cap={cap}"
+        assert got == want, f"{kw}"
     assert want  # the fixture must actually exercise pairs
 
 
@@ -204,7 +210,7 @@ def test_hot_routing_pairs_found_only_via_hot_values(spark, tmp_path):
     hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=8,
                         max_hamming=4)
     res = hamming_index.match(
-        spark, d, _hashes(spark, batch), hot_df_cap=4
+        spark, d, _hashes(spark, batch), hot_df_cap=4, hot_route_min_pairs=0
     )
     got = {(r.id_new, r.id_corpus, r.hamming) for r in res.collect()}
     release_cached(res)
@@ -220,7 +226,8 @@ def test_match_refuses_past_the_skew_line(spark, tmp_path):
                         max_hamming=4)
     with pytest.raises(ValueError, match="MinHash"):
         hamming_index.match(
-            spark, d, _hashes(spark, batch), hot_df_cap=2, max_hot_pairs=1
+            spark, d, _hashes(spark, batch), hot_df_cap=2, max_hot_pairs=1,
+            hot_route_min_pairs=0,
         )
 
 
