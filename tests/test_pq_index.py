@@ -428,3 +428,82 @@ def test_guard_corpus_histogram_tracks_appends(spark, tmp_path, monkeypatch):
         d, store, threshold=0.999, n_probe=2, rerank=64
     )
     assert est_of(t2, batch([400])) == est3
+
+
+def test_guard_histogram_rescans_on_external_generation_bump(
+    spark, tmp_path, monkeypatch
+):
+    """The guard cache's invalidation contract (r10 docstring, now a
+    test): the cached corpus histogram is trusted only while the index
+    GENERATION it was built against is current. A concurrent external
+    compact or retrain commits generation v+1 — physically dropping
+    tombstoned codes, or renumbering every cell — and the next batch
+    MUST rescan instead of trusting the stale counts. Removing the
+    ``_hist_state["version"] != m["version"]`` check makes both
+    halves of this test fail: the post-compact est would still count
+    the erased codes, and the post-retrain est would price new cell
+    ids against the old geometry's histogram."""
+    import re
+    import warnings as _w
+
+    monkeypatch.setattr(pq_index, "CANDIDATE_WARN_PAIRS", -1)
+
+    def est_of(transform, batch):
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            transform(batch).count()
+        msgs = [str(c.message) for c in caught
+                if "candidate pairs" in str(c.message)]
+        assert msgs, "guard warning must fire with the line at -1"
+        return int(re.search(r"routes ~([\d,]+) candidate", msgs[0])
+                   .group(1).replace(",", ""))
+
+    d = str(tmp_path / "pqidx")
+    store = str(tmp_path / "store.parquet")
+    corpus = _vecs(spark, range(10, 40))  # 30 vectors
+    corpus.write.parquet(store)
+    pq_index.build(corpus, d, n_cells=2, n_sub=N_SUB, n_codes=4, dim=DIM)
+
+    alt = [9.0 if dd % 2 == 0 else -9.0 for dd in range(DIM)]
+
+    def batch(ids):
+        # identical embeddings across calls → identical probe/batch
+        # histograms, so est differences isolate the CORPUS term
+        # (same construction as the tracks-appends test above)
+        return spark.createDataFrame(
+            [(i, alt) for i in ids], "vec_id long, embedding array<double>"
+        ).select(F.struct("vec_id", "embedding").alias("value"))
+
+    t = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=64
+    )
+    est1 = est_of(t, batch([100]))  # caches the v1 histogram; 100 appends
+    spark.createDataFrame(
+        [(100, alt)], "vec_id long, embedding array<double>"
+    ).write.mode("append").parquet(store)
+
+    # -- external writer: erase a third of the corpus and compact with
+    # keep_generations=0 → generation bump, codes physically gone --
+    pq_index.delete(spark, d, list(range(10, 20)))
+    pq_index.compact(spark, d, keep_generations=0)
+
+    # 200 is a twin of indexed 100 → dropped, nothing appended: the
+    # est must reflect the RESCANNED post-compact corpus (21 codes),
+    # i.e. agree exactly with a fresh instance's cold scan — and sit
+    # strictly below the stale pre-compact count's pricing
+    est2 = est_of(t, batch([200]))
+    t_fresh = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=64
+    )
+    assert est2 == est_of(t_fresh, batch([300]))
+    assert est2 < est1
+
+    # -- external retrain to a different geometry: cells renumbered,
+    # manifest version bumps again; the cached (old-geometry) counts
+    # are semantically meaningless and must be dropped --
+    pq_index.retrain(spark, d, spark.read.parquet(store), n_cells=4)
+    est3 = est_of(t, batch([400]))
+    t_fresh2 = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=64
+    )
+    assert est3 == est_of(t_fresh2, batch([500]))
