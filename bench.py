@@ -205,6 +205,11 @@ HEADLINE = [
     "index_retention_audit",
     "streaming_fingerprint_dedup_replay",
     "embedding_pq_retention_audit",
+    # r10: the third retention audit + corpus-wide span removal
+    "fingerprint_retention_audit",
+    "dedup_span_removal",
+    # r11: the executable refusal fallback (hamming refusal → MinHash)
+    "streaming_fingerprint_fallback_minhash",
 ]
 
 

@@ -881,6 +881,53 @@ def retrain(
         }
 
 
+def retrain_to_rule(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    cell_size: int = 250,
+    train_rounds: int | None = None,
+    n_codes: int | None = None,
+    n_buckets: int = 8,
+    keep_generations: int = 1,
+) -> dict:
+    """The candidate-volume guard's named fix, executable (r11):
+    SemDeDup's cell-size rule ``n_cells ≈ corpus / 250`` sized from
+    the CURRENT membership (stored code ids minus tombstones), then a
+    plain :func:`retrain` at that geometry. The refusal message tells
+    the operator to "retrain with n_cells scaled to the corpus" —
+    this helper is that sentence as a function call, so the escape
+    hatch is one line instead of a by-hand membership count.
+
+    ``cell_size`` is the target vectors-per-cell (250 from the
+    SemDeDup paper's clustering regime); n_cells is clamped to ≥ 1
+    and to the membership (never more cells than vectors). Returns
+    retrain's result dict plus the chosen ``n_cells`` and the
+    membership count it was derived from."""
+    import math
+
+    codes, m = _codes_table(spark, index_dir)
+    id_col = m["id_col"]
+    tomb_dir = _table_path(index_dir, "tombstones", m["version"])
+    tomb = _maybe_broadcast_tombstones(
+        spark.read.parquet(tomb_dir), tomb_dir
+    )
+    membership = (
+        codes.select(id_col)
+        .distinct()
+        .join(tomb, id_col, "left_anti")
+        .count()
+    )
+    n_cells = max(1, min(membership, math.ceil(membership / cell_size)))
+    out = retrain(
+        spark, index_dir, vectors,
+        train_rounds=train_rounds, n_cells=n_cells, n_codes=n_codes,
+        n_buckets=n_buckets, keep_generations=keep_generations,
+    )
+    out.update({"n_cells": n_cells, "membership": membership})
+    return out
+
+
 def compact(
     spark: SparkSession,
     index_dir: str,

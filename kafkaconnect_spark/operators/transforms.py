@@ -606,7 +606,29 @@ def _build_fingerprint_dedup_index(p: dict[str, str]) -> Transform:
             "FingerprintDedupIndex requires exactly one of "
             "hash.field / text.field"
         )
+    fb = p.get("fallback.index")
+    if fb is not None and str(fb).lower() != "minhash":
+        raise SpecError(
+            f"FingerprintDedupIndex fallback.index={fb!r} unsupported; "
+            "the only wired fallback is 'minhash' (an lsh_index dir "
+            "in fallback.index.dir)"
+        )
+    if fb is not None and not p.get("fallback.index.dir"):
+        raise SpecError(
+            "FingerprintDedupIndex fallback.index=minhash requires "
+            "fallback.index.dir"
+        )
     mh = p.get("max.hamming")
+    kw: dict = {}
+    if "hot.df.cap" in p:
+        cap = p["hot.df.cap"]
+        kw["hot_df_cap"] = (
+            None if str(cap).lower() in ("none", "") else int(cap)
+        )
+    if "max.hot.pairs" in p:
+        kw["max_hot_pairs"] = int(p["max.hot.pairs"])
+    if "hot.route.min.pairs" in p:
+        kw["hot_route_min_pairs"] = int(p["hot.route.min.pairs"])
     return streaming_fingerprint_dedup_transform(
         index_dir=str(p["index.dir"]),
         id_field=p.get("id.field", "doc_id"),
@@ -614,6 +636,10 @@ def _build_fingerprint_dedup_index(p: dict[str, str]) -> Transform:
         text_field=p.get("text.field"),
         max_hamming=int(mh) if mh is not None else None,
         append_survivors=str(p.get("append.survivors", "true")).lower() == "true",
+        fallback_index_dir=(
+            str(p["fallback.index.dir"]) if fb is not None else None
+        ),
+        **kw,
     )
 
 

@@ -3669,3 +3669,7 @@ _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R9.items()})
 from kafkaconnect_spark.queries_r10 import R10_CATALOG as _R10  # noqa: E402
 
 _merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R10.items()})
+
+from kafkaconnect_spark.queries_r11 import R11_CATALOG as _R11  # noqa: E402
+
+_merge({k: QueryDef(fn, sql) for k, (fn, sql) in _R11.items()})

@@ -179,3 +179,173 @@ def test_text_mode_requires_a_64_bit_index(spark, tmp_path):
     ).select(F.struct("doc_id", "text").alias("value"))
     with pytest.raises(ValueError, match="bits=32"):
         t(recs)
+
+
+# ---------------------------------------------------------------------------
+# r11: refusal fallback — the escape hatch the refusal message names,
+# made executable (spec key fallback.index=minhash)
+# ---------------------------------------------------------------------------
+
+# standing corpus / batch for the fallback tests: duplicate pairs use
+# IDENTICAL texts (jaccard 1.0 → minhash band collision is certain,
+# no S-curve luck in a unit test)
+_FB_STANDING = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "one two three four five six seven eight nine ten"),
+]
+_FB_BATCH = [
+    (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+    (20, "red orange yellow green blue indigo violet pink black white"),
+    (21, "red orange yellow green blue indigo violet pink black white"),  # dup of 20
+    (30, "completely unrelated words nobody else ever used anywhere at all"),
+]
+
+
+def _fb_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fb_records(spark, rows):
+    return _fb_docs(spark, rows).select(
+        F.struct("doc_id", "text").alias("value")
+    )
+
+
+def _fb_indexes(spark, tmp_path, tag=""):
+    from kafkaconnect_spark.operators import lsh_index
+    from kafkaconnect_spark.operators.dedup import simhash_hex64
+
+    standing = _fb_docs(spark, _FB_STANDING)
+    dh = str(tmp_path / f"ham{tag}")
+    hamming_index.build(
+        simhash_hex64(standing).withColumnRenamed("simhash_hex", "phash"),
+        dh, bits=64, bands=8, max_hamming=4,
+    )
+    dl = str(tmp_path / f"lsh{tag}")
+    lsh_index.build(standing, dl, num_hashes=16, bands=4, n=3, threshold=0.2)
+    return dh, dl
+
+
+def _lsh_state(spark, dl):
+    from kafkaconnect_spark.operators import lsh_index
+
+    m = lsh_index._read_manifest(dl)
+    members = {
+        r.doc_id
+        for r in spark.read.parquet(
+            lsh_index._table_path(dl, "shingles", m["version"])
+        ).select("doc_id").distinct().collect()
+    }
+    pairs = set()
+    for rep in index_fs.listdir(os.path.join(dl, "reports")):
+        pairs |= {
+            (r.id_new, r.id_corpus)
+            for r in spark.read.parquet(
+                os.path.join(dl, "reports", rep)
+            ).collect()
+        }
+    return members, pairs
+
+
+def test_fallback_reroutes_refused_batch_and_matches_lsh_only(
+    spark, tmp_path
+):
+    """max_hot_pairs=-1 makes the WITHIN-BATCH guard refuse
+    unconditionally (any volume, even zero, exceeds the line); the
+    rerouted batch's survivors, drop report, and index appends must
+    equal running the MinHash SMT directly on a twin index — and the
+    refused hamming index must be left byte-untouched."""
+    import pytest
+
+    from kafkaconnect_spark.operators import lsh_index
+
+    dh, dl = _fb_indexes(spark, tmp_path)
+    _, dl_ref = _fb_indexes(spark, tmp_path, tag="_ref")
+
+    t = hamming_index.streaming_fingerprint_dedup_transform(
+        dh, text_field="text", max_hot_pairs=-1, fallback_index_dir=dl
+    )
+    with pytest.warns(UserWarning, match="MinHash fallback"):
+        surv = {
+            r["value"]["doc_id"]
+            for r in t(_fb_records(spark, _FB_BATCH)).collect()
+        }
+    ref = lsh_index.streaming_dedup_transform(dl_ref)
+    surv_ref = {
+        r["value"]["doc_id"]
+        for r in ref(_fb_records(spark, _FB_BATCH)).collect()
+    }
+    assert surv == surv_ref == {20, 30}  # 10 corpus-dups 1; 21 loses to 20
+    assert _lsh_state(spark, dl) == _lsh_state(spark, dl_ref)
+    # the refused fingerprint index: no appends, no reports
+    assert _stored_ids(spark, dh) == {1, 2}
+    assert not os.path.exists(os.path.join(dh, "reports")) or not (
+        index_fs.listdir(os.path.join(dh, "reports"))
+    )
+
+
+def test_fallback_fires_from_the_corpus_match_refusal_site(spark, tmp_path):
+    """A single-record batch has zero within-batch collision volume
+    (Σ n·(n−1) = 0), so with max_hot_pairs=0 the refusal can only
+    come from match()'s hot-pair line — the original r10 refusal
+    site. The rerouted answer must still be the MinHash one."""
+    import pytest
+
+    dh, dl = _fb_indexes(spark, tmp_path)
+    t = hamming_index.streaming_fingerprint_dedup_transform(
+        dh, text_field="text", hot_df_cap=0, hot_route_min_pairs=0,
+        max_hot_pairs=0, fallback_index_dir=dl,
+    )
+    one = [(10, _FB_STANDING[0][1])]  # exact dup of standing doc 1
+    with pytest.warns(UserWarning, match="MinHash fallback"):
+        surv = {
+            r["value"]["doc_id"]
+            for r in t(_fb_records(spark, one)).collect()
+        }
+    assert surv == set()  # dropped as a corpus dup via the fallback
+    members, pairs = _lsh_state(spark, dl)
+    assert (10, 1) in pairs and 10 not in members
+    assert _stored_ids(spark, dh) == {1, 2}
+
+
+def test_refusal_without_fallback_still_raises(spark, tmp_path):
+    import pytest
+
+    dh, _dl = _fb_indexes(spark, tmp_path)
+    t = hamming_index.streaming_fingerprint_dedup_transform(
+        dh, text_field="text", max_hot_pairs=-1
+    )
+    with pytest.raises(hamming_index.HotPairRefusalError, match="MinHash"):
+        t(_fb_records(spark, _FB_BATCH))
+
+
+def test_fallback_requires_text_mode(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="text.field mode"):
+        hamming_index.streaming_fingerprint_dedup_transform(
+            "/x", hash_field="phash", fallback_index_dir="/y"
+        )
+
+
+def test_fallback_spec_keys_build_and_validate(spark):
+    import pytest
+
+    from kafkaconnect_spark.operators.transforms import TRANSFORM_REGISTRY
+    from kafkaconnect_spark.plans.spec import SpecError
+
+    build = TRANSFORM_REGISTRY["FingerprintDedupIndex"]
+    assert callable(
+        build({
+            "index.dir": "/x", "text.field": "text",
+            "fallback.index": "minhash", "fallback.index.dir": "/y",
+            "max.hot.pairs": "0", "hot.df.cap": "0",
+            "hot.route.min.pairs": "0",
+        })
+    )
+    with pytest.raises(SpecError, match="unsupported"):
+        build({"index.dir": "/x", "text.field": "text",
+               "fallback.index": "faiss", "fallback.index.dir": "/y"})
+    with pytest.raises(SpecError, match="fallback.index.dir"):
+        build({"index.dir": "/x", "text.field": "text",
+               "fallback.index": "minhash"})

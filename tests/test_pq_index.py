@@ -507,3 +507,62 @@ def test_guard_histogram_rescans_on_external_generation_bump(
         d, store, threshold=0.999, n_probe=2, rerank=64
     )
     assert est3 == est_of(t_fresh2, batch([500]))
+
+
+def test_retrain_to_rule_sizes_cells_from_membership(spark, tmp_path):
+    """The SemDeDup guard's refusal names "retrain with n_cells ≈
+    corpus/250" — retrain_to_rule is that sentence as a call: n_cells
+    = ceil(current membership / cell_size), membership = stored code
+    ids minus tombstones. Deterministic unblock bound: a one-record
+    batch's guard estimate can never exceed membership + 1, so a line
+    that refused the undersized geometry (est = corpus + 1) must pass
+    after the rule resizes the cells and compaction drops the
+    tombstoned third."""
+    d = str(tmp_path / "pqidx")
+    store = str(tmp_path / "store.parquet")
+    corpus = _vecs(spark, range(10, 40))  # 30 vectors
+    corpus.write.parquet(store)
+    pq_index.build(corpus, d, n_cells=2, n_sub=N_SUB, n_codes=4, dim=DIM)
+
+    alt = [9.0 if dd % 2 == 0 else -9.0 for dd in range(DIM)]
+    batch = spark.createDataFrame(
+        [(100, alt)], "vec_id long, embedding array<double>"
+    ).select(F.struct("vec_id", "embedding").alias("value"))
+
+    # n_cells=2, n_probe=2 probes every cell: est = 30 corpus + 1
+    # within-batch > 25 → the guard refuses
+    t = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=64,
+        max_candidate_pairs=25,
+    )
+    with pytest.raises(ValueError, match="n_cells"):
+        t(batch)
+
+    pq_index.delete(spark, d, list(range(10, 20)))  # membership → 20
+    out = pq_index.retrain_to_rule(spark, d, corpus, cell_size=5)
+    assert out["membership"] == 20
+    assert out["n_cells"] == 4  # ceil(20 / 5)
+    m = pq_index._read_manifest(d)
+    assert m["n_cells"] == 4 and m["version"] == 2
+
+    # same refusal line, fresh instance: est ≤ membership(20) + 1
+    # whatever the cell distribution — must pass now, and the novel
+    # record appends
+    t2 = pq_index.streaming_semdedup_transform(
+        d, store, threshold=0.999, n_probe=2, rerank=64,
+        max_candidate_pairs=25,
+    )
+    assert t2(batch).count() == 1
+    codes, m2 = pq_index._codes_table(spark, d)
+    assert codes.where(F.col(m2["id_col"]) == 100).count() == 1
+
+
+def test_retrain_to_rule_clamps_to_membership(spark, tmp_path):
+    """cell_size larger than the corpus must still yield a valid
+    geometry (n_cells ≥ 1, never more cells than vectors)."""
+    d = str(tmp_path / "pqidx")
+    corpus = _vecs(spark, range(10, 16))  # 6 vectors
+    pq_index.build(corpus, d, n_cells=2, n_sub=N_SUB, n_codes=4, dim=DIM)
+    out = pq_index.retrain_to_rule(spark, d, corpus, cell_size=250)
+    assert out["n_cells"] == 1 and out["membership"] == 6
+    assert pq_index._read_manifest(d)["n_cells"] == 1
