@@ -121,9 +121,13 @@ from kafkaconnect_spark.operators.index_base import (
     _write_manifest,
     _writer_lock,
     delete_ids,
+    drop_ids_filter,
+    inline_ids,
     late_tombstones,
     membership_probe,
+    small_tombstone_ids,
     snapshot_tombstones,
+    stage_pair_then_move,
 )
 
 _HAM_TABLES = ("hashes", "bands", "tombstones")
@@ -307,6 +311,7 @@ def match(
     hot_df_cap: int | None = DEFAULT_HOT_DF_CAP,
     max_hot_pairs: int = DEFAULT_MAX_HOT_PAIRS,
     hot_route_min_pairs: int = SKEW_WARN_PAIRS,
+    exclude_id_list: list | None = None,
 ) -> DataFrame:
     """Read-only near-dup fingerprint pairs (id_new, id_corpus,
     hamming ≤ max_hamming) of a batch against the CURRENT generation.
@@ -381,11 +386,19 @@ def match(
         .drop("band_bucket")
     )
     tomb_dir = _table_path(index_dir, "tombstones", v)
-    tomb = _maybe_broadcast_tombstones(
-        spark.read.parquet(tomb_dir), tomb_dir
-    )
-    idx_b = idx_b.join(tomb, id_col, "left_anti")
-    if exclude_ids is not None:
+    # r11: a small tombstone log (common: empty) inlines to a literal
+    # filter, an oversized one keeps the anti-join — see index_base
+    tomb_ids = small_tombstone_ids(spark, tomb_dir)
+    if tomb_ids is not None:
+        idx_b = drop_ids_filter(idx_b, id_col, tomb_ids)
+    else:
+        tomb = _maybe_broadcast_tombstones(
+            spark.read.parquet(tomb_dir), tomb_dir
+        )
+        idx_b = idx_b.join(tomb, id_col, "left_anti")
+    if exclude_id_list is not None:
+        idx_b = drop_ids_filter(idx_b, id_col, exclude_id_list)
+    elif exclude_ids is not None:
         excl = F.broadcast(
             exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct()
         )
@@ -619,13 +632,15 @@ def add(
         hd = src.withColumn(
             "hash_bucket", _shingle_bucket_expr(m["hash_buckets"], id_col)
         ).repartition(m["hash_buckets"], "hash_bucket")
-        _stage_then_move(hd, index_dir, "hashes", m["version"],
-                         partition_by="hash_bucket")
         bd = _banded(src, m["bands"], npb, id_col, hash_col).withColumn(
             "band_bucket", _band_bucket_expr(m["band_buckets"])
         ).repartition(m["band_buckets"], "band_bucket")
-        _stage_then_move(bd, index_dir, "bands", m["version"],
-                         partition_by="band_bucket")
+        # staging writes overlap (guide §2.6); commit order keeps the
+        # crash contract — hashes BEFORE bands
+        stage_pair_then_move(
+            spark, index_dir, m["version"],
+            (hd, "hashes", "hash_bucket"), (bd, "bands", "band_bucket"),
+        )
 
 
 def delete(spark: SparkSession, index_dir: str, ids) -> int:
@@ -691,12 +706,15 @@ def drop_generations(index_dir: str, keep: int = 1) -> dict:
         return _gc_locked(index_dir, m, keep, _HAM_TABLES)
 
 
-def _membership(spark: SparkSession, index_dir: str, ids_df: DataFrame, m: dict) -> DataFrame:
+def _membership(
+    spark: SparkSession, index_dir: str, ids_df: DataFrame, m: dict,
+    ids_list: list | None = None,
+) -> DataFrame:
     """Bucket-pruned membership probe over the stored hash table
     (index_base.membership_probe with this module's geometry)."""
     return membership_probe(
         spark, index_dir, ids_df, m["version"], "hashes",
-        m["hash_buckets"], "hash_bucket",
+        m["hash_buckets"], "hash_bucket", ids_list=ids_list,
     )
 
 
@@ -862,9 +880,14 @@ def streaming_fingerprint_dedup_transform(
             ).withColumnRenamed("simhash_hex", hash_col)
         hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
         ids = hashes.select(id_col)
-        pre = _membership(spark, index_dir, ids, m).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # r11: batch-bounded id sets ride as literals under
+        # index_base.SMALL_ID_INLINE_CAP — removes a broadcast-build
+        # job per consuming action; oversized sets keep the join path
+        ids_list = inline_ids(ids, id_col)
+        pre = _membership(spark, index_dir, ids, m, ids_list=ids_list)
+        pre_ids = inline_ids(pre) if ids_list is not None else None
+        if pre_ids is None:
+            pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
         # -- step 1: within-batch self-dedup (batch-sized both sides) --
         b_new = _banded(hashes, m["bands"], npb, id_col, hash_col)
         # within-batch candidate-volume guard (r11): the self-join is
@@ -936,18 +959,25 @@ def streaming_fingerprint_dedup_transform(
             )
             .where(F.col("hamming") <= mh)
         )
-        self_drops = _winner_rule_drops(self_pairs, pre, "id_new", "id_corpus")
-        surv1 = hashes.join(
-            F.broadcast(
-                self_drops.select(F.col("id_new").alias(id_col)).distinct()
-            ),
-            id_col,
-            "left_anti",
-        )
+        self_drops = _winner_rule_drops(
+            self_pairs, pre, "id_new", "id_corpus", pre_ids=pre_ids
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sd_ids = inline_ids(self_drops, "id_new")
+        if sd_ids is not None:
+            surv1 = drop_ids_filter(hashes, id_col, sd_ids)
+        else:
+            surv1 = hashes.join(
+                F.broadcast(
+                    self_drops.select(F.col("id_new").alias(id_col)).distinct()
+                ),
+                id_col,
+                "left_anti",
+            )
         # -- step 2: corpus match, batch ids pool-excluded --
         try:
             pairs = match(
                 spark, index_dir, surv1, max_hamming=mh, exclude_ids=ids,
+                exclude_id_list=ids_list,
                 **_match_kw,
             )
         except HotPairRefusalError as refusal:
@@ -963,6 +993,7 @@ def streaming_fingerprint_dedup_transform(
                 f"fallback index at {fallback_index_dir}",
                 stacklevel=2,
             )
+            self_drops.unpersist()
             pre.unpersist()
             hashes.unpersist()
             return _fallback(records)
@@ -973,23 +1004,33 @@ def streaming_fingerprint_dedup_transform(
             pairs.select("id_new", "id_corpus", "hamming")
         ).write.mode("errorifexists").parquet(report)
         release_cached(pairs)
-        dup_ids = (
-            spark.read.parquet(report)
-            .select(F.col("id_new").alias(id_col))
-            .distinct()
-        )
-        survivors = records.join(
-            F.broadcast(dup_ids),
-            records[f"value.{id_field}"] == dup_ids[id_col],
-            "left_anti",
-        )
-        if append_survivors:
-            surv_hashes = hashes.join(
-                F.broadcast(dup_ids), id_col, "left_anti"
+        rep = spark.read.parquet(report)
+        dup_list = inline_ids(rep, "id_new")
+        if dup_list is not None:
+            survivors = drop_ids_filter(
+                records, f"value.{id_field}", dup_list
             )
-            to_add = surv_hashes.join(F.broadcast(pre), id_col, "left_anti")
-            add(spark, index_dir, to_add)
-        pre.unpersist()
+        else:
+            dup_ids = rep.select(F.col("id_new").alias(id_col)).distinct()
+            survivors = records.join(
+                F.broadcast(dup_ids),
+                records[f"value.{id_field}"] == dup_ids[id_col],
+                "left_anti",
+            )
+        if append_survivors:
+            if dup_list is not None and pre_ids is not None:
+                not_add = sorted({*dup_list, *pre_ids})
+                add(spark, index_dir, drop_ids_filter(hashes, id_col, not_add))
+            else:
+                dup_b = F.broadcast(
+                    rep.select(F.col("id_new").alias(id_col)).distinct()
+                )
+                surv_hashes = hashes.join(dup_b, id_col, "left_anti")
+                to_add = surv_hashes.join(F.broadcast(pre), id_col, "left_anti")
+                add(spark, index_dir, to_add)
+        self_drops.unpersist()
+        if pre_ids is None:
+            pre.unpersist()
         hashes.unpersist()
         return survivors
 

@@ -131,6 +131,136 @@ def _maybe_broadcast_tombstones(tomb: DataFrame, tomb_dir: str) -> DataFrame:
     return tomb  # AQE picks the join strategy for an oversized log
 
 
+# ---------------------------------------------------------------------------
+# small-id-set inlining (r11 optimization round)
+#
+# The streaming SMTs and index lifecycles are chains of 10-20 eager
+# actions per micro-batch over BATCH-BOUNDED id sets (drops, membership,
+# pool exclusions, tombstones). Each id set consumed as a broadcast
+# anti/semi-join costs one broadcast-exchange build JOB per consuming
+# action (AQE materializes every broadcast stage as its own job):
+# profiled at sf0.1, streaming_dedup_replay paid 88 broadcast-build
+# jobs = 11.1 s of its 21 s of job time. Collecting such a set ONCE
+# (bounded by `limit(cap+1)`) and consuming it as a literal InSet
+# predicate removes every one of those builds and the joins themselves
+# — the filter fuses into the consumer's existing stage.
+#
+# Scale contract: the literal path engages only under
+# SMALL_ID_INLINE_CAP ids; past it every call site falls back to the
+# unchanged broadcast-join plan, so corpus-scale batches keep the
+# r10 shapes. The cap is sized where an InSet of longs (O(1) lookup,
+# shipped once per task binary) is unambiguously cheaper than a
+# broadcast-relation build; it is NOT a local-mode tunable.
+# ---------------------------------------------------------------------------
+
+SMALL_ID_INLINE_CAP = 65536
+
+
+def _sql_id_literal(v) -> str:
+    """One id value as a Spark SQL literal. Only the id carrier types
+    the indexes use (integral, string); anything else makes
+    inline_ids refuse so call sites stay on the join path."""
+    if isinstance(v, bool):  # bool is an int subclass — never an id
+        raise TypeError("bool is not an id type")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported id literal type {type(v).__name__}")
+
+
+def inline_ids(
+    df: DataFrame, col: str | None = None, cap: int = SMALL_ID_INLINE_CAP
+) -> list | None:
+    """Distinct non-null values of ``df[col]`` as Python literals, or
+    None when the frame has more than ``cap`` rows or a non-int/str
+    id type (callers then keep the broadcast-join path). One bounded
+    job: `limit(cap + 1)` stops the scan early however large the
+    frame is; the raw-row bound is conservative (a frame with more
+    raw rows than cap but fewer distinct ids falls back — correct,
+    just not inlined). Nulls are dropped: a null id matches nothing
+    in either a semi- or an anti-join, so it contributes nothing to
+    an IN set either."""
+    c = col or df.columns[0]
+    # limit → coalesce(1) → collect runs as ONE job: LocalLimit stops
+    # each input partition at cap+1 rows, the single merged task stops
+    # at cap+1 total. A bare limit(cap+1).collect() instead runs
+    # executeTake's incremental partition probing — measured 4+ jobs
+    # per call at 32 partitions (1 → 4 → 16 → all scale-up).
+    rows = (
+        df.select(F.col(c).alias("__id")).limit(cap + 1).coalesce(1).collect()
+    )
+    if len(rows) > cap:
+        return None
+    out = {r[0] for r in rows if r[0] is not None}
+    try:
+        for v in out:
+            _sql_id_literal(v)
+    except TypeError:
+        return None
+    return sorted(out)
+
+
+def keep_ids_pred(col_sql: str, ids: list):
+    """`(col) IN (ids)` as a predicate; an empty set keeps nothing —
+    exactly a semi-join against an empty frame (null ids evaluate
+    null → filtered, matching semi-join behavior). ``col_sql`` is a
+    SQL column expression, NOT a Column: the predicate is built as
+    one JVM-parsed expression string because Column.isin(n values)
+    costs n py4j round-trips (~0.5 s per 500-id predicate, measured —
+    it was the dominant driver-side term of the first cut of this
+    optimization)."""
+    if not ids:
+        return F.lit(False)
+    return F.expr(
+        f"({col_sql}) IN ({','.join(_sql_id_literal(v) for v in ids)})"
+    )
+
+
+def drop_ids_filter(df: DataFrame, col_sql: str, ids: list) -> DataFrame:
+    """EXACT anti-join replacement: rows whose id is in ``ids`` are
+    removed; null ids are KEPT (a null never matches in a left_anti
+    join, but NOT IN alone would evaluate null and filter it). Same
+    SQL-string construction rationale as keep_ids_pred."""
+    if not ids:
+        return df
+    lits = ",".join(_sql_id_literal(v) for v in ids)
+    return df.where(
+        F.expr(f"(({col_sql}) IS NULL) OR (({col_sql}) NOT IN ({lits}))")
+    )
+
+
+def small_tombstone_ids(
+    spark: SparkSession, tomb_dir: str, cap: int = SMALL_ID_INLINE_CAP
+) -> list | None:
+    """Tombstoned ids as literals when the log is small (the common
+    case is EMPTY — zero join operators instead of a broadcast
+    anti-join per consuming action). None = oversized log; callers
+    keep the `_maybe_broadcast_tombstones` join path."""
+    if ifs.dir_bytes(tomb_dir) > TOMBSTONE_BROADCAST_MAX_BYTES:
+        return None
+    df = spark.read.parquet(tomb_dir)
+    return inline_ids(df, df.columns[0], cap)
+
+
+def local_bucket_set(
+    spark: SparkSession, ids: list, bucket_expr_fn, id_col: str
+) -> list:
+    """Bucket-partition hit set of a literal id list, computed WITHOUT
+    a cluster job: a VALUES inline table resolves to a LocalRelation,
+    Catalyst's ConvertToLocalRelation folds the Project over it, and
+    the collect evaluates driver-side. The bucket expression is the
+    SAME Spark expression the stored layout was written with — no
+    Python re-implementation to drift. (Bucket exprs hash the id's
+    canonical STRING form, so the literal's narrower SQL type cannot
+    change the bucket.)"""
+    vals = ",".join(f"({_sql_id_literal(i)})" for i in ids)
+    local = spark.sql(f"SELECT v AS {id_col} FROM (VALUES {vals}) AS t(v)")
+    return sorted(
+        {r[0] for r in local.select(bucket_expr_fn(id_col).alias("__b")).collect()}
+    )
+
+
 def _spread_for_write(
     df: DataFrame, n_buckets: int, part_col: str, id_col: str
 ) -> DataFrame:
@@ -219,6 +349,50 @@ def _cast_to_stored_schema(
     )
 
 
+# stored-table schema per generation dir: immutable once the
+# generation is written (deltas are cast TO it; compact/retrain open a
+# NEW v{n} dir), so the per-append `read.parquet(dest).schema` footer
+# read + file listing is pure repeated driver latency (r11)
+_DEST_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _stage_delta(
+    df: DataFrame,
+    index_dir: str,
+    table: str,
+    version: int,
+    partition_by: str | None = None,
+) -> tuple[str, str]:
+    """The WRITE half of _stage_then_move: cast to the stored schema
+    and write to a uuid staging dir. Returns (staging, dest) for
+    _move_staged. Safe to run concurrently for independent tables —
+    the commit ORDER is fixed by the order of the _move_staged calls,
+    not the writes."""
+    dest = _table_path(index_dir, table, version)
+    dest_schema = _DEST_SCHEMA_CACHE.get(dest)
+    if dest_schema is None:
+        dest_schema = df.sparkSession.read.parquet(dest).schema
+        _DEST_SCHEMA_CACHE[dest] = dest_schema
+    df = _cast_to_stored_schema(df, dest_schema, table, partition_col=partition_by)
+    staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
+    return staging, dest
+
+
+def _move_staged(staging: str, dest: str) -> None:
+    """The COMMIT half of _stage_then_move: rename the staged part
+    files into the live table dir."""
+    # part names are uuid'd — no collisions with live files
+    for rel in ifs.parquet_files(staging):
+        target = os.path.join(dest, rel)
+        ifs.makedirs(os.path.dirname(target), exist_ok=True)
+        ifs.replace(os.path.join(staging, rel), target)
+    ifs.rmtree(staging, ignore_errors=True)
+
+
 def _stage_then_move(
     df: DataFrame,
     index_dir: str,
@@ -237,24 +411,71 @@ def _stage_then_move(
     The delta is first cast to the stored table's schema — widening
     casts only; a non-widening mismatch raises (see
     _cast_to_stored_schema)."""
-    dest = _table_path(index_dir, table, version)
-    dest_schema = df.sparkSession.read.parquet(dest).schema
-    df = _cast_to_stored_schema(df, dest_schema, table, partition_col=partition_by)
-    staging = os.path.join(index_dir, ".staging", uuid.uuid4().hex[:12])
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(staging)
-    # part names are uuid'd — no collisions with live files
-    for rel in ifs.parquet_files(staging):
-        target = os.path.join(dest, rel)
-        ifs.makedirs(os.path.dirname(target), exist_ok=True)
-        ifs.replace(os.path.join(staging, rel), target)
-    ifs.rmtree(staging, ignore_errors=True)
+    _move_staged(*_stage_delta(df, index_dir, table, version, partition_by))
+
+
+def stage_pair_then_move(
+    spark: SparkSession,
+    index_dir: str,
+    version: int,
+    first: tuple[DataFrame, str, str | None],
+    second: tuple[DataFrame, str, str | None],
+) -> None:
+    """Append two independent table deltas with their STAGING writes
+    overlapped in a 2-thread pool (guide §2.6 — each staged write is
+    a small job whose tail leaves the pool idle; the two deltas of an
+    index append have no data dependence) while the COMMIT renames
+    keep the caller's crash-ordering contract: ``first`` is always
+    moved before ``second``. Each tuple is (delta_df, table,
+    partition_by). Job-group/description properties are copied into
+    the worker threads so bench/UI attribution is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = spark.sparkContext
+    props = {
+        k: sc.getLocalProperty(k)
+        for k in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+        )
+    }
+
+    def _stage_with_props(df, table, part):
+        for k, v in props.items():
+            if v is not None:
+                sc.setLocalProperty(k, v)
+        return _stage_delta(df, index_dir, table, version, part)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(_stage_with_props, *first)
+        f2 = pool.submit(_stage_with_props, *second)
+        err1 = err2 = staged1 = staged2 = None
+        try:
+            staged1 = f1.result()
+        except Exception as exc:  # noqa: BLE001 — re-raised below
+            err1 = exc
+        try:
+            staged2 = f2.result()
+        except Exception as exc:  # noqa: BLE001
+            err2 = exc
+    if err1 is not None or err2 is not None:
+        # neither staging was committed; sweep whichever succeeded
+        # (the writer-lock acquisition sweep would catch it anyway)
+        for staged in (staged1, staged2):
+            if staged is not None:
+                ifs.rmtree(staged[0], ignore_errors=True)
+        raise err1 or err2
+    _move_staged(*staged1)
+    _move_staged(*staged2)
 
 
 def _winner_rule_drops(
-    pairs: DataFrame, pre: DataFrame, new_col: str, cor_col: str
+    pairs: DataFrame,
+    pre: DataFrame,
+    new_col: str,
+    cor_col: str,
+    pre_ids: list | None = None,
 ) -> DataFrame:
     """Apply the within-batch survivor rule to verified same-batch
     near-dup pairs: the record on the ``new_col`` side DROPS when its
@@ -271,7 +492,19 @@ def _winner_rule_drops(
     becomes "indexed" and its dropped mates stayed out, (b) because
     ids don't change. Idempotent under any crash point (proof cases
     enumerated in tests/test_index_r9.py::test_winner_rule_replay_*).
+
+    ``pre_ids`` (r11): the membership set as collected literals —
+    the rule becomes a pure InSet predicate with ZERO joins (the pair
+    ids are join outputs, never null). Callers pass it when the set
+    fits SMALL_ID_INLINE_CAP; None keeps the broadcast-join shape.
     """
+    if pre_ids is not None:
+        in_new = keep_ids_pred(new_col, pre_ids)
+        in_cor = keep_ids_pred(cor_col, pre_ids)
+        return pairs.where(
+            (in_cor & ~in_new)
+            | ((in_cor == in_new) & (F.col(cor_col) < F.col(new_col)))
+        )
     pre_new = pre.select(
         F.col(pre.columns[0]).alias(new_col), F.lit(True).alias("__in_new")
     )
@@ -469,6 +702,7 @@ def membership_probe(
     table: str,
     n_buckets: int | None,
     bucket_col: str,
+    ids_list: list | None = None,
 ) -> DataFrame:
     """Which of ``ids_df``'s ids (one column, named as the stored id
     column) are in the CURRENT generation — a broadcast semi-join
@@ -476,9 +710,28 @@ def membership_probe(
     bucket partitions, so the probe reads a batch-bounded fraction of
     the index, never the table (the partition key is an id hash, so
     the prune is exact whatever the content). ``n_buckets=None``
-    skips pruning (pre-partitioned-layout indexes)."""
+    skips pruning (pre-partitioned-layout indexes).
+
+    ``ids_list`` (r11): the same ids as collected literals. The
+    bucket hit set is then evaluated driver-side (local_bucket_set —
+    no cluster job) and the semi-join becomes an InSet filter fused
+    into the pruned scan: the whole probe is ONE narrow job instead
+    of bucket-collect + broadcast-build + join."""
     id_col = ids_df.columns[0]
     t = spark.read.parquet(_table_path(index_dir, table, version))
+    if ids_list is not None:
+        if n_buckets is not None and ids_list:
+            hit = local_bucket_set(
+                spark, ids_list,
+                lambda c: _shingle_bucket_expr(n_buckets, c),
+                id_col,
+            )
+            t = t.where(F.col(bucket_col).isin(hit))
+        return (
+            t.select(id_col)
+            .where(keep_ids_pred(id_col, ids_list))
+            .distinct()
+        )
     if n_buckets is not None:
         hit = sorted(
             {

@@ -125,9 +125,14 @@ from kafkaconnect_spark.operators.index_base import (  # noqa: F401
     _writer_lock,
     compact_reports,
     delete_ids,
+    drop_ids_filter,
+    inline_ids,
+    keep_ids_pred,
     late_tombstones,
     membership_probe,
+    small_tombstone_ids,
     snapshot_tombstones,
+    stage_pair_then_move,
 )
 
 
@@ -309,6 +314,7 @@ def _match(
     id_col: str = "doc_id",
     exclude_ids: DataFrame | None = None,
     precomputed: tuple[DataFrame, DataFrame] | None = None,
+    exclude_id_list: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """match() plus the live persisted batch-shingle handle, so append
     can write its index deltas from the SAME cache instead of
@@ -349,7 +355,13 @@ def _match(
             _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
         own_cache = [sh_new, b_new]
-    if exclude_ids is not None:
+    if exclude_id_list is not None:
+        # r11: batch-bounded pool exclusion as a literal InSet filter —
+        # fused into the scans, no broadcast build per consuming action
+        # (callers pass it only under index_base.SMALL_ID_INLINE_CAP)
+        idx_bands = drop_ids_filter(idx_bands, id_col, exclude_id_list)
+        idx_sh = drop_ids_filter(idx_sh, id_col, exclude_id_list)
+    elif exclude_ids is not None:
         excl = F.broadcast(
             exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct()
         )
@@ -372,16 +384,24 @@ def _match(
         idx_bands = idx_bands.where(F.col("band_bucket").isin(hit)).drop(
             "band_bucket"
         )
-    tomb = _tombstones(spark, index_dir, m["version"])
-    # a compacted tombstone log is tiny and broadcasts; an oversized
-    # one (deferred compaction) falls back to a shuffled anti-join
-    tomb = _maybe_broadcast_tombstones(
-        tomb.withColumnRenamed(tomb.columns[0], id_col),
-        _table_path(index_dir, "tombstones", m["version"]),
+    # a small tombstone log (common case: empty) inlines to a literal
+    # filter — zero join operators, no broadcast build per action; an
+    # oversized one (deferred compaction) keeps the anti-join, with
+    # the broadcast/shuffle choice as before (r11)
+    tomb_ids = small_tombstone_ids(
+        spark, _table_path(index_dir, "tombstones", m["version"])
     )
-    # filter the band table before the join so a deleted doc never
-    # becomes a candidate (verify never sees it)
-    idx_bands = idx_bands.join(tomb, id_col, "left_anti")
+    if tomb_ids is not None:
+        # filter the band table before the join so a deleted doc never
+        # becomes a candidate (verify never sees it)
+        idx_bands = drop_ids_filter(idx_bands, id_col, tomb_ids)
+    else:
+        tomb = _tombstones(spark, index_dir, m["version"])
+        tomb = _maybe_broadcast_tombstones(
+            tomb.withColumnRenamed(tomb.columns[0], id_col),
+            _table_path(index_dir, "tombstones", m["version"]),
+        )
+        idx_bands = idx_bands.join(tomb, id_col, "left_anti")
     cands = (
         b_new.withColumnRenamed(id_col, "id_new")
         .join(
@@ -477,12 +497,14 @@ def append(
         b_new = _banded(
             _signatures_from_arrays(sh_new, num_hashes, id_col), bands, id_col
         )
-        # stage both deltas fully, then move — shingles first (see
-        # module docstring for the ordering rationale)
+        # stage both deltas (overlapped, guide §2.6), then move —
+        # shingles first (see module docstring for the ordering
+        # rationale; the commit order is fixed by the move calls)
         sd, spart = _shingles_delta(sh_new, m, id_col)
-        _stage_then_move(sd, index_dir, "shingles", v, partition_by=spart)
         bd, bpart = _bands_delta(b_new, m)
-        _stage_then_move(bd, index_dir, "bands", v, partition_by=bpart)
+        stage_pair_then_move(
+            spark, index_dir, v, (sd, "shingles", spart), (bd, "bands", bpart)
+        )
         release_cached(pairs)  # sh_new + verify's candidate cache
         return spark.read.parquet(report)
 
@@ -551,21 +573,28 @@ def add(spark: SparkSession, index_dir: str, new_batch: DataFrame,
             )
             own = sh_new
         sd, spart = _shingles_delta(sh_new, m, id_col)
-        _stage_then_move(sd, index_dir, "shingles", m["version"], partition_by=spart)
         bd, bpart = _bands_delta(b_new, m)
-        _stage_then_move(bd, index_dir, "bands", m["version"], partition_by=bpart)
+        # staging writes overlap (independent tables, guide §2.6); the
+        # commit renames keep the crash order: shingles BEFORE bands —
+        # a doc with bands but no shingles would generate candidates
+        # verify cannot score, the reverse is merely invisible
+        stage_pair_then_move(
+            spark, index_dir, m["version"],
+            (sd, "shingles", spart), (bd, "bands", bpart),
+        )
         if own is not None:
             own.unpersist()
 
 
 def _membership(
-    spark: SparkSession, index_dir: str, ids_df: DataFrame, m: dict
+    spark: SparkSession, index_dir: str, ids_df: DataFrame, m: dict,
+    ids_list: list | None = None,
 ) -> DataFrame:
     """Bucket-pruned membership probe over the stored shingle table
     (index_base.membership_probe with this module's geometry)."""
     return membership_probe(
         spark, index_dir, ids_df, m["version"], "shingles",
-        m.get("shingle_buckets"), "shingle_bucket",
+        m.get("shingle_buckets"), "shingle_bucket", ids_list=ids_list,
     )
 
 
@@ -642,9 +671,18 @@ def streaming_dedup_transform(
             F.col(f"value.{text_field}").alias(text_field),
         )
         ids = docs.select(id_field)
-        pre = _membership(spark, index_dir, ids, m).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # r11: batch-bounded id sets (batch ids, membership, drops)
+        # ride as collected literals when they fit
+        # index_base.SMALL_ID_INLINE_CAP — every broadcast-build job
+        # they previously cost (one per consuming action under AQE)
+        # disappears, and the anti/semi-joins fuse into the consumers'
+        # stages as InSet filters. Oversized sets (None) keep the r10
+        # broadcast-join shapes at every site below.
+        ids_list = inline_ids(ids, id_field)
+        pre = _membership(spark, index_dir, ids, m, ids_list=ids_list)
+        pre_ids = inline_ids(pre) if ids_list is not None else None
+        if pre_ids is None:
+            pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
         # -- step 1: within-batch self-dedup (batch-sized both sides) --
         # the batch is shingled and signed exactly ONCE per micro-batch:
         # sh_new/b_new are persisted here and reused (id-filtered) by
@@ -672,19 +710,31 @@ def streaming_dedup_transform(
         self_pairs = _jaccard_verify(
             self_cands, sh_new, sh_new, th, "id_new", "id_corpus", id_field
         )
-        self_drops = _winner_rule_drops(self_pairs, pre, "id_new", "id_corpus")
+        self_drops = _winner_rule_drops(
+            self_pairs, pre, "id_new", "id_corpus", pre_ids=pre_ids
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # -- step 2: corpus match of self-survivors, batch pool-excluded --
-        self_drop_ids = F.broadcast(
-            self_drops.select(F.col("id_new").alias(id_field)).distinct()
-        )
-        surv1 = docs.join(self_drop_ids, id_field, "left_anti")
+        # drops are batch-bounded: collect once (materializes the
+        # persisted frame the report write reuses) and filter the three
+        # consumers literally; an over-cap batch falls back to the
+        # broadcast anti-joins
+        sd_ids = inline_ids(self_drops, "id_new")
+        if sd_ids is not None:
+            surv1 = drop_ids_filter(docs, id_field, sd_ids)
+            pre_sh = drop_ids_filter(sh_new, id_field, sd_ids)
+            pre_b = drop_ids_filter(b_new, id_field, sd_ids)
+        else:
+            self_drop_ids = F.broadcast(
+                self_drops.select(F.col("id_new").alias(id_field)).distinct()
+            )
+            surv1 = docs.join(self_drop_ids, id_field, "left_anti")
+            pre_sh = sh_new.join(self_drop_ids, id_field, "left_anti")
+            pre_b = b_new.join(self_drop_ids, id_field, "left_anti")
         pairs, _ = _match(
             spark, index_dir, surv1, threshold=th,
             text_col=text_field, id_col=id_field, exclude_ids=ids,
-            precomputed=(
-                sh_new.join(self_drop_ids, id_field, "left_anti"),
-                b_new.join(self_drop_ids, id_field, "left_anti"),
-            ),
+            exclude_id_list=ids_list,
+            precomputed=(pre_sh, pre_b),
         )
         report = os.path.join(
             index_dir, "reports", f"stream-{_uuid.uuid4().hex[:12]}"
@@ -694,37 +744,58 @@ def streaming_dedup_transform(
         ).write.mode("errorifexists").parquet(report)
         release_cached(pairs)
         release_cached(self_pairs)
-        dup_ids = (
-            spark.read.parquet(report)
-            .select(F.col("id_new").alias(id_field))
-            .distinct()
-        )
-        survivors = records.join(
-            F.broadcast(dup_ids),
-            records[f"value.{id_field}"] == dup_ids[id_field],
-            "left_anti",
-        )
+        rep = spark.read.parquet(report)
+        # the just-written report is batch-bounded — dropped ids inline
+        # to one tiny collect reused by the survivor filter AND both
+        # append deltas (previously three broadcast builds per batch)
+        dup_list = inline_ids(rep, "id_new")
+        if dup_list is not None:
+            survivors = drop_ids_filter(
+                records, f"value.{id_field}", dup_list
+            )
+        else:
+            dup_ids = rep.select(F.col("id_new").alias(id_field)).distinct()
+            survivors = records.join(
+                F.broadcast(dup_ids),
+                records[f"value.{id_field}"] == dup_ids[id_field],
+                "left_anti",
+            )
         if append_survivors:
             # already-indexed survivors (redeliveries; replayed
             # winners) are NOT re-appended — replays leave the stored
             # tables byte-identical instead of merely row-equivalent.
             # The deltas filter the ALREADY-COMPUTED batch frames to
             # (not dropped) ∧ (not present) — no third shingling pass.
-            dup_b = F.broadcast(dup_ids)
-            pre_b = F.broadcast(pre)
-            add(
-                spark, index_dir, None, text_col=text_field,
-                id_col=id_field,
-                precomputed=(
-                    sh_new.join(dup_b, id_field, "left_anti").join(
-                        pre_b, id_field, "left_anti"
+            if dup_list is not None and pre_ids is not None:
+                not_add = sorted({*dup_list, *pre_ids})
+                add(
+                    spark, index_dir, None, text_col=text_field,
+                    id_col=id_field,
+                    precomputed=(
+                        drop_ids_filter(sh_new, id_field, not_add),
+                        drop_ids_filter(b_new, id_field, not_add),
                     ),
-                    b_new.join(dup_b, id_field, "left_anti").join(
-                        pre_b, id_field, "left_anti"
+                )
+            else:
+                dup_b = F.broadcast(
+                    rep.select(F.col("id_new").alias(id_field)).distinct()
+                )
+                pre_bc = F.broadcast(pre)
+                add(
+                    spark, index_dir, None, text_col=text_field,
+                    id_col=id_field,
+                    precomputed=(
+                        sh_new.join(dup_b, id_field, "left_anti").join(
+                            pre_bc, id_field, "left_anti"
+                        ),
+                        b_new.join(dup_b, id_field, "left_anti").join(
+                            pre_bc, id_field, "left_anti"
+                        ),
                     ),
-                ),
-            )
-        pre.unpersist()
+                )
+        self_drops.unpersist()
+        if pre_ids is None:
+            pre.unpersist()
         sh_new.unpersist()
         b_new.unpersist()
         return survivors

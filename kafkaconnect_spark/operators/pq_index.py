@@ -86,7 +86,11 @@ from kafkaconnect_spark.operators.index_base import (
     _writer_lock,
     compact_reports,  # noqa: F401 — re-exported: shared report layout
     delete_ids,
+    drop_ids_filter,
+    inline_ids,
+    keep_ids_pred,
     late_tombstones,
+    small_tombstone_ids,
     snapshot_tombstones,
 )
 
@@ -290,6 +294,7 @@ def match(
     query_id_col: str = "query_id",
     exclude_ids: DataFrame | None = None,
     precomputed_probes: DataFrame | None = None,
+    exclude_id_list: list | None = None,
 ) -> DataFrame:
     """READ-ONLY IVF-PQ ANN against the stored codes. ``vectors`` is
     the caller's true-vector store for the exact re-rank (the index
@@ -341,12 +346,20 @@ def match(
     )
     codes = codes.where(F.col("cell").isin(hit))
     tomb_dir = _table_path(index_dir, "tombstones", m["version"])
-    tomb = _maybe_broadcast_tombstones(
-        spark.read.parquet(tomb_dir).withColumnRenamed(m["id_col"], id_col),
-        tomb_dir,
-    )
-    codes = codes.join(tomb, id_col, "left_anti")
-    if exclude_ids is not None:
+    # r11: a small tombstone log (common: empty) inlines to a literal
+    # filter, an oversized one keeps the anti-join — see index_base
+    tomb_ids = small_tombstone_ids(spark, tomb_dir)
+    if tomb_ids is not None:
+        codes = drop_ids_filter(codes, id_col, tomb_ids)
+    else:
+        tomb = _maybe_broadcast_tombstones(
+            spark.read.parquet(tomb_dir).withColumnRenamed(m["id_col"], id_col),
+            tomb_dir,
+        )
+        codes = codes.join(tomb, id_col, "left_anti")
+    if exclude_id_list is not None:
+        codes = drop_ids_filter(codes, id_col, exclude_id_list)
+    elif exclude_ids is not None:
         codes = codes.join(
             F.broadcast(
                 exclude_ids.select(
@@ -411,7 +424,8 @@ def append(spark: SparkSession, index_dir: str, new_vecs: DataFrame,
 
 
 def _membership(
-    spark: SparkSession, index_dir: str, batch_coded: DataFrame, m: dict
+    spark: SparkSession, index_dir: str, batch_coded: DataFrame, m: dict,
+    cells: list | None = None, ids_list: list | None = None,
 ) -> DataFrame:
     """Which of the batch's ids are in the CURRENT codes generation —
     a broadcast semi-join against the stored codes PRUNED to the
@@ -420,15 +434,30 @@ def _membership(
     the same cell and is always found; a redelivered id whose VECTOR
     changed may land elsewhere and read as fresh — the index holds
     the old version either way, and treating the new content as a
-    stranger is the conservative outcome)."""
+    stranger is the conservative outcome).
+
+    ``cells`` (r11): the batch's coded-cell set when the caller
+    already collected it (the streaming SMT's guard histogram carries
+    it) — skips this probe's own collect. ``ids_list``: the batch ids
+    as literals (index_base.SMALL_ID_INLINE_CAP contract) — the
+    semi-join becomes an InSet filter fused into the pruned scan."""
     id_col = m["id_col"]
     codes = spark.read.parquet(_table_path(index_dir, "codes", m["version"]))
-    cells = sorted(
-        {r[0] for r in batch_coded.select("cell").distinct().collect()}
+    if cells is None:
+        cells = sorted(
+            {r[0] for r in batch_coded.select("cell").distinct().collect()}
+        )
+    codes = codes.where(F.col("cell").isin(cells)) if cells else codes.where(
+        F.lit(False)
     )
+    if ids_list is not None:
+        return (
+            codes.select(id_col)
+            .where(keep_ids_pred(id_col, ids_list))
+            .distinct()
+        )
     return (
-        codes.where(F.col("cell").isin(cells))
-        .select(id_col)
+        codes.select(id_col)
         .join(F.broadcast(batch_coded.select(id_col).distinct()), id_col, "left_semi")
         .distinct()
     )
@@ -549,9 +578,6 @@ def streaming_semdedup_transform(
             vecs.withColumnRenamed("query_id", m["id_col"]),
             cents, books, d, m["n_sub"], m["id_col"], m["vec_col"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        pre = _membership(spark, index_dir, batch_coded, m).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
         # -- step 1: within-batch self-dedup (probe geometry + exact
         # cosine over the batch's own vectors; batch-bounded) --
         # probes computed ONCE per micro-batch: the within-batch join
@@ -593,6 +619,20 @@ def streaming_semdedup_transform(
         )
         probe_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "p"}
         batch_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "b"}
+        # membership probe AFTER the histogram collect: the batch's
+        # coded-cell set is already in batch_h, so the probe skips its
+        # own cell collect; batch-bounded id sets ride as literals
+        # under index_base.SMALL_ID_INLINE_CAP (r11 — removes a
+        # broadcast-build job per consuming action; oversized batches
+        # keep the join path at every site below)
+        ids_list = inline_ids(vecs, "query_id")
+        pre = _membership(
+            spark, index_dir, batch_coded, m,
+            cells=sorted(batch_h), ids_list=ids_list,
+        )
+        pre_ids = inline_ids(pre) if ids_list is not None else None
+        if pre_ids is None:
+            pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
         if _hist_state["hist"] is None or _hist_state["version"] != m["version"]:
             _hist_state["hist"] = _cell_hist(codes.select("cell"))
             _hist_state["version"] = m["version"]
@@ -663,9 +703,17 @@ def streaming_semdedup_transform(
             .where(F.col("cosine") >= threshold)
             .distinct()
         )
-        self_drops = _winner_rule_drops(self_pairs, pre, "query_id", "neighbor_id")
-        self_drop_ids = F.broadcast(self_drops.select("query_id").distinct())
-        surv1 = vecs.join(self_drop_ids, "query_id", "left_anti")
+        self_drops = _winner_rule_drops(
+            self_pairs, pre, "query_id", "neighbor_id", pre_ids=pre_ids
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sd_ids = inline_ids(self_drops, "query_id")
+        if sd_ids is not None:
+            surv1 = drop_ids_filter(vecs, "query_id", sd_ids)
+            surv_probes = drop_ids_filter(self_probes, "query_id", sd_ids)
+        else:
+            self_drop_ids = F.broadcast(self_drops.select("query_id").distinct())
+            surv1 = vecs.join(self_drop_ids, "query_id", "left_anti")
+            surv_probes = self_probes.join(self_drop_ids, "query_id", "left_anti")
         # -- step 2: corpus match, batch ids pool-excluded --
         store = (
             spark.read.parquet(vector_store)
@@ -686,9 +734,8 @@ def streaming_semdedup_transform(
             spark, index_dir, surv1, full_store,
             k=1, n_probe=n_probe, rerank=rerank,
             exclude_ids=vecs.select("query_id"),
-            precomputed_probes=self_probes.join(
-                self_drop_ids, "query_id", "left_anti"
-            ),
+            exclude_id_list=ids_list,
+            precomputed_probes=surv_probes,
         )
         matches = raw.where(F.col("cosine") >= threshold)
         report = os.path.join(
@@ -698,37 +745,60 @@ def streaming_semdedup_transform(
             matches.select("query_id", "neighbor_id", "cosine")
         ).write.mode("errorifexists").parquet(report)
         release_cached(raw)
-        dup_ids = (
-            spark.read.parquet(report).select("query_id").distinct()
-        )
-        survivors = records.join(
-            F.broadcast(dup_ids),
-            records[f"value.{id_field}"].cast(id_type) == dup_ids["query_id"],
-            "left_anti",
-        )
+        rep = spark.read.parquet(report)
+        dup_list = inline_ids(rep, "query_id")
+        if dup_list is not None:
+            survivors = drop_ids_filter(
+                records,
+                f"cast(value.{id_field} as {id_type.simpleString()})",
+                dup_list,
+            )
+        else:
+            dup_ids = rep.select("query_id").distinct()
+            survivors = records.join(
+                F.broadcast(dup_ids),
+                records[f"value.{id_field}"].cast(id_type) == dup_ids["query_id"],
+                "left_anti",
+            )
         if append_survivors:
             # already-indexed survivors (redeliveries; replayed
             # winners) are not re-appended. The delta filters the
             # ALREADY-CODED batch frame to (not dropped) ∧ (not
             # present) — no second coding pass per micro-batch.
-            dup_b = F.broadcast(
-                dup_ids.select(F.col("query_id").alias(m["id_col"]))
-            )
-            # append() filters empty vectors before coding — replicate
-            # on the precomputed path (batch_coded covers ALL records,
-            # the self-join needs them)
-            nonempty = F.broadcast(
-                vecs.where(F.size(m["vec_col"]) > 0).select(
-                    F.col("query_id").alias(m["id_col"])
+            if dup_list is not None and pre_ids is not None:
+                # append() filters empty vectors before coding —
+                # replicate on the literal path: drop the (typically
+                # empty) set of empty-vector ids along with dropped
+                # and already-present ids
+                empty_ids = inline_ids(
+                    vecs.where(F.size(m["vec_col"]) == 0), "query_id"
                 )
-            )
-            # persisted so the anti-join chain runs ONCE for the two
-            # consumers (the append write and the histogram fold)
-            delta = (
-                batch_coded.join(dup_b, m["id_col"], "left_anti")
-                .join(F.broadcast(pre), m["id_col"], "left_anti")
-                .join(nonempty, m["id_col"], "left_semi")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            else:
+                empty_ids = None
+            if dup_list is not None and pre_ids is not None and empty_ids is not None:
+                not_add = sorted({*dup_list, *pre_ids, *empty_ids})
+                delta = drop_ids_filter(
+                    batch_coded, m["id_col"], not_add
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+            else:
+                dup_b = F.broadcast(
+                    rep.select("query_id").distinct().select(
+                        F.col("query_id").alias(m["id_col"])
+                    )
+                )
+                nonempty = F.broadcast(
+                    vecs.where(F.size(m["vec_col"]) > 0).select(
+                        F.col("query_id").alias(m["id_col"])
+                    )
+                )
+                # persisted so the anti-join chain runs ONCE for the
+                # two consumers (the append write and the histogram
+                # fold)
+                delta = (
+                    batch_coded.join(dup_b, m["id_col"], "left_anti")
+                    .join(F.broadcast(pre), m["id_col"], "left_anti")
+                    .join(nonempty, m["id_col"], "left_semi")
+                ).persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 append(spark, index_dir, None, precomputed_coded=delta)
                 # fold the appended rows into the cached corpus
@@ -746,7 +816,7 @@ def streaming_semdedup_transform(
                 _hist_state["hist"] = None
                 raise
             delta.unpersist()
-        for c in (vecs, batch_coded, pre, self_probes):
+        for c in (vecs, batch_coded, pre, self_probes, self_drops):
             c.unpersist()
         return survivors
 

@@ -182,8 +182,10 @@ def test_lsh_compact_restores_partitioned_layout(spark, tmp_path):
 
 
 def test_tombstone_anti_join_broadcast_is_size_gated(spark, tmp_path, monkeypatch):
-    """Small (compacted) tombstone logs broadcast; an oversized log
-    loses the hint and the anti-join falls back to a shuffle plan."""
+    """Small (compacted) tombstone logs INLINE to a literal NOT IN
+    filter (r11 — zero join operators); an oversized log keeps the
+    anti-join and, past the broadcast size gate, falls back to a
+    shuffle plan rather than a forced broadcast."""
     d = str(tmp_path / "pq")
     pq_index.build(
         _vecs(spark, range(10, 30)), d, n_cells=4, n_sub=2, n_codes=4, dim=DIM
@@ -196,8 +198,14 @@ def test_tombstone_anti_join_broadcast_is_size_gated(spark, tmp_path, monkeypatc
         return [ln for ln in opt.splitlines() if "LeftAnti" in ln]
 
     res = pq_index.match(spark, d, q, _vecs(spark, range(10, 30)), k=3)
-    assert any("broadcast" in ln for ln in _anti_lines(res))
+    # small log: the tombstone exclusion is a filter, not a join —
+    # no LeftAnti anywhere in the plan, and results still exclude
+    # the tombstoned ids
+    assert not _anti_lines(res)
+    assert not {r.neighbor_id for r in res.collect()} & {11, 13}
 
+    # size-gate both the inline path and the broadcast hint off: the
+    # anti-join reappears without a broadcast (shuffle plan)
     monkeypatch.setattr(index_base, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
     res2 = pq_index.match(spark, d, q, _vecs(spark, range(10, 30)), k=3)
     lines = _anti_lines(res2)
