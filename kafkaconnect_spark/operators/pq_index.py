@@ -463,6 +463,46 @@ def _membership(
     )
 
 
+def _rerank_store(
+    store: DataFrame,
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ids_list: list | None,
+) -> DataFrame:
+    """The SMT's re-rank vector source: the external store with the
+    batch's own vectors riding along. The batch's ids are REMOVED from
+    the store side (literal NOT-IN under index_base.SMALL_ID_INLINE_CAP;
+    plain anti-join past it) instead of the r10 shape's union +
+    dropDuplicates(id): that dedup was a full exchange + aggregate of
+    the CORPUS-SIZED store on every micro-batch, paid before the
+    re-rank join could broadcast the shortlist against it (guide §2.4 —
+    the store never needs to move; only its scan feeds the broadcast
+    join). Equivalent by the store contract: ids are unique within the
+    store (it is a keyed vector table) and a batch id's store row
+    carries the same vector bytes, so "batch copy wins" = "arbitrary
+    copy wins". Duplicate ids WITHIN the batch still collapse
+    (batch-bounded dedup). ``vecs`` columns: (query_id, <vec_col>).
+    Plan shape + equality vs the dedup form are pinned in
+    tests/test_pq_index.py::test_rerank_store_*."""
+    batch_store = vecs.select(
+        F.col("query_id").alias(id_col), F.col(vec_col)
+    ).dropDuplicates([id_col])
+    store_cols = store.select(F.col(id_col), F.col(vec_col))
+    if ids_list is not None:
+        store_rest = drop_ids_filter(store_cols, id_col, ids_list)
+    else:
+        # oversized batch: no forced broadcast (a corpus-sized batch id
+        # set must never pin a driver build); AQE picks the strategy —
+        # worst case one store exchange, exactly the r10 dedup's cost
+        store_rest = store_cols.join(
+            vecs.select(F.col("query_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+    return store_rest.unionByName(batch_store)
+
+
 def streaming_semdedup_transform(
     index_dir: str,
     vector_store,
@@ -604,28 +644,47 @@ def streaming_semdedup_transform(
                 .collect()
             }
 
-        # probe + batch histograms in ONE job (both parents are
-        # persisted; the union scan reads their caches) — each extra
-        # per-batch job is fixed scheduler overhead a 3-batch replay
-        # pays three times
-        sides = (
-            self_probes.select(F.lit("p").alias("__side"), "cell")
-            .unionByName(
-                batch_coded.select(F.lit("b").alias("__side"), "cell")
+        # batch-bounded id sets ride as literals under
+        # index_base.SMALL_ID_INLINE_CAP (r11 — removes a broadcast-
+        # build job per consuming action; oversized batches keep the
+        # join path at every site below). Collected FIRST so the
+        # boundedness verdict can also route the histogram below.
+        ids_list = inline_ids(vecs, "query_id")
+        if ids_list is not None:
+            # bounded batch: ONE narrow collect over the two cached
+            # frames (no exchange — a groupBy here materializes an AQE
+            # shuffle stage as its own job, ~5 scheduler round-trips
+            # per micro-batch measured at sf0.1); rows are (tag, cell)
+            # pairs, ≤ (1 + n_probe) × SMALL_ID_INLINE_CAP of them
+            from collections import Counter
+
+            probe_h: dict = Counter()
+            batch_h: dict = Counter()
+            for r in (
+                self_probes.select(F.lit("p").alias("__side"), "cell")
+                .unionByName(
+                    batch_coded.select(F.lit("b").alias("__side"), "cell")
+                )
+                .collect()
+            ):
+                (probe_h if r["__side"] == "p" else batch_h)[r["cell"]] += 1
+        else:
+            # corpus-scale batch: histograms stay a map-side-combined
+            # agg in ONE job (collect bounded by n_cells, never rows)
+            sides = (
+                self_probes.select(F.lit("p").alias("__side"), "cell")
+                .unionByName(
+                    batch_coded.select(F.lit("b").alias("__side"), "cell")
+                )
+                .groupBy("__side", "cell")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
             )
-            .groupBy("__side", "cell")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        )
-        probe_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "p"}
-        batch_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "b"}
+            probe_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "p"}
+            batch_h = {r["cell"]: r["__n"] for r in sides if r["__side"] == "b"}
         # membership probe AFTER the histogram collect: the batch's
         # coded-cell set is already in batch_h, so the probe skips its
-        # own cell collect; batch-bounded id sets ride as literals
-        # under index_base.SMALL_ID_INLINE_CAP (r11 — removes a
-        # broadcast-build job per consuming action; oversized batches
-        # keep the join path at every site below)
-        ids_list = inline_ids(vecs, "query_id")
+        # own cell collect
         pre = _membership(
             spark, index_dir, batch_coded, m,
             cells=sorted(batch_h), ids_list=ids_list,
@@ -722,14 +781,9 @@ def streaming_semdedup_transform(
         )
         # batch vectors ride along so same-generation re-rank works
         # even when the external store lags the index appends
-        full_store = store.select(
-            F.col(m["id_col"]), F.col(m["vec_col"])
-        ).unionByName(
-            vecs.select(
-                F.col("query_id").alias(m["id_col"]),
-                F.col(m["vec_col"]),
-            )
-        ).dropDuplicates([m["id_col"]])
+        full_store = _rerank_store(
+            store, vecs, m["id_col"], m["vec_col"], ids_list
+        )
         raw = match(
             spark, index_dir, surv1, full_store,
             k=1, n_probe=n_probe, rerank=rerank,

@@ -566,3 +566,51 @@ def test_retrain_to_rule_clamps_to_membership(spark, tmp_path):
     out = pq_index.retrain_to_rule(spark, d, corpus, cell_size=250)
     assert out["n_cells"] == 1 and out["membership"] == 6
     assert pq_index._read_manifest(d)["n_cells"] == 1
+
+
+def test_rerank_store_equals_dedup_and_stays_narrow(spark):
+    """_rerank_store (r11): equality vs the r10 union+dropDuplicates
+    form on an overlapping store/batch, and — the optimization's
+    point — the dedup no longer sits ABOVE the union (the r10 shape
+    aggregated the CORPUS-SIZED store every micro-batch; now the only
+    Deduplicate is the batch side's, and the store reaches the union
+    as a plain filtered scan)."""
+    store = _vecs(spark, range(10, 20))
+    batch = _vecs(spark, [12, 13, 40, 40, 41]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ids_list = sorted({12, 13, 40, 41})
+    got = pq_index._rerank_store(store, batch, "vec_id", "embedding", ids_list)
+    old = (
+        store.select("vec_id", "embedding")
+        .unionByName(
+            batch.select(F.col("query_id").alias("vec_id"), "embedding")
+        )
+        .dropDuplicates(["vec_id"])
+    )
+
+    def as_map(df):
+        return {r.vec_id: tuple(r.embedding) for r in df.collect()}
+
+    assert as_map(got) == as_map(old)
+    # one row per id even with duplicate ids within the batch
+    assert got.groupBy("vec_id").count().where("count > 1").count() == 0
+    def n_dedups(plan: str) -> int:
+        # Deduplicate is rewritten to Aggregate(first) by the optimizer
+        return plan.count("Deduplicate") + plan.count("Aggregate")
+
+    opt = got._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    assert lines and lines[0].lstrip().startswith("Union"), lines[:2]
+    # exactly one dedup, BELOW the union (batch side only); the store
+    # side reaches the union as a plain NOT-IN filter over its scan
+    assert n_dedups(opt) == 1, opt
+    assert lines[1].lstrip(": -+").startswith("Filter"), lines[:3]
+    # the oversized-batch fallback keeps an anti-join, never a
+    # corpus-wide dedup
+    got_big = pq_index._rerank_store(store, batch, "vec_id", "embedding", None)
+    assert as_map(got_big) == as_map(old)
+    opt_big = got_big._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in opt_big and n_dedups(opt_big) == 2  # anti-join
+    # distinct on the batch id side + the batch-side dedup — still
+    # nothing aggregates the store
