@@ -203,8 +203,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = 10_000,
+    precomputed_sharr: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via the shingle inverted index.
+
+    ``precomputed_sharr``: a caller-persisted shingle_arrays frame for
+    exactly ``df`` — see minhash_dedup_pairs (the caller owns the
+    cache lifetime).
 
     Plan shape: explode → self equi-join on shingle → count
     intersections → join per-doc sizes → filter. Two shuffles (join +
@@ -225,7 +230,14 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if precomputed_sharr is not None:
+        sharr = precomputed_sharr
+        own_sharr = []
+    else:
+        sharr = shingle_arrays(df, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        own_sharr = [sharr]
     # set sizes read off the persisted doc-level arrays — no aggregation
     sizes = sharr.select(F.col(id_col), F.size("__sh").alias("sz"))
     inter = _pair_intersections(sharr, max_doc_freq, id_col)
@@ -235,7 +247,7 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
-        [sharr],
+        own_sharr,
     )
 
 
@@ -526,9 +538,16 @@ def minhash_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    precomputed_sharr: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the full
-    minhash→band→bucket-join→verify pipeline."""
+    minhash→band→bucket-join→verify pipeline.
+
+    ``precomputed_sharr``: a caller-persisted shingle_arrays frame for
+    exactly ``df`` (r11 — dedup_quality_eval runs this AND the exact
+    pipeline over the same docs; sharing the one persisted shingle
+    pass removes a full tokenize+shingle scan). The caller owns that
+    cache's lifetime; it is not tagged here."""
     # The doc-level shingle arrays feed the signatures (narrow), the
     # Jaccard denominators (narrow size), AND both sides of the verify
     # join (one explode away) — materialize them once, compactly (at
@@ -538,7 +557,14 @@ def minhash_dedup_pairs(
     _check_banding(num_hashes, bands)
     from pyspark import StorageLevel
 
-    sharr = shingle_arrays(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if precomputed_sharr is not None:
+        sharr = precomputed_sharr
+        own_sharr = []
+    else:
+        sharr = shingle_arrays(df, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        own_sharr = [sharr]
     # the signature table (doc-cardinality, num_hashes longs per row)
     # feeds BOTH sides of the band self-join, and the two sides plan
     # independently (AQE broadcasts one — no exchange reuse): without
@@ -556,7 +582,7 @@ def minhash_dedup_pairs(
     # once and computes Jaccard narrowly.
     return _track_cached(
         _jaccard_verify(cands, sharr, sharr, threshold, "id_a", "id_b", id_col),
-        [sharr, sigs],
+        own_sharr + [sigs],
     )
 
 

@@ -1318,12 +1318,20 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both inputs are the existing audited pipelines; the
     audit adds only 1-row aggregates joined by broadcast."""
+    from pyspark import StorageLevel
+
     from kafkaconnect_spark.operators import dedup as DD
     from kafkaconnect_spark.operators.dedup import _track_cached
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    truth = DD.ngram_jaccard_pairs(docs, threshold=0.2)
-    cand = DD.minhash_dedup_pairs(docs, threshold=0.0, num_hashes=16, bands=4)
+    # one persisted shingle pass feeds both pipelines (r11 — the same
+    # sharing as dedup_quality_eval; the two derivations consume the
+    # identical frame, so results are unchanged)
+    sharr = DD.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = DD.ngram_jaccard_pairs(docs, threshold=0.2, precomputed_sharr=sharr)
+    cand = DD.minhash_dedup_pairs(
+        docs, threshold=0.0, num_hashes=16, bands=4, precomputed_sharr=sharr
+    )
     agg = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
         .crossJoin(
@@ -1345,7 +1353,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = list(getattr(truth, "_kc_cached", [])) + list(
         getattr(cand, "_kc_cached", [])
     )
-    return _track_cached(agg, cached)
+    return _track_cached(agg, cached + [sharr])
 
 
 def _lsh_recall_oracle() -> str:

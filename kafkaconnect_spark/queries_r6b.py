@@ -163,9 +163,11 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sig")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    truth_n = dedup.ngram_jaccard_pairs(docs, threshold=0.2).agg(
-        F.count(F.lit(1)).alias("n_truth")
-    )
+    # the truth pipeline reuses the SAME persisted shingle pass (r11 —
+    # it previously re-shingled the corpus for its inverted index)
+    truth_n = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, precomputed_sharr=sharr
+    ).agg(F.count(F.lit(1)).alias("n_truth"))
     points = []
     for b in (1, 2, 4):
         cands = dedup.minhash_lsh_candidates(sigs, bands=b)

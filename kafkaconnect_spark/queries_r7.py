@@ -696,12 +696,21 @@ def dedup_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses the two proven pair plans + label
     propagation; the metric tail is 1-row aggs unioned."""
+    from pyspark import StorageLevel
+
     from kafkaconnect_spark.operators import dedup
-    from kafkaconnect_spark.operators.dedup import carry_cached
+    from kafkaconnect_spark.operators.dedup import _track_cached, carry_cached
 
     docs = _t(spark, sf_dir, "documents", spread=True)
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
-    pred = dedup.minhash_dedup_pairs(docs, threshold=0.2, num_hashes=16, bands=4)
+    # ONE persisted shingle pass feeds both pipelines (r11): truth and
+    # pred each shingled the full corpus independently — the
+    # tokenize+shingle scan is the query's single most expensive narrow
+    # stage, and the two derivations consume the identical frame
+    sharr = dedup.shingle_arrays(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.2, precomputed_sharr=sharr)
+    pred = dedup.minhash_dedup_pairs(
+        docs, threshold=0.2, num_hashes=16, bands=4, precomputed_sharr=sharr
+    )
 
     def _drop_set(pairs: DataFrame) -> DataFrame:
         clusters = dedup.duplicate_clusters(pairs)
@@ -744,7 +753,7 @@ def dedup_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.select("id_a", "id_b"),
         ["id_a", "id_b"],
     ).unionAll(_metrics("doc", t_drop, p_drop, ["doc_id"]))
-    return carry_cached(out, truth, pred)
+    return _track_cached(carry_cached(out, truth, pred), [sharr])
 
 
 from kafkaconnect_spark.query_base import (  # noqa: E402
