@@ -823,20 +823,26 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
         .cast("long")
         .alias("__h"),
     )
+    # expressions built as SQL strings, ONE py4j round-trip each: the
+    # Column-composed form (bits × F.sum(F.when(...).otherwise(...)) +
+    # a bits-term add chain) cost ~1.5-3 s of driver time PER CALL in
+    # py4j chatter alone (r11, measured on the 64-bit twin) — the
+    # parsed expressions are identical, so values and plans are
+    # unchanged
     sums = [
-        F.sum(
-            F.when(F.expr(f"(__h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
-        ).alias(f"__s{b}")
+        F.expr(
+            f"sum(CASE WHEN (__h div {1 << b}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS __s{b}"
+        )
         for b in range(bits)
     ]
     agg = hashed.groupBy(id_col).agg(*sums)
-    acc = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"__s{b}") >= 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        acc = term if acc is None else acc + term
-    return agg.select(F.col(id_col), acc.alias("simhash"))
+    acc = " + ".join(
+        f"CASE WHEN __s{b} >= 0 THEN CAST({1 << b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(acc).alias("simhash"))
 
 
 def simhash_hex64(
@@ -893,23 +899,30 @@ def simhash_hex64(
             for i, salt in enumerate(("simhash:", "simhash2:"))
         ],
     )
+    # SQL-string expressions, one py4j round-trip each (not 64 × the
+    # ~5-call F.sum(F.when(...)) composition + two 32-term Column add
+    # chains): the Column form cost 2-3 s of pure driver py4j PER CALL
+    # (r11, measured) — and the streaming fingerprint SMT calls this
+    # per micro-batch. Parsed expressions identical; values unchanged.
     sums = [
-        F.sum(
-            F.when(F.expr(f"(__h{i} div {1 << b}) % 2 = 1"), 1).otherwise(-1)
-        ).alias(f"__s{i}_{b}")
+        F.expr(
+            f"sum(CASE WHEN (__h{i} div {1 << b}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS __s{i}_{b}"
+        )
         for i in range(2)
         for b in range(32)
     ]
     agg = hashed.groupBy(id_col).agg(*sums)
-    halves = []
-    for i in range(2):
-        acc = None
-        for b in range(32):
-            term = F.when(
-                F.col(f"__s{i}_{b}") >= 0, F.lit(1 << b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            acc = term if acc is None else acc + term
-        halves.append(acc.alias(f"__v{i}"))
+    halves = [
+        F.expr(
+            " + ".join(
+                f"CASE WHEN __s{i}_{b} >= 0 THEN CAST({1 << b} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END"
+                for b in range(32)
+            )
+        ).alias(f"__v{i}")
+        for i in range(2)
+    ]
     return agg.select(F.col(id_col), *halves).select(
         F.col(id_col),
         F.format_string("%08x%08x", F.col("__v0"), F.col("__v1")).alias(

@@ -122,7 +122,9 @@ from kafkaconnect_spark.operators.index_base import (
     _writer_lock,
     delete_ids,
     drop_ids_filter,
+    ids_from_rows,
     inline_ids,
+    inline_rows,
     late_tombstones,
     membership_probe,
     small_tombstone_ids,
@@ -150,6 +152,29 @@ DEFAULT_HOT_DF_CAP = 256
 # when the whole mass landed in one task.
 SKEW_WARN_PAIRS = 10_000_000
 DEFAULT_MAX_HOT_PAIRS = 2_000_000_000
+
+
+# distinct (band, band_val) pairs above which the driver-side batch
+# histogram stops inlining its corpus filter as a literal predicate
+# and falls back to the cluster-side union histogram (an IN list of
+# hundreds of thousands of values is a planning cost, not a saving)
+BAND_VAL_INLINE_CAP = 8192
+
+_HEX_CHARS = frozenset("0123456789abcdefABCDEF")
+
+
+def _valid_batch_rows(rows: list[tuple] | None, width: int) -> bool:
+    """True when every collected (id, hash) row carries a hex hash of
+    exactly ``width`` nibbles — the precondition for replaying the
+    banding/bucket expressions driver-side bit-for-bit (SQL substring/
+    conv semantics on NULL, short, or non-hex values are not
+    replicated; such batches keep the cluster plan)."""
+    if rows is None:
+        return False
+    return all(
+        isinstance(h, str) and len(h) == width and set(h) <= _HEX_CHARS
+        for _, h in rows
+    )
 
 
 class HotPairRefusalError(ValueError):
@@ -312,6 +337,7 @@ def match(
     max_hot_pairs: int = DEFAULT_MAX_HOT_PAIRS,
     hot_route_min_pairs: int = SKEW_WARN_PAIRS,
     exclude_id_list: list | None = None,
+    precollected_rows: list | None = None,
 ) -> DataFrame:
     """Read-only near-dup fingerprint pairs (id_new, id_corpus,
     hamming ≤ max_hamming) of a batch against the CURRENT generation.
@@ -370,16 +396,47 @@ def match(
         StorageLevel.MEMORY_AND_DISK
     )
     tracked = [b_new]
-    hit = sorted(
-        {
-            r[0]
-            for r in b_new.select(
-                _band_bucket_expr(m["band_buckets"]).alias("bb")
-            )
-            .distinct()
-            .collect()
-        }
-    )
+    # r11 (guide §8 — decide with small rows): a bounded batch is
+    # collected ONCE and its band values replayed driver-side — the
+    # bucket hit set and the skew histogram's batch half then cost
+    # zero cluster jobs (each was its own collect, and the histogram's
+    # union+groupBy materialized AQE shuffle stages as extra jobs).
+    # Engages only for batches under SMALL_ID_INLINE_CAP whose hashes
+    # are all well-formed (exact-width hex) — anything else keeps the
+    # r10 cluster plans. The joins/verify below are untouched either
+    # way; this changes where histograms are computed, never results.
+    batch_rows = precollected_rows
+    if batch_rows is None:
+        batch_rows = inline_rows(new_hashes, [id_col, hash_col])
+    if not _valid_batch_rows(batch_rows, m["bits"] // 4):
+        batch_rows = None
+    val_mult: dict | None = None
+    if batch_rows is not None:
+        from collections import Counter
+
+        val_mult = Counter()
+        for _i, h in batch_rows:
+            for b in range(m["bands"]):
+                val_mult[(b, h[b * npb:(b + 1) * npb])] += 1
+        # int(bv, 16) % n replays _band_bucket_expr (conv hex→dec,
+        # cast int, pmod) exactly for validated ≤4-nibble values
+        hit = sorted(
+            {int(bv, 16) % m["band_buckets"] for _b, bv in val_mult}
+        )
+    else:
+        # null buckets (a NULL/short hash's band) match nothing in the
+        # isin prune below — drop them rather than crash sorted()
+        hit = sorted(
+            {
+                r[0]
+                for r in b_new.select(
+                    _band_bucket_expr(m["band_buckets"]).alias("bb")
+                )
+                .distinct()
+                .collect()
+                if r[0] is not None
+            }
+        )
     idx_b = (
         spark.read.parquet(_table_path(index_dir, "bands", v))
         .where(F.col("band_bucket").isin(hit))
@@ -403,39 +460,66 @@ def match(
             exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)).distinct()
         )
         idx_b = idx_b.join(excl, id_col, "left_anti")
-    # -- band-value histogram: the routing + skew guard. ONE union-
-    # tagged map-side-combined agg measures corpus df AND batch
-    # multiplicity per value (the r10 shape ran a batch-vals distinct
-    # + semi-join instead — an extra exchange per match); group count
-    # is bounded by the geometry's band-value space, the collect by
-    # the batch's distinct values.
-    hot_rows = []
+    # -- band-value histogram: the routing + skew guard. With the
+    # batch's multiplicities already counted driver-side the cluster
+    # half shrinks to a corpus-only agg over idx_b pruned by a literal
+    # per-band IN predicate (fuses into the bucket-pruned scan — no
+    # union, no batch-cache scan, no extra AQE stage jobs); an
+    # uncollected or value-heavy batch keeps the r10 union-tagged
+    # map-side-combined agg measuring both sides in one job. Rows are
+    # normalized to (band, band_val, dfc, dfb) tuples either way.
+    hot_rows: list[tuple] = []
     if hot_df_cap is not None:
-        hist = (
-            idx_b.select(F.lit("c").alias("__side"), "band", "band_val")
-            .unionByName(
-                b_new.select(F.lit("b").alias("__side"), "band", "band_val")
+        if val_mult is not None and len(val_mult) <= BAND_VAL_INLINE_CAP:
+            per_band: dict[int, list] = {}
+            for b, bv in val_mult:
+                per_band.setdefault(b, []).append(bv)
+            pred = " OR ".join(
+                "(band = {} AND band_val IN ({}))".format(
+                    b, ",".join(f"'{bv}'" for bv in sorted(vs))
+                )
+                for b, vs in sorted(per_band.items())
             )
-            .groupBy("band", "band_val")
-            .agg(
-                F.count(F.when(F.col("__side") == "c", 1)).alias("dfc"),
-                F.count(F.when(F.col("__side") == "b", 1)).alias("dfb"),
-            )
-            .where((F.col("dfb") > 0) & (F.col("dfc") > hot_df_cap))
-            .collect()
-        )
+            hist = [
+                (r["band"], r["band_val"], r["dfc"],
+                 val_mult[(r["band"], r["band_val"])])
+                for r in idx_b.where(F.expr(pred))
+                .groupBy("band", "band_val")
+                .agg(F.count(F.lit(1)).alias("dfc"))
+                .where(F.col("dfc") > hot_df_cap)
+                .collect()
+            ]
+        else:
+            hist = [
+                (r["band"], r["band_val"], r["dfc"], r["dfb"])
+                for r in (
+                    idx_b.select(F.lit("c").alias("__side"), "band", "band_val")
+                    .unionByName(
+                        b_new.select(
+                            F.lit("b").alias("__side"), "band", "band_val"
+                        )
+                    )
+                    .groupBy("band", "band_val")
+                    .agg(
+                        F.count(F.when(F.col("__side") == "c", 1)).alias("dfc"),
+                        F.count(F.when(F.col("__side") == "b", 1)).alias("dfb"),
+                    )
+                    .where((F.col("dfb") > 0) & (F.col("dfc") > hot_df_cap))
+                    .collect()
+                )
+            ]
         # id-level pair mass of the hot values: an upper bound on what
         # the single-plan equi-join would stream through them. Under
         # the route line the machinery costs more than the mass —
         # leave the hot values in the equi-join (still measured; the
         # plan is the bounded one either way).
-        est0 = sum(r["dfc"] * r["dfb"] for r in hist)
+        est0 = sum(dfc * dfb for _b, _v, dfc, dfb in hist)
         if est0 > hot_route_min_pairs:
             hot_rows = hist
     if hot_rows:
         hot_vals = F.broadcast(
             spark.createDataFrame(
-                [(r["band"], r["band_val"]) for r in hot_rows],
+                [(b, bv) for b, bv, _c, _n in hot_rows],
                 "band int, band_val string",
             )
         )
@@ -880,10 +964,18 @@ def streaming_fingerprint_dedup_transform(
             ).withColumnRenamed("simhash_hex", hash_col)
         hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
         ids = hashes.select(id_col)
-        # r11: batch-bounded id sets ride as literals under
-        # index_base.SMALL_ID_INLINE_CAP — removes a broadcast-build
-        # job per consuming action; oversized sets keep the join path
-        ids_list = inline_ids(ids, id_col)
+        # r11: ONE bounded collect of the batch's (id, hash) rows
+        # serves the id-set literals (the r11a inline_ids contract),
+        # the within-batch guard's histogram, AND the corpus match's
+        # driver-side banding (guide §8 — decide with small rows);
+        # oversized or malformed batches keep every cluster path
+        rows = inline_rows(hashes, [id_col, hash_col])
+        ids_list = ids_from_rows(rows) if rows is not None else None
+        batch_rows = (
+            rows
+            if ids_list is not None and _valid_batch_rows(rows, m["bits"] // 4)
+            else None
+        )
         pre = _membership(spark, index_dir, ids, m, ids_list=ids_list)
         pre_ids = inline_ids(pre) if ids_list is not None else None
         if pre_ids is None:
@@ -899,8 +991,20 @@ def streaming_fingerprint_dedup_transform(
         # materializes — the SemDeDup guard's property, third index.
         _line = _match_kw.get("max_hot_pairs", DEFAULT_MAX_HOT_PAIRS)
         _guard_on = _match_kw.get("hot_df_cap", DEFAULT_HOT_DF_CAP) is not None
-        est_self = (
-            (
+        if not _guard_on:
+            est_self = 0  # hot_df_cap=None disables the guard, both halves
+        elif batch_rows is not None:
+            # the collected batch replays the banding driver-side —
+            # the guard's Σ n·(n−1) needs no cluster job (r11)
+            from collections import Counter
+
+            _vm: Counter = Counter()
+            for _i, h in batch_rows:
+                for b in range(m["bands"]):
+                    _vm[(b, h[b * npb:(b + 1) * npb])] += 1
+            est_self = sum(n * (n - 1) for n in _vm.values() if n > 1)
+        else:
+            est_self = (
                 b_new.groupBy("band", "band_val")
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .where(F.col("__n") > 1)
@@ -908,9 +1012,6 @@ def streaming_fingerprint_dedup_transform(
                 .collect()[0][0]
                 or 0
             )
-            if _guard_on
-            else 0  # hot_df_cap=None disables the guard, both halves
-        )
         if _guard_on and est_self > _line:
             refusal_msg = (
                 f"within-batch band-collision volume {est_self:,} "
@@ -965,6 +1066,19 @@ def streaming_fingerprint_dedup_transform(
         sd_ids = inline_ids(self_drops, "id_new")
         if sd_ids is not None:
             surv1 = drop_ids_filter(hashes, id_col, sd_ids)
+            # the survivors' (id, hash) rows are the collected batch
+            # minus the dropped ids — match() reuses them driver-side
+            # instead of re-collecting (null ids survive the drop
+            # filter, mirroring drop_ids_filter's null handling)
+            surv_rows = (
+                [
+                    r
+                    for r in batch_rows
+                    if r[0] is None or r[0] not in set(sd_ids)
+                ]
+                if batch_rows is not None
+                else None
+            )
         else:
             surv1 = hashes.join(
                 F.broadcast(
@@ -973,11 +1087,13 @@ def streaming_fingerprint_dedup_transform(
                 id_col,
                 "left_anti",
             )
+            surv_rows = None
         # -- step 2: corpus match, batch ids pool-excluded --
         try:
             pairs = match(
                 spark, index_dir, surv1, max_hamming=mh, exclude_ids=ids,
                 exclude_id_list=ids_list,
+                precollected_rows=surv_rows,
                 **_match_kw,
             )
         except HotPairRefusalError as refusal:

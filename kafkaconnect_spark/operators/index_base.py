@@ -201,6 +201,36 @@ def inline_ids(
     return sorted(out)
 
 
+def inline_rows(
+    df: DataFrame, cols: list[str], cap: int = SMALL_ID_INLINE_CAP
+) -> list[tuple] | None:
+    """The row-level twin of :func:`inline_ids`: up to ``cap`` rows of
+    ``df[cols]`` as Python tuples, or None past the cap (callers keep
+    their cluster plans). Same bounded single-job shape
+    (limit(cap+1) → coalesce(1) → collect). Unlike inline_ids this
+    does NOT dedup, drop nulls, or validate literal types — callers
+    that build predicates from the values run their own checks."""
+    rows = df.select(*cols).limit(cap + 1).coalesce(1).collect()
+    if len(rows) > cap:
+        return None
+    return [tuple(r) for r in rows]
+
+
+def ids_from_rows(rows: list[tuple], idx: int = 0) -> list | None:
+    """inline_ids' post-processing over an inline_rows result: the
+    distinct non-null values of column ``idx`` as sorted literals, or
+    None when a value is not an int/str id type (callers keep the
+    join path) — so ONE bounded collect can serve both the id-set
+    predicates and driver-side decisioning over the other columns."""
+    out = {r[idx] for r in rows if r[idx] is not None}
+    try:
+        for v in out:
+            _sql_id_literal(v)
+    except TypeError:
+        return None
+    return sorted(out)
+
+
 def keep_ids_pred(col_sql: str, ids: list):
     """`(col) IN (ids)` as a predicate; an empty set keeps nothing —
     exactly a semi-join against an empty frame (null ids evaluate

@@ -239,3 +239,47 @@ def test_build_records_band_skew_in_manifest(spark, tmp_path):
     )
     skew = hamming_index._read_manifest(d)["band_skew"]
     assert skew["max_df"] == 5 and skew["n_hot_values"] == 0
+
+
+def test_driver_side_banding_equals_cluster_plan(spark, tmp_path, monkeypatch):
+    """r11: match() replays the banding/bucket/histogram math driver-
+    side for a bounded well-formed batch (guide §8). Forcing the
+    cluster plan back on (inline refused) must yield the identical
+    result — the collected batch changes where the hit set and skew
+    histogram are computed, never what joins or verifies."""
+    rows = _skewed_corpus()
+    corpus = [r for r in rows if r[0] % 10 != 0]
+    batch = [r for r in rows if r[0] % 10 == 0]
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=8,
+                        max_hamming=4)
+    want = _brute_pairs(batch, corpus, 4)
+    for kw in ({}, {"hot_df_cap": 2, "hot_route_min_pairs": 0}):
+        res = hamming_index.match(spark, d, _hashes(spark, batch), **kw)
+        driver_side = {(r.id_new, r.id_corpus, r.hamming) for r in res.collect()}
+        release_cached(res)
+        monkeypatch.setattr(hamming_index, "inline_rows", lambda *a, **k: None)
+        res2 = hamming_index.match(spark, d, _hashes(spark, batch), **kw)
+        cluster_side = {(r.id_new, r.id_corpus, r.hamming) for r in res2.collect()}
+        release_cached(res2)
+        monkeypatch.undo()
+        assert driver_side == cluster_side == want, f"{kw}"
+
+
+def test_malformed_batch_hashes_keep_the_cluster_plan(spark, tmp_path):
+    """A batch carrying a NULL or wrong-width hash must fall back to
+    the cluster plan (driver-side substring/conv replication is only
+    proven for exact-width hex) and still match correctly on its
+    well-formed rows."""
+    corpus = [(1, "00ff00ff00ff00ff"), (2, "a5a5a5a5a5a5a5a5")]
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=8,
+                        max_hamming=4)
+    batch = spark.createDataFrame(
+        [(10, "00ff00ff00ff00ff"), (11, None), (12, "beef")],
+        "doc_id long, phash string",
+    )
+    res = hamming_index.match(spark, d, batch)
+    got = {(r.id_new, r.id_corpus, r.hamming) for r in res.collect()}
+    release_cached(res)
+    assert got == {(10, 1, 0)}
