@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkaconnect_spark.query_base import _t
-from kafkaconnect_spark.queries_r7 import _tmp_index_dir
+from kafkaconnect_spark.queries_r7 import _seeded_index_dir
 
 
 def fingerprint_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,10 +52,14 @@ def fingerprint_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erased_ids = (
         corpus.where(F.col("doc_id") % 3 == 0).select("doc_id").distinct()
     )
-    d = _tmp_index_dir("fp_retention_audit_")
-    hamming_index.build(
-        simhash_hex64(corpus).withColumnRenamed("simhash_hex", "phash"),
-        d, bits=64, bands=8, max_hamming=4,
+    # deterministic corpus build seeded once per process; every run
+    # tombstones/compacts/GCs its own byte-copy (r11)
+    d = _seeded_index_dir(
+        "fp_retention_audit_", sf_dir, "documents", "ham_simhash_ne0_64_8_4",
+        lambda p: hamming_index.build(
+            simhash_hex64(corpus).withColumnRenamed("simhash_hex", "phash"),
+            p, bits=64, bands=8, max_hamming=4,
+        ),
     )
     hamming_index.delete(spark, d, erased_ids)
     hamming_index.compact(spark, d, keep_generations=1)

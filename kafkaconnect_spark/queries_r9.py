@@ -38,7 +38,6 @@ from kafkaconnect_spark.queries_r6 import _COS6
 from kafkaconnect_spark.queries_r7 import (
     _ivfpq_variant_pipeline,
     _lloyd_cents_cte,
-    _tmp_index_dir,
     _seeded_index_dir,
 )
 
@@ -475,13 +474,22 @@ def embedding_pq_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = vecs.agg(
         F.floor(F.max("vec_id") / 2).cast("long").alias("c")
     ).collect()[0][0]
-    d = _tmp_index_dir("pq_retrain_")
-    pq_index.build(
-        vecs.where(F.col("vec_id") <= cut), d,
-        n_cells=8, n_sub=4, n_codes=8, dim=64, train_rounds=2,
-        id_col="vec_id", vec_col="embedding",
+    # standing state (half-corpus trained build + appended second
+    # half) is deterministic — seeded once per process, byte-copied
+    # per run so the retrain mutates its own copy (r11; the r9 replay
+    # queries' _seeded_index_dir contract)
+    def _build(p: str) -> None:
+        pq_index.build(
+            vecs.where(F.col("vec_id") <= cut), p,
+            n_cells=8, n_sub=4, n_codes=8, dim=64, train_rounds=2,
+            id_col="vec_id", vec_col="embedding",
+        )
+        pq_index.append(spark, p, vecs.where(F.col("vec_id") > cut))
+
+    d = _seeded_index_dir(
+        "pq_retrain_", sf_dir, "embeddings", "pq_retrain_half_8_4_8_t2",
+        _build,
     )
-    pq_index.append(spark, d, vecs.where(F.col("vec_id") > cut))
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -617,8 +625,14 @@ def multimodal_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = hashes.where(F.col("doc_id") % 10 != 0)
     batch = hashes.where(F.col("doc_id") % 10 == 0)
     erased = standing.where(F.col("doc_id") % 3 == 0)
-    d = _tmp_index_dir("ham_index_")
-    hamming_index.build(standing, d, bits=64, bands=8, max_hamming=4)
+    # deterministic standing build seeded once per process; every run
+    # mutates (delete/compact/add) its own byte-copy (r11)
+    d = _seeded_index_dir(
+        "ham_index_", sf_dir, "documents", "ham_ahash_standing_64_8_4",
+        lambda p: hamming_index.build(
+            standing, p, bits=64, bands=8, max_hamming=4
+        ),
+    )
     hamming_index.delete(spark, d, erased.select("doc_id"))
     raw1 = hamming_index.match(spark, d, batch)
     p1 = _materialized(raw1, d, "p1")
@@ -720,9 +734,14 @@ def dedup_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = hashes.where(F.col("doc_id") % 10 != 0)
     batch = hashes.where(F.col("doc_id") % 10 == 0)
     erased = standing.where(F.col("doc_id") % 3 == 0)
-    d = _tmp_index_dir("simhash_index_")
-    hamming_index.build(
-        standing, d, bits=64, bands=8, max_hamming=4, hash_col="simhash_hex"
+    # deterministic standing build seeded once per process; every run
+    # mutates (delete/add) its own byte-copy (r11)
+    d = _seeded_index_dir(
+        "simhash_index_", sf_dir, "documents", "ham_simhash_standing_64_8_4",
+        lambda p: hamming_index.build(
+            standing, p, bits=64, bands=8, max_hamming=4,
+            hash_col="simhash_hex",
+        ),
     )
     raw1 = hamming_index.match(spark, d, batch)
     p1 = _materialized(raw1, d, "p1")
@@ -997,8 +1016,14 @@ def index_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erased_ids = (
         corpus.where(F.col("doc_id") % 3 == 0).select("doc_id").distinct()
     )
-    d = _tmp_index_dir("retention_audit_")
-    lsh_index.build(corpus, d, num_hashes=16, bands=4, threshold=0.2)
+    # deterministic corpus build seeded once per process; every run
+    # tombstones/compacts/GCs its own byte-copy (r11)
+    d = _seeded_index_dir(
+        "retention_audit_", sf_dir, "documents", "lsh_corpus_ne0_16_4_02",
+        lambda p: lsh_index.build(
+            corpus, p, num_hashes=16, bands=4, threshold=0.2
+        ),
+    )
     lsh_index.delete(spark, d, erased_ids)
     lsh_index.compact(spark, d, keep_generations=1)
 
@@ -1093,8 +1118,14 @@ def embedding_pq_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erased_ids = (
         corpus.where(F.col("vec_id") % 3 == 0).select("vec_id").distinct()
     )
-    d = _tmp_index_dir("pq_retention_audit_")
-    pq_index.build(corpus, d, n_cells=8, n_sub=4, n_codes=8, dim=64)
+    # deterministic corpus build seeded once per process; every run
+    # tombstones/compacts/GCs its own byte-copy (r11)
+    d = _seeded_index_dir(
+        "pq_retention_audit_", sf_dir, "embeddings", "pq_corpus_ne0_8_4_8",
+        lambda p: pq_index.build(
+            corpus, p, n_cells=8, n_sub=4, n_codes=8, dim=64
+        ),
+    )
     pq_index.delete(spark, d, erased_ids)
     pq_index.compact(spark, d, keep_generations=1)
 
