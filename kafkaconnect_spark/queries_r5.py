@@ -45,19 +45,19 @@ def dedup_lsh_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: append = one (band, band_hash) equi-join + candidate
     verify; compact = distinct + repartition, amortized over appends;
     nothing corpus-sized is ever recomputed or self-joined."""
-    import atexit
-    import shutil
-    import tempfile
-
     from kafkaconnect_spark.operators import lsh_index
+    from kafkaconnect_spark.queries_r7 import _seeded_index_dir
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch1 = docs.where(F.col("doc_id") % 20 == 0)
     batch2 = docs.where(F.col("doc_id") % 20 == 10)
-    index_dir = tempfile.mkdtemp(prefix="lsh_index_")
-    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
-    lsh_index.build(corpus, index_dir, num_hashes=16, bands=4)
+    # deterministic standing build seeded once per process; every run
+    # appends/compacts its own byte-copy (r11)
+    index_dir = _seeded_index_dir(
+        "lsh_index_", sf_dir, "documents", "lsh_lifecycle_ne0_16_4",
+        lambda p: lsh_index.build(corpus, p, num_hashes=16, bands=4),
+    )
     p1 = lsh_index.append(spark, index_dir, batch1, threshold=0.2)
     p2 = lsh_index.append(spark, index_dir, batch2, threshold=0.2)
     lsh_index.compact(spark, index_dir)

@@ -177,19 +177,21 @@ def dedup_lsh_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: delete is a broadcast anti-join of a tiny tombstone
     log; everything else is the proven match/append/compact plans —
     nothing corpus-sized recomputes."""
-    import atexit
-    import shutil
-    import tempfile
-
     from kafkaconnect_spark.operators import lsh_index
+    from kafkaconnect_spark.queries_r7 import _seeded_index_dir
 
     docs = _t(spark, sf_dir, "documents", spread=True)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     erased = corpus.where(F.col("doc_id") % 3 == 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
-    index_dir = tempfile.mkdtemp(prefix="lsh_erasure_")
-    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
-    lsh_index.build(corpus, index_dir, num_hashes=16, bands=4, threshold=0.2)
+    # deterministic standing build seeded once per process; every run
+    # tombstones/appends/compacts its own byte-copy (r11)
+    index_dir = _seeded_index_dir(
+        "lsh_erasure_", sf_dir, "documents", "lsh_corpus_ne0_16_4_02",
+        lambda p: lsh_index.build(
+            corpus, p, num_hashes=16, bands=4, threshold=0.2
+        ),
+    )
     lsh_index.delete(spark, index_dir, erased.select("doc_id"))
     p1 = lsh_index.append(spark, index_dir, batch)
     # keep_generations=0: the pre-compact generation that still holds

@@ -111,8 +111,14 @@ def embedding_pq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    d = _tmp_index_dir("pq_lifecycle_")
-    pq_index.build(corpus, d, n_cells=8, n_sub=4, n_codes=8, dim=64)
+    # deterministic standing build seeded once per process; every run
+    # appends into its own byte-copy (r11)
+    d = _seeded_index_dir(
+        "pq_lifecycle_", sf_dir, "embeddings", "pq_corpus_ne0_8_4_8",
+        lambda p: pq_index.build(
+            corpus, p, n_cells=8, n_sub=4, n_codes=8, dim=64
+        ),
+    )
     p1 = _materialized(
         pq_index.match(spark, d, q, emb, k=10, n_probe=2, rerank=30), d, "p1"
     )
@@ -150,8 +156,15 @@ def embedding_pq_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    d = _tmp_index_dir("pq_erasure_")
-    pq_index.build(corpus, d, n_cells=8, n_sub=4, n_codes=8, dim=64)
+    # same deterministic standing build as embedding_pq_index_lifecycle
+    # and the pq retention audit — ONE seeded build serves all three;
+    # every run tombstones/compacts its own byte-copy (r11)
+    d = _seeded_index_dir(
+        "pq_erasure_", sf_dir, "embeddings", "pq_corpus_ne0_8_4_8",
+        lambda p: pq_index.build(
+            corpus, p, n_cells=8, n_sub=4, n_codes=8, dim=64
+        ),
+    )
     pq_index.delete(spark, d, erased.select("vec_id"))
     p1 = _materialized(
         pq_index.match(spark, d, q, emb, k=10, n_probe=2, rerank=30), d, "p1"
