@@ -405,8 +405,13 @@ def match(
     # are all well-formed (exact-width hex) — anything else keeps the
     # r10 cluster plans. The joins/verify below are untouched either
     # way; this changes where histograms are computed, never results.
-    batch_rows = precollected_rows
-    if batch_rows is None:
+    # npb > 4 geometries keep the cluster plan outright: the driver's
+    # int(bv, 16) % band_buckets replay is exact only while the band
+    # value fits an int — _band_bucket_expr's conv→cast('int') NULLs
+    # values ≥ 2^31 on the cluster, and the two paths would silently
+    # diverge (r11 ADVICE)
+    batch_rows = precollected_rows if npb <= 4 else None
+    if batch_rows is None and npb <= 4:
         batch_rows = inline_rows(new_hashes, [id_col, hash_col])
     if not _valid_batch_rows(batch_rows, m["bits"] // 4):
         batch_rows = None
@@ -470,7 +475,13 @@ def match(
     # normalized to (band, band_val, dfc, dfb) tuples either way.
     hot_rows: list[tuple] = []
     if hot_df_cap is not None:
-        if val_mult is not None and len(val_mult) <= BAND_VAL_INLINE_CAP:
+        if val_mult is not None and not val_mult:
+            # EMPTY collected batch: no band values, hence no hot
+            # values — short-circuit instead of building an empty IN
+            # predicate (F.expr('') raises; routine for a streaming
+            # micro-batch with zero rows — r11 ADVICE)
+            hist = []
+        elif val_mult is not None and len(val_mult) <= BAND_VAL_INLINE_CAP:
             per_band: dict[int, list] = {}
             for b, bv in val_mult:
                 per_band.setdefault(b, []).append(bv)
@@ -1070,12 +1081,9 @@ def streaming_fingerprint_dedup_transform(
             # minus the dropped ids — match() reuses them driver-side
             # instead of re-collecting (null ids survive the drop
             # filter, mirroring drop_ids_filter's null handling)
+            _sd = set(sd_ids)  # hoisted: O(batch + drops), not O(batch × drops)
             surv_rows = (
-                [
-                    r
-                    for r in batch_rows
-                    if r[0] is None or r[0] not in set(sd_ids)
-                ]
+                [r for r in batch_rows if r[0] is None or r[0] not in _sd]
                 if batch_rows is not None
                 else None
             )

@@ -266,6 +266,51 @@ def test_driver_side_banding_equals_cluster_plan(spark, tmp_path, monkeypatch):
         assert driver_side == cluster_side == want, f"{kw}"
 
 
+def test_empty_batch_matches_nothing(spark, tmp_path):
+    """A zero-row micro-batch (routine for streaming; also reached via
+    precollected_rows=[]) must return an empty result, not raise on an
+    empty inline predicate (r11 ADVICE: pred='' → ParseException)."""
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, CORPUS), d, bits=64, bands=8,
+                        max_hamming=4)
+    empty = spark.createDataFrame([], "doc_id long, phash string")
+    res = hamming_index.match(spark, d, empty)
+    assert res.collect() == []
+    release_cached(res)
+    res2 = hamming_index.match(spark, d, empty, precollected_rows=[])
+    assert res2.collect() == []
+    release_cached(res2)
+
+
+def test_wide_band_geometry_keeps_the_cluster_plan(spark, tmp_path,
+                                                   monkeypatch):
+    """npb > 4 (e.g. bits=64 / bands=2): the driver-side bucket replay
+    int(bv,16) % n diverges from _band_bucket_expr's conv→cast('int')
+    for band values ≥ 2^31 — match() must not engage the inline path
+    at all (r11 ADVICE), and must still match correctly through the
+    cluster plan."""
+    calls = []
+    orig = hamming_index.inline_rows
+    monkeypatch.setattr(
+        hamming_index, "inline_rows",
+        lambda *a, **k: calls.append(1) or orig(*a, **k),
+    )
+    # every 8-nibble band value kept under 2^31 (leading nibble ≤ 7):
+    # ANSI cast raises outright on wider values, so such hashes cannot
+    # even be indexed — the divergence the gate closes is the driver
+    # replay consulting buckets the cluster expression cannot compute
+    corpus = [(1, "00ff00ff00ff00ff"), (2, "7123456712345678")]
+    batch = [(10, "00ff00ff00ff00fe")]  # hamming 1 from corpus 1
+    d = str(tmp_path / "ham")
+    hamming_index.build(_hashes(spark, corpus), d, bits=64, bands=2,
+                        max_hamming=1)
+    res = hamming_index.match(spark, d, _hashes(spark, batch))
+    got = {(r.id_new, r.id_corpus, r.hamming) for r in res.collect()}
+    release_cached(res)
+    assert got == {(10, 1, 1)}
+    assert not calls  # the driver-side replay never engaged
+
+
 def test_malformed_batch_hashes_keep_the_cluster_plan(spark, tmp_path):
     """A batch carrying a NULL or wrong-width hash must fall back to
     the cluster plan (driver-side substring/conv replication is only
