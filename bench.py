@@ -26,6 +26,21 @@ BENCH_EXTRA = {
     "orders_profile_approx": orders_profile_approx,
 }
 
+# r11 verdict #8: these queries have tripped the in-suite >2× flag
+# five rounds running with UNTOUCHED code; standalone re-profiles each
+# round measure them steady (value = warm standalone seconds, best of
+# several passes — r4/r9/r10/r11 adjudications, re-measured r12 via
+# tools/probe_query_jobs). _compare_runs diverts their flags into
+# `regressions_over_2x_adjudicated` so the regression gate stops
+# re-flagging known Arrow python-worker in-suite variance — the flags
+# stay recorded (a REAL regression on these queries still surfaces in
+# the adjudicated list with its ratio in `ratios`), just not mixed
+# into the actionable gate.
+VARIANCE_ADJUDICATED = {
+    "multimodal_audio_stats": 1.1,
+    "multimodal_video_frames": 1.0,
+}
+
 
 def _bench_fn(name: str):
     return BENCH_EXTRA[name] if name in BENCH_EXTRA else QUERY_CATALOG[name].fn
@@ -366,60 +381,33 @@ def main() -> None:
     vs_prev = None if bench_out else _vs_prev(timings, sf, calibration)
     if vs_prev is not None:
         out["vs_prev"] = vs_prev
-    # two lines: the FULL record first (per-query map + ratios), then a
-    # SHORT final line with totals only. The driver parses a bounded
-    # tail of stdout — r2's single line (46 queries + vs_prev) outgrew
-    # it and the round's bench recorded "parsed": null.
-    print(json.dumps(out))
-    summary = {
-        "metric": out["metric"],
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "calibration": calibration,
-        "calibration_post": calibration_post,
-        "intra_run_drift": intra_drift,
-        "intra_run_drift_alert": out["intra_run_drift_alert"],
-    }
-    if dml is not None:
-        summary["dml_parity_wall"] = dml
-    if staged is not None:
-        summary["dml_staged"] = staged
-    if stage_metrics:
-        top = sorted(
-            stage_metrics.items(),
-            key=lambda kv: -(
-                kv[1]["shuffle_read_bytes"] + kv[1]["shuffle_write_bytes"]
-            ),
-        )[:5]
-        summary["top_shufflers_mb"] = {
-            n: round(
-                (m["shuffle_read_bytes"] + m["shuffle_write_bytes"]) / 2**20, 1
-            )
-            for n, m in top
-        }
-        summary["total_spill_bytes"] = sum(
-            m["memory_spill_bytes"] + m["disk_spill_bytes"]
-            for m in stage_metrics.values()
+    # seed-build accounting (r11 verdict #2): the one-time standing-
+    # index builds run during the UNTIMED warmup pass (memoised per
+    # process — queries_r7._seeded_index_dir); their cost is reported
+    # as its own line item so the headline total's composition is
+    # fully accounted: value = the timed best-of-2 passes,
+    # seed_builds_sec = the build work the seeding moved out of them.
+    try:
+        from kafkaconnect_spark.queries_r7 import STANDING_BUILD_SECONDS
+
+        out["seed_builds"] = dict(sorted(STANDING_BUILD_SECONDS.items()))
+        out["seed_builds_sec"] = round(
+            sum(STANDING_BUILD_SECONDS.values()), 3
         )
-    if vs_prev is not None:
-        summary["vs_prev"] = {
-            k: vs_prev[k]
-            for k in (
-                "baseline",
-                "comparable_total",
-                "comparable_prev_total",
-                "total_ratio",
-                "total_ratio_normalized",
-                "calibration_factor",
-                "calibration_factor_alert",
-                "new_queries_total",
-                "regressions_over_2x",
-                "regressions_over_2x_raw",
-            )
-        }
-    print(json.dumps(summary))
+    except Exception:  # noqa: BLE001 — accounting must not fail the bench
+        pass
+    out["variance_adjudicated"] = VARIANCE_ADJUDICATED
+    # two lines: the FULL record first (per-query map + ratios), then a
+    # FINAL summary line. The driver keeps only the last 2000 chars of
+    # stdout (every BENCH_r*.json tail is exactly 2000 chars) and
+    # parses the last complete JSON line in it — r2's single line (46
+    # queries + vs_prev) outgrew the window and recorded "parsed":
+    # null; r10/r11's totals-only summary left PERF per_query empty
+    # two rounds running (r11 verdict #1). _fit_summary sizes the
+    # final line to the window WITH as much of the per-query map as
+    # fits.
+    print(json.dumps(out))
+    print(json.dumps(_fit_summary(out)))
     # full local record for the NEXT round's vs_prev (the driver's own
     # BENCH_r{N}.json now stores only the short summary): tagged with
     # the current commit so a same-round re-run never compares against
@@ -434,6 +422,103 @@ def main() -> None:
             json.dump(rec, fh)
     except OSError:
         pass  # read-only checkout: vs_prev degrades, bench still reports
+
+
+# the driver's stdout tail window, measured: every committed
+# BENCH_r*.json `tail` is exactly 2000 chars. The final line must fit
+# the window WHOLE (a longer line leaves no complete JSON line in the
+# tail — the r2 "parsed": null failure). Budget leaves slack for the
+# trailing newline and a margin.
+_DRIVER_TAIL_BUDGET = 1980
+
+
+def _fit_summary(out: dict, budget: int = _DRIVER_TAIL_BUDGET) -> dict:
+    """The final printed line, sized to the driver's tail window with
+    as much of the per-query map as fits (r11 verdict #1: PERF
+    per_query/scaling were empty two rounds running because the
+    summary carried no `queries`). The COMPLETE map cannot fit — it
+    serializes to ~5.3 KB (the 157 query names alone sum to 3.6 KB)
+    and renaming keys is contract-banned — so the summary carries the
+    MOST EXPENSIVE queries first and aggregates the rest into
+    `queries_omitted` {n, sec}; line 1 and bench_full_sf{sf}.json keep
+    the complete map. Keys kept identical to the full record's so the
+    driver's per-query and c32/c8 scaling comparisons work unchanged
+    on the included subset (~80% of total seconds)."""
+    timings = out["queries"]
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "calibration": out["calibration"],
+        "calibration_post": out["calibration_post"],
+        "intra_run_drift": out["intra_run_drift"],
+        "intra_run_drift_alert": out["intra_run_drift_alert"],
+    }
+    if "seed_builds_sec" in out:
+        summary["seed_builds_sec"] = out["seed_builds_sec"]
+    dml = out.get("dml_parity_wall")
+    if dml:
+        summary["dml_parity_wall"] = {
+            k: dml[k]
+            for k in ("elapsed_sec", "n_ops", "parity", "batch_p95_ms")
+            if k in dml
+        }
+    sm = out.get("stage_metrics")
+    if sm:
+        summary["total_spill_bytes"] = sum(
+            m["memory_spill_bytes"] + m["disk_spill_bytes"]
+            for m in sm.values()
+        )
+    vs_prev = out.get("vs_prev")
+    if vs_prev is not None:
+        vp = {
+            k: vs_prev[k]
+            for k in (
+                "baseline",
+                "comparable_total",
+                "comparable_prev_total",
+                "total_ratio",
+                "total_ratio_normalized",
+                "calibration_factor",
+                "calibration_factor_alert",
+                "new_queries_total",
+            )
+            if k in vs_prev
+        }
+        # flag lists can balloon on a drifting run (r11: 11 names ≈
+        # 500 chars) — counts always, names capped at 6 per list; the
+        # full lists are in line 1 / bench_full
+        for k in (
+            "regressions_over_2x",
+            "regressions_over_2x_raw",
+            "regressions_over_2x_adjudicated",
+        ):
+            lst = vs_prev.get(k) or []
+            vp["n_" + k] = len(lst)
+            vp[k] = lst[:6]
+        summary["vs_prev"] = vp
+    names = sorted(timings, key=lambda n: (-timings[n], n))
+
+    def _with_top(k: int) -> dict:
+        s = dict(summary)
+        s["queries"] = {n: timings[n] for n in sorted(names[:k])}
+        s["queries_omitted"] = {
+            "n": len(names) - k,
+            "sec": round(sum(timings[n] for n in names[k:]), 3),
+        }
+        return s
+
+    # binary search the largest k that fits the window
+    lo, hi = 0, len(names)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if len(json.dumps(_with_top(mid))) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return _with_top(lo)
 
 
 _STAGE_FIELDS = {
@@ -637,22 +722,31 @@ def _compare_runs(
     # on sub-second queries (scheduler/GC noise swings 0.3 s ↔ 1 s
     # between back-to-back runs); require an absolute slowdown too —
     # both tests on the normalized numbers
-    flagged = sorted(
+    flagged_all = sorted(
         n
         for n, r in ratios_norm.items()
         if r > 2.0
         and timings[n] / (factor or 1.0) - prev["queries"][n] > 0.75
     )
+    flagged = [n for n in flagged_all if n not in VARIANCE_ADJUDICATED]
     # raw-ratio flags recorded ALONGSIDE the normalized gate (r6
     # ADVICE): normalization divides by a probe that runs under the
     # same session config as the queries, so a framework-wide
     # regression (bad serializer/shuffle-partitions change) slows the
     # probe too and launders itself out of the normalized flags. Raw
     # flags + the factor sanity alert below keep it visible.
-    flagged_raw = sorted(
+    flagged_raw_all = sorted(
         n
         for n, r in ratios.items()
         if r > 2.0 and timings[n] - prev["queries"][n] > 0.75
+    )
+    flagged_raw = [
+        n for n in flagged_raw_all if n not in VARIANCE_ADJUDICATED
+    ]
+    # adjudicated variance cases (see VARIANCE_ADJUDICATED): diverted,
+    # not dropped — the name + its ratios stay on the record
+    adjudicated = sorted(
+        (set(flagged_all) | set(flagged_raw_all)) & set(VARIANCE_ADJUDICATED)
     )
     # a calibration factor outside [1/1.5, 1.5] is itself reportable:
     # either the VM shifted hard (believable on this host, but worth
@@ -682,6 +776,7 @@ def _compare_runs(
         "ratios_normalized": ratios_norm,
         "regressions_over_2x": flagged,
         "regressions_over_2x_raw": flagged_raw,
+        "regressions_over_2x_adjudicated": adjudicated,
         "calibration_factor_alert": factor_alert,
     }
 

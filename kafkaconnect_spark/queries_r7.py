@@ -32,6 +32,14 @@ def _tmp_index_dir(prefix: str) -> str:
 
 _STANDING_BUILD_CACHE: dict = {}
 
+# wall seconds of each standing-index build actually PERFORMED this
+# process, keyed by tag (r11 verdict: the seeded-build pattern moves
+# the one-time build out of the timed passes, so the bench must report
+# that cost as its own line item — bench.py reads this at end of run
+# and emits `seed_builds_sec`; a cache hit adds nothing, which is the
+# point: the build ran once and its cost is on the record)
+STANDING_BUILD_SECONDS: dict[str, float] = {}
+
 
 def _seeded_index_dir(prefix: str, sf_dir: str, table: str, tag: str,
                       build_fn) -> str:
@@ -63,8 +71,15 @@ def _seeded_index_dir(prefix: str, sf_dir: str, table: str, tag: str,
         key = (tag, os.path.abspath(path), None, None)
     src = _STANDING_BUILD_CACHE.get(key)
     if src is None or not os.path.exists(os.path.join(src, "MANIFEST.json")):
+        import time
+
         src = _tmp_index_dir(f"seed_{prefix}")
+        t0 = time.perf_counter()
         build_fn(src)
+        STANDING_BUILD_SECONDS[tag] = round(
+            STANDING_BUILD_SECONDS.get(tag, 0.0)
+            + (time.perf_counter() - t0), 3,
+        )
         _STANDING_BUILD_CACHE[key] = src
     dst = _tmp_index_dir(prefix)
     shutil.copytree(src, dst, dirs_exist_ok=True)
