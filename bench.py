@@ -37,8 +37,8 @@ BENCH_EXTRA = {
 # the adjudicated list with its ratio in `ratios`), just not mixed
 # into the actionable gate.
 VARIANCE_ADJUDICATED = {
-    "multimodal_audio_stats": 1.1,
-    "multimodal_video_frames": 1.0,
+    "multimodal_audio_stats": 1.27,  # r12 probe_query_jobs warm pass
+    "multimodal_video_frames": 1.06,  # (plans/r12/*_jobs_before.txt)
 }
 
 

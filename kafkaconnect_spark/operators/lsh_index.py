@@ -685,18 +685,34 @@ def streaming_dedup_transform(
             pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
         # -- step 1: within-batch self-dedup (batch-sized both sides) --
         # the batch is shingled and signed exactly ONCE per micro-batch:
-        # sh_new/b_new are persisted here and reused (id-filtered) by
-        # the corpus match in step 2 AND the survivor add in step 3 —
-        # before r9 each of those recomputed the full pipeline,
-        # measured as the bulk of the SMT's per-batch premium
-        sh_new = shingle_arrays(docs, text_field, id_field, m["n"]).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        b_new = _banded(
-            _signatures_from_arrays(sh_new, m["num_hashes"], id_field),
-            m["bands"],
-            id_field,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # sh_new/b_new are reused (id-filtered) by the corpus match in
+        # step 2 AND the survivor add in step 3 — before r9 each of
+        # those recomputed the full pipeline, measured as the bulk of
+        # the SMT's per-batch premium. r12: a BOUNDED batch holds them
+        # behind eager localCheckpoints instead of persists — the
+        # ~10 downstream actions per micro-batch stop re-analyzing the
+        # shingle/signature/banding trees in their lineage (Catalyst
+        # re-analysis measured at 0.19 s/action over a persisted wide
+        # tree vs 0.08 behind a checkpoint; same rows, same results).
+        # Over-cap batches keep the r10 persisted plans: the
+        # checkpoint trades recompute-on-executor-loss for speed,
+        # taken only on batch-bounded data (the SMT replays
+        # idempotently on a batch failure either way).
+        sh_new = shingle_arrays(docs, text_field, id_field, m["n"])
+        if ids_list is not None:
+            sh_new = sh_new.localCheckpoint()
+            b_new = _banded(
+                _signatures_from_arrays(sh_new, m["num_hashes"], id_field),
+                m["bands"],
+                id_field,
+            ).localCheckpoint()
+        else:
+            sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+            b_new = _banded(
+                _signatures_from_arrays(sh_new, m["num_hashes"], id_field),
+                m["bands"],
+                id_field,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         self_cands = (
             b_new.select(F.col(id_field).alias("id_new"), "band", "band_hash")
             .join(

@@ -614,19 +614,41 @@ def streaming_semdedup_transform(
             F.col(f"value.{id_field}").cast(id_type).alias("query_id"),
             F.col(f"value.{vec_field}").alias(m["vec_col"]),
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # boundedness verdict FIRST (one bounded collect, materializes
+        # the persist): it routes the guard histogram below AND — r12 —
+        # decides lineage truncation for the batch frames. A bounded
+        # batch holds vecs/batch_coded/self_probes behind eager
+        # localCheckpoints instead of persists: the transform's many
+        # downstream actions stop re-analyzing the folded-literal
+        # coding/probe trees (n_cells × dim + n_sub × n_codes × d
+        # literals) in their lineage — Catalyst re-analysis measured
+        # at ~0.19 s/action over a persisted wide tree vs ~0.08 behind
+        # a checkpoint; same rows, same results. Over-cap batches keep
+        # the r10 persisted plans (checkpointing trades recompute-on-
+        # executor-loss for speed — only taken on batch-bounded data;
+        # the SMT replays idempotently on a batch failure either way).
+        ids_list = inline_ids(vecs, "query_id")
+        if ids_list is not None:
+            _lc = vecs.localCheckpoint()
+            vecs.unpersist()
+            vecs = _lc
         batch_coded = _coded(
             vecs.withColumnRenamed("query_id", m["id_col"]),
             cents, books, d, m["n_sub"], m["id_col"], m["vec_col"],
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # -- step 1: within-batch self-dedup (probe geometry + exact
-        # cosine over the batch's own vectors; batch-bounded) --
+        )
         # probes computed ONCE per micro-batch: the within-batch join
         # below and the corpus match (id-filtered to survivors) share
-        # this persisted frame — before r9+ the corpus match re-ran the
-        # full probe pipeline per batch
+        # this frame — before r9+ the corpus match re-ran the full
+        # probe pipeline per batch
         self_probes = _probes(
             vecs, cents, books, d, n_probe, "query_id", m["vec_col"]
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if ids_list is not None:
+            batch_coded = batch_coded.localCheckpoint()
+            self_probes = self_probes.localCheckpoint()
+        else:
+            batch_coded = batch_coded.persist(StorageLevel.MEMORY_AND_DISK)
+            self_probes = self_probes.persist(StorageLevel.MEMORY_AND_DISK)
         # -- candidate-volume guard (r10, the hamming skew-line twin):
         # estimate the batch's candidate pairs from three per-cell
         # histograms BEFORE any join materializes them. All three
@@ -647,9 +669,8 @@ def streaming_semdedup_transform(
         # batch-bounded id sets ride as literals under
         # index_base.SMALL_ID_INLINE_CAP (r11 — removes a broadcast-
         # build job per consuming action; oversized batches keep the
-        # join path at every site below). Collected FIRST so the
-        # boundedness verdict can also route the histogram below.
-        ids_list = inline_ids(vecs, "query_id")
+        # join path at every site below). ids_list was collected up at
+        # frame creation (it also routes the lineage truncation).
         if ids_list is not None:
             # bounded batch: ONE narrow collect over the two cached
             # frames (no exchange — a groupBy here materializes an AQE
