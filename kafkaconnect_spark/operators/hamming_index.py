@@ -392,10 +392,6 @@ def match(
     npb = _check_geometry(m["bits"], m["bands"], max_hamming)
     v = m["version"]
     idx_hashes = spark.read.parquet(_table_path(index_dir, "hashes", v))
-    b_new = _banded(new_hashes, m["bands"], npb, id_col, hash_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    tracked = [b_new]
     # r11 (guide §8 — decide with small rows): a bounded batch is
     # collected ONCE and its band values replayed driver-side — the
     # bucket hit set and the skew histogram's batch half then cost
@@ -410,11 +406,22 @@ def match(
     # value fits an int — _band_bucket_expr's conv→cast('int') NULLs
     # values ≥ 2^31 on the cluster, and the two paths would silently
     # diverge (r11 ADVICE)
+    # (r12 note: a match()-internal localCheckpoint of a bounded batch
+    # was tried here and MEASURED WORSE — multimodal_dedup_index
+    # 9.9 → 13.2 s: direct callers persist the derived hash frame
+    # themselves and run several matches over it, so the per-match
+    # re-materialization costs more than the per-action re-analysis it
+    # saves. The SMTs truncate once per micro-batch instead, which is
+    # the shape that measured faster.)
     batch_rows = precollected_rows if npb <= 4 else None
     if batch_rows is None and npb <= 4:
         batch_rows = inline_rows(new_hashes, [id_col, hash_col])
     if not _valid_batch_rows(batch_rows, m["bits"] // 4):
         batch_rows = None
+    b_new = _banded(new_hashes, m["bands"], npb, id_col, hash_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tracked = [b_new]
     val_mult: dict | None = None
     if batch_rows is not None:
         from collections import Counter
