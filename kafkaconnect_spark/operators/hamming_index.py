@@ -1154,7 +1154,7 @@ def streaming_fingerprint_dedup_transform(
         ).write.mode("errorifexists").parquet(report)
         release_cached(pairs)
         rep = spark.read.parquet(report)
-        dup_list = inline_ids(rep, "id_new")
+        dup_list = inline_ids(rep, "id_new", narrow=True)
         if dup_list is not None:
             survivors = drop_ids_filter(
                 records, f"value.{id_field}", dup_list

@@ -169,8 +169,39 @@ def _sql_id_literal(v) -> str:
     raise TypeError(f"unsupported id literal type {type(v).__name__}")
 
 
+@contextlib.contextmanager
+def _no_aqe(spark):
+    """Scope-disable AQE for the exchange-free bounded collects below:
+    their plan is scan → LocalLimit → coalesce(1) — no exchange, so
+    AQE has nothing to adapt, yet wrapping it costs a SECOND cluster
+    job per collect (measured r12: 10 inline collects = 20 jobs /
+    0.26 s each under AQE vs 10 jobs / 0.18 s without; the SMTs run
+    10-30 such collects per replay). Results are identical — the
+    toggle only removes the AdaptiveSparkPlan wrapper. The conf is
+    session-global, but every call site collects from the driver main
+    thread (the staged-write pool never overlaps an inline collect —
+    the caller blocks on it), and the finally restores the old value
+    on any exit."""
+    key = "spark.sql.adaptive.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unknown default: leave AQE alone
+        old = None
+    if old != "true":
+        yield
+        return
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def inline_ids(
-    df: DataFrame, col: str | None = None, cap: int = SMALL_ID_INLINE_CAP
+    df: DataFrame,
+    col: str | None = None,
+    cap: int = SMALL_ID_INLINE_CAP,
+    narrow: bool = False,
 ) -> list | None:
     """Distinct non-null values of ``df[col]`` as Python literals, or
     None when the frame has more than ``cap`` rows or a non-int/str
@@ -180,16 +211,26 @@ def inline_ids(
     raw rows than cap but fewer distinct ids falls back — correct,
     just not inlined). Nulls are dropped: a null id matches nothing
     in either a semi- or an anti-join, so it contributes nothing to
-    an IN set either."""
+    an IN set either.
+
+    ``narrow=True`` = the CALLER asserts df's plan is exchange-free
+    (plain scan/filter/project) — the collect then runs without the
+    AQE wrapper job (see _no_aqe). Never set it on a frame that
+    joins/aggregates: those want AQE's runtime broadcast (a blanket
+    wrap measured WORSE end-to-end, r12)."""
     c = col or df.columns[0]
     # limit → coalesce(1) → collect runs as ONE job: LocalLimit stops
     # each input partition at cap+1 rows, the single merged task stops
     # at cap+1 total. A bare limit(cap+1).collect() instead runs
     # executeTake's incremental partition probing — measured 4+ jobs
     # per call at 32 partitions (1 → 4 → 16 → all scale-up).
-    rows = (
-        df.select(F.col(c).alias("__id")).limit(cap + 1).coalesce(1).collect()
-    )
+    with _no_aqe(df.sparkSession) if narrow else contextlib.nullcontext():
+        rows = (
+            df.select(F.col(c).alias("__id"))
+            .limit(cap + 1)
+            .coalesce(1)
+            .collect()
+        )
     if len(rows) > cap:
         return None
     out = {r[0] for r in rows if r[0] is not None}
@@ -270,7 +311,7 @@ def small_tombstone_ids(
     if ifs.dir_bytes(tomb_dir) > TOMBSTONE_BROADCAST_MAX_BYTES:
         return None
     df = spark.read.parquet(tomb_dir)
-    return inline_ids(df, df.columns[0], cap)
+    return inline_ids(df, df.columns[0], cap, narrow=True)  # plain scan
 
 
 def local_bucket_set(

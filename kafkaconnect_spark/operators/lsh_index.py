@@ -678,7 +678,7 @@ def streaming_dedup_transform(
         # disappears, and the anti/semi-joins fuse into the consumers'
         # stages as InSet filters. Oversized sets (None) keep the r10
         # broadcast-join shapes at every site below.
-        ids_list = inline_ids(ids, id_field)
+        ids_list = inline_ids(ids, id_field, narrow=True)
         pre = _membership(spark, index_dir, ids, m, ids_list=ids_list)
         pre_ids = inline_ids(pre) if ids_list is not None else None
         if pre_ids is None:
@@ -764,7 +764,7 @@ def streaming_dedup_transform(
         # the just-written report is batch-bounded — dropped ids inline
         # to one tiny collect reused by the survivor filter AND both
         # append deltas (previously three broadcast builds per batch)
-        dup_list = inline_ids(rep, "id_new")
+        dup_list = inline_ids(rep, "id_new", narrow=True)
         if dup_list is not None:
             survivors = drop_ids_filter(
                 records, f"value.{id_field}", dup_list

@@ -627,7 +627,7 @@ def streaming_semdedup_transform(
         # the r10 persisted plans (checkpointing trades recompute-on-
         # executor-loss for speed — only taken on batch-bounded data;
         # the SMT replays idempotently on a batch failure either way).
-        ids_list = inline_ids(vecs, "query_id")
+        ids_list = inline_ids(vecs, "query_id", narrow=True)
         if ids_list is not None:
             _lc = vecs.localCheckpoint()
             vecs.unpersist()
@@ -821,7 +821,7 @@ def streaming_semdedup_transform(
         ).write.mode("errorifexists").parquet(report)
         release_cached(raw)
         rep = spark.read.parquet(report)
-        dup_list = inline_ids(rep, "query_id")
+        dup_list = inline_ids(rep, "query_id", narrow=True)
         if dup_list is not None:
             survivors = drop_ids_filter(
                 records,
@@ -846,7 +846,8 @@ def streaming_semdedup_transform(
                 # empty) set of empty-vector ids along with dropped
                 # and already-present ids
                 empty_ids = inline_ids(
-                    vecs.where(F.size(m["vec_col"]) == 0), "query_id"
+                    vecs.where(F.size(m["vec_col"]) == 0), "query_id",
+                    narrow=True,
                 )
             else:
                 empty_ids = None
